@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from pdf_table_tpu.utils import FileUtils, MathUtils, print_timings
+from pdf_table_tpu.utils.benchmark_utils import timing_stats, track_infer_time
+
+
+class TestMathUtils:
+    def test_scale_pdf_roundtrip(self):
+        # PDF page 612x792 rendered at 2x -> image 1224x1584
+        factors_fwd = (2.0, 2.0, 1584.0)
+        factors_bwd = (2.0, 2.0, 792.0)
+        pdf_box = (100.0, 700.0, 200.0, 750.0)   # y up
+        img_box = MathUtils.scale_pdf(pdf_box, factors_fwd)
+        back = MathUtils.scale_image(img_box, factors_bwd)
+        assert back[0] == pytest.approx(pdf_box[0])
+        assert back[2] == pytest.approx(pdf_box[2])
+        assert sorted((back[1], back[3])) == pytest.approx(sorted((pdf_box[1], pdf_box[3])))
+
+    def test_vectorized_matches_scalar(self, rng):
+        boxes = rng.uniform(0, 500, size=(50, 4))
+        boxes = np.sort(boxes.reshape(50, 2, 2), axis=1).reshape(50, 4)[:, [0, 1, 2, 3]]
+        out = MathUtils.scale_boxes_pdf_to_image(boxes, 2.0, 2.0, 1584.0)
+        for i in range(50):
+            ref = MathUtils.scale_pdf(tuple(boxes[i]), (2.0, 2.0, 1584.0))
+            np.testing.assert_allclose(sorted((out[i, 1], out[i, 3])),
+                                       sorted((ref[1], ref[3])))
+            np.testing.assert_allclose(out[i, 0], ref[0])
+
+    def test_iou(self):
+        assert MathUtils.iou((0, 0, 10, 10), (0, 0, 10, 10)) == pytest.approx(1.0)
+        assert MathUtils.iou((0, 0, 10, 10), (20, 20, 30, 30)) == 0.0
+        assert MathUtils.iou((0, 0, 10, 10), (5, 0, 15, 10)) == pytest.approx(1 / 3)
+
+    def test_iou_matrix_matches_scalar(self, rng):
+        a = np.sort(rng.uniform(0, 100, (20, 2, 2)), axis=1).reshape(20, 4)
+        b = np.sort(rng.uniform(0, 100, (30, 2, 2)), axis=1).reshape(30, 4)
+        a = a[:, [0, 2, 1, 3]]
+        b = b[:, [0, 2, 1, 3]]
+        m = MathUtils.iou_matrix(a, b)
+        assert m.shape == (20, 30)
+        for i in (0, 7, 19):
+            for j in (0, 15, 29):
+                assert m[i, j] == pytest.approx(MathUtils.iou(a[i], b[j]))
+
+    def test_poly_area(self):
+        square = np.array([[0, 0], [10, 0], [10, 10], [0, 10]])
+        assert MathUtils.poly_area(square) == pytest.approx(100.0)
+        assert MathUtils.poly_perimeter(square) == pytest.approx(40.0)
+
+
+class TestBenchmark:
+    def test_timing_stats(self):
+        st = timing_stats([1.0, 2.0, 3.0])
+        assert st["mean"] == pytest.approx(2.0)
+        assert st["count"] == 3
+
+    def test_track_infer_time(self):
+        buf = []
+        with track_infer_time(buf):
+            pass
+        assert len(buf) == 1 and buf[0] >= 0
+
+    def test_print_timings(self):
+        st = print_timings("stage", [0.001, 0.002])
+        assert st["count"] == 2
+
+
+class TestFileUtils:
+    def test_json_roundtrip(self, tmp_path):
+        p = str(tmp_path / "a" / "b.json")
+        FileUtils.write_json(p, {"x": np.int64(3), "arr": np.arange(3)})
+        back = FileUtils.read_json(p)
+        assert back["x"] == 3
+        assert back["arr"] == [0, 1, 2]
+
+    def test_lines_roundtrip(self, tmp_path):
+        p = str(tmp_path / "lines.txt")
+        FileUtils.write_lines(p, ["a", "b"])
+        assert FileUtils.read_lines(p) == ["a", "b"]
