@@ -1,0 +1,199 @@
+// C API for the pdfio library (consumed from Python via ctypes).
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+#include "content.h"
+#include "doc.h"
+#include "json.h"
+
+using namespace pdfio;
+
+namespace {
+
+struct DocHandle {
+  std::vector<uint8_t> bytes;  // own a copy: Python buffer may be freed
+  Document doc;
+};
+
+char* dup_cstr(const std::string& s) {
+  char* p = (char*)malloc(s.size() + 1);
+  memcpy(p, s.data(), s.size());
+  p[s.size()] = 0;
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* pdfio_version() { return "pdfio-0.1.0"; }
+
+void* pdfio_open(const uint8_t* data, size_t len, char** err) {
+  auto* h = new DocHandle();
+  h->bytes.assign(data, data + len);
+  std::string e;
+  if (!h->doc.open(h->bytes.data(), h->bytes.size(), &e)) {
+    if (err) *err = dup_cstr(e);
+    delete h;
+    return nullptr;
+  }
+  if (err) *err = nullptr;
+  return h;
+}
+
+void pdfio_close(void* handle) { delete (DocHandle*)handle; }
+
+int pdfio_page_count(void* handle) {
+  return ((DocHandle*)handle)->doc.page_count();
+}
+
+// Returns malloc'd JSON describing the page: mediabox, rotate, text runs,
+// segments, rects, curves, image placements.
+char* pdfio_extract_page(void* handle, int page_idx, char** err) {
+  auto* h = (DocHandle*)handle;
+  if (page_idx < 0 || page_idx >= h->doc.page_count()) {
+    if (err) *err = dup_cstr("page index out of range");
+    return nullptr;
+  }
+  const Page& pg = h->doc.page(page_idx);
+  PageContent pc = extract_page_content(&h->doc, pg);
+
+  JsonWriter w;
+  w.begin_obj();
+  w.key("media_box");
+  w.begin_arr();
+  for (int k = 0; k < 4; k++) w.num(pg.media[k]);
+  w.end_arr();
+  w.key("rotate");
+  w.integer(pg.rotate);
+
+  w.key("texts");
+  w.begin_arr();
+  for (auto& t : pc.texts) {
+    w.begin_obj();
+    w.key("text");
+    w.str(t.utf8);
+    w.key("bbox");
+    w.begin_arr();
+    w.num(t.x0); w.num(t.y0); w.num(t.x1); w.num(t.y1);
+    w.end_arr();
+    w.key("origin");
+    w.begin_arr();
+    w.num(t.ox); w.num(t.oy);
+    w.end_arr();
+    w.key("dir");
+    w.begin_arr();
+    w.num(t.dx); w.num(t.dy);
+    w.end_arr();
+    w.key("size");
+    w.num(t.size);
+    w.key("font");
+    w.str(t.font);
+    w.key("adv");
+    w.begin_arr();
+    for (double a : t.adv) w.num(a);
+    w.end_arr();
+    if (t.rmode == 3) {
+      w.key("invisible");
+      w.boolean(true);
+    }
+    w.end_obj();
+  }
+  w.end_arr();
+
+  w.key("segs");
+  w.begin_arr();
+  for (auto& s : pc.segs) {
+    w.begin_obj();
+    w.key("p");
+    w.begin_arr();
+    w.num(s.x0); w.num(s.y0); w.num(s.x1); w.num(s.y1);
+    w.end_arr();
+    w.key("lw");
+    w.num(s.lw);
+    if (s.is_fill) {
+      w.key("fill");
+      w.boolean(true);
+    }
+    w.end_obj();
+  }
+  w.end_arr();
+
+  w.key("rects");
+  w.begin_arr();
+  for (auto& r : pc.rects) {
+    w.begin_obj();
+    w.key("bbox");
+    w.begin_arr();
+    w.num(r.x0); w.num(r.y0); w.num(r.x1); w.num(r.y1);
+    w.end_arr();
+    w.key("lw");
+    w.num(r.lw);
+    w.key("stroked");
+    w.boolean(r.stroked != 0);
+    w.key("filled");
+    w.boolean(r.filled != 0);
+    w.end_obj();
+  }
+  w.end_arr();
+
+  w.key("curves");
+  w.begin_arr();
+  for (auto& c : pc.curves) {
+    w.begin_arr();
+    for (double v : c.pts) w.num(v);
+    w.end_arr();
+  }
+  w.end_arr();
+
+  w.key("images");
+  w.begin_arr();
+  for (auto& im : pc.images) {
+    w.begin_obj();
+    w.key("bbox");
+    w.begin_arr();
+    w.num(im.x0); w.num(im.y0); w.num(im.x1); w.num(im.y1);
+    w.end_arr();
+    w.key("obj");
+    w.integer(im.obj_num);
+    w.key("width");
+    w.integer(im.width);
+    w.key("height");
+    w.integer(im.height);
+    w.key("bpc");
+    w.integer(im.bpc);
+    w.key("colorspace");
+    w.str(im.colorspace);
+    w.key("filter");
+    w.str(im.filter);
+    w.end_obj();
+  }
+  w.end_arr();
+
+  w.end_obj();
+  if (err) *err = nullptr;
+  return dup_cstr(w.out);
+}
+
+// Fetch an image XObject's bytes by object number. kind: 0=decoded raw
+// samples, 1=passthrough-encoded (e.g. JPEG bytes for DCTDecode).
+uint8_t* pdfio_get_image(void* handle, int obj_num, size_t* out_len, int* kind) {
+  auto* h = (DocHandle*)handle;
+  PObj o = h->doc.get(obj_num);
+  if (!o || o->t != Obj::T::Stream) {
+    *out_len = 0;
+    return nullptr;
+  }
+  std::string passthrough;
+  std::vector<uint8_t> data = h->doc.decoded(o, &passthrough);
+  *kind = passthrough.empty() ? 0 : 1;
+  *out_len = data.size();
+  uint8_t* p = (uint8_t*)malloc(data.size());
+  memcpy(p, data.data(), data.size());
+  return p;
+}
+
+void pdfio_free(void* p) { free(p); }
+
+}  // extern "C"

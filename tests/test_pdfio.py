@@ -1,0 +1,179 @@
+import io
+
+import numpy as np
+import pytest
+
+from pdf_table_tpu.pdfio import PdfDocument, PdfWriter, render_page
+from pdf_table_tpu.pdfio.reader import parse_pages_spec
+from pdf_table_tpu.pdfio.writer import text_width
+
+
+def make_simple_pdf(compress=True) -> bytes:
+    w = PdfWriter(compress=compress)
+    p = w.add_page(612, 792)
+    p.text(72, 720, "Hello World", size=14)
+    p.text(72, 700, "Second line with numbers 12345", size=10)
+    p.line(72, 680, 540, 680, lw=1.5)
+    p.rect(100, 500, 200, 100, lw=1.0)
+    p2 = w.add_page(612, 792)
+    p2.text(72, 720, "Page two", size=12)
+    return w.tobytes()
+
+
+class TestWriterReader:
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_roundtrip_text(self, compress):
+        data = make_simple_pdf(compress)
+        with PdfDocument.open(data) as doc:
+            assert doc.page_count == 2
+            page = doc.load_page(0)
+            texts = [t.text for t in page.texts]
+            assert "Hello World" in texts
+            assert "Second line with numbers 12345" in texts
+            page2 = doc.load_page(1)
+            assert [t.text for t in page2.texts] == ["Page two"]
+
+    def test_text_positions(self):
+        data = make_simple_pdf()
+        with PdfDocument.open(data) as doc:
+            page = doc.load_page(0)
+            hello = next(t for t in page.texts if t.text == "Hello World")
+            # baseline at y=720, size 14 -> bbox spans roughly 717..733
+            assert hello.origin == pytest.approx((72, 720))
+            assert hello.bbox[0] == pytest.approx(72)
+            assert hello.bbox[1] < 720 < hello.bbox[3]
+            # width from helvetica metrics
+            expected_w = text_width("Hello World", 14)
+            assert hello.bbox[2] - hello.bbox[0] == pytest.approx(expected_w, rel=0.01)
+            assert len(hello.adv) == len("Hello World")
+            assert sum(hello.adv) == pytest.approx(expected_w, rel=0.01)
+
+    def test_lines_and_rects(self):
+        data = make_simple_pdf()
+        with PdfDocument.open(data) as doc:
+            page = doc.load_page(0)
+            # one explicit line + 4 rect edges
+            hlines = [s for s in page.segs if s.is_horizontal]
+            assert any(abs(s.y0 - 680) < 0.1 and abs(s.x0 - 72) < 0.1 for s in hlines)
+            assert len(page.rects) == 1
+            assert page.rects[0].bbox == pytest.approx((100, 500, 300, 600))
+            assert page.rects[0].stroked
+
+    def test_media_box(self):
+        data = make_simple_pdf()
+        with PdfDocument.open(data) as doc:
+            page = doc.load_page(0)
+            assert page.media_box == (0, 0, 612, 792)
+            assert page.width == 612 and page.height == 792
+
+    def test_table_grid(self):
+        w = PdfWriter()
+        p = w.add_page()
+        cells = [["Name", "Qty", "Price"],
+                 ["Apple", "3", "1.20"],
+                 ["Pear", "5", "0.80"]]
+        bbox = p.table(72, 700, [120, 60, 80], 22, cells)
+        data = w.tobytes()
+        with PdfDocument.open(data) as doc:
+            page = doc.load_page(0)
+            texts = {t.text for t in page.texts}
+            assert {"Name", "Qty", "Price", "Apple", "Pear"} <= texts
+            hl = [s for s in page.segs if s.is_horizontal]
+            vl = [s for s in page.segs if not s.is_horizontal]
+            assert len(hl) == 4 and len(vl) == 4  # 3 rows + 3 cols grid
+            assert bbox[3] == 700
+
+    def test_not_a_pdf(self):
+        with pytest.raises(ValueError):
+            PdfDocument.open(b"this is not a pdf at all")
+
+    def test_embedded_jpeg_roundtrip(self):
+        import cv2
+        rgb = np.zeros((40, 60, 3), dtype=np.uint8)
+        rgb[:, :, 0] = 255  # red
+        ok, jpeg = cv2.imencode(".jpg", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        assert ok
+        w = PdfWriter()
+        p = w.add_page()
+        p.image(jpeg.tobytes(), 100, 400, 180, 120, 60, 40)
+        data = w.tobytes()
+        with PdfDocument.open(data) as doc:
+            page = doc.load_page(0)
+            assert len(page.images) == 1
+            im = page.images[0]
+            assert im.width == 60 and im.height == 40
+            assert im.filter == "DCTDecode"
+            assert im.bbox == pytest.approx((100, 400, 280, 520))
+            raw, kind = doc.get_image_bytes(im.obj_num)
+            assert kind == 1  # passthrough jpeg
+            dec = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+            assert dec.shape == (40, 60, 3)
+            assert dec[:, :, 2].mean() > 200  # red channel (BGR)
+
+    def test_imaged_pdf_detection(self):
+        import cv2
+        rgb = np.full((100, 80, 3), 128, dtype=np.uint8)
+        ok, jpeg = cv2.imencode(".jpg", rgb)
+        w = PdfWriter()
+        p = w.add_page(612, 792)
+        p.image(jpeg.tobytes(), 0, 0, 612, 792, 80, 100)  # full-page scan
+        with PdfDocument.open(w.tobytes()) as doc:
+            assert doc.is_imaged_pdf()
+        with PdfDocument.open(make_simple_pdf()) as doc:
+            assert not doc.is_imaged_pdf()
+
+
+class TestRender:
+    def test_render_digital_page(self):
+        data = make_simple_pdf()
+        with PdfDocument.open(data) as doc:
+            page = doc.load_page(0)
+            img = render_page(doc, page, dpi=72)
+            assert img.shape == (792, 612, 3)
+            # the horizontal line at pdf y=680 -> image row 792-680=112
+            assert img[112, 300].mean() < 100
+            # text area has dark pixels
+            region = img[792 - 734:792 - 712, 70:200]
+            assert region.min() < 100
+            # background is white
+            assert img[50, 50].min() == 255
+
+    def test_render_scanned_page(self):
+        import cv2
+        rgb = np.full((100, 80, 3), 99, dtype=np.uint8)
+        ok, jpeg = cv2.imencode(".jpg", rgb)
+        w = PdfWriter()
+        p = w.add_page(612, 792)
+        p.image(jpeg.tobytes(), 0, 0, 612, 792, 80, 100)
+        with PdfDocument.open(w.tobytes()) as doc:
+            page = doc.load_page(0)
+            img = render_page(doc, page, dpi=72)
+            assert abs(int(img[400, 300].mean()) - 99) <= 3
+
+
+class TestFilters:
+    def test_flate_content_parses(self):
+        # covered by roundtrip compress=True; additionally verify a stream
+        # with an indirect /Length
+        data = make_simple_pdf(compress=True)
+        assert b"FlateDecode" in data
+        with PdfDocument.open(data) as doc:
+            assert doc.page_count == 2
+
+
+class TestPagesSpec:
+    def test_all(self):
+        assert parse_pages_spec("all", 5) == [0, 1, 2, 3, 4]
+        assert parse_pages_spec(None, 3) == [0, 1, 2]
+
+    def test_list(self):
+        assert parse_pages_spec("1,3,4", 10) == [0, 2, 3]
+
+    def test_range_end(self):
+        assert parse_pages_spec("1,4-end", 6) == [0, 3, 4, 5]
+
+    def test_range(self):
+        assert parse_pages_spec("2-4", 10) == [1, 2, 3]
+
+    def test_dedup_and_bounds(self):
+        assert parse_pages_spec("1,1,99", 3) == [0]
