@@ -1,0 +1,35 @@
+"""Device/dtype policy helpers (reference role: DeployUtils device placement,
+utils/deploy_utils.py:227; fp16 switch base_infer_task.py:56 -> bf16 here)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import Constants
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
+def compute_dtype():
+    """Model forward dtype: bf16 on TPU by default, f32 elsewhere unless
+    overridden via PDFTABLE_COMPUTE_DTYPE."""
+    name = Constants.COMPUTE_DTYPE.lower()
+    dt = _DTYPES.get(name, jnp.bfloat16)
+    if dt == jnp.bfloat16 and default_backend() == "cpu":
+        # CPU bf16 matmuls are emulated and slow; tests force cpu anyway.
+        return jnp.float32
+    return dt
+
+
+def default_backend() -> str:
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        return "cpu"

@@ -1,0 +1,89 @@
+"""On-device connected components + per-component boxes.
+
+Device path for DB postprocess (the reference does this on CPU with
+cv2.findContours + pyclipper, db_net/ocr_detection_utils.py:116-230): label
+propagation by iterated neighborhood min-reduction (VPU-friendly), then
+per-label bbox/score via one-hot matmuls. Exact polygon parity stays on the
+host path (models/dbnet postprocessor); this op powers the fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def connected_components(mask: jax.Array, max_iters: int = 256) -> jax.Array:
+    """mask (H, W) bool -> int32 labels (H, W); 0 = background, components
+    labeled by the flat index of their min pixel + 1 (stable ids)."""
+    H, W = mask.shape
+    idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(H, W)
+    labels = jnp.where(mask, idx, jnp.int32(0))
+    big = jnp.int32(H * W + 2)
+
+    def prop(labels):
+        l = jnp.where(mask, labels, big)
+        p = jnp.pad(l, 1, constant_values=big)
+        nb = jnp.minimum(
+            jnp.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
+            jnp.minimum(p[1:-1, :-2], p[1:-1, 2:]))
+        # 8-connectivity: include diagonals
+        nb = jnp.minimum(nb, jnp.minimum(
+            jnp.minimum(p[:-2, :-2], p[:-2, 2:]),
+            jnp.minimum(p[2:, :-2], p[2:, 2:])))
+        new = jnp.minimum(l, nb)
+        return jnp.where(mask, new, jnp.int32(0))
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = prop(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True), 0))
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("max_components",))
+def component_boxes(labels: jax.Array, scores: jax.Array, max_components: int):
+    """Per-component bbox + mean score + area.
+
+    labels (H, W) int32 from connected_components; scores (H, W) float.
+    Returns (boxes (N, 4) xyxy, mean_scores (N,), areas (N,), valid (N,))
+    for the top-``max_components`` components by area.
+    """
+    H, W = labels.shape
+    flat = labels.reshape(-1)
+    present = jnp.where(flat > 0, flat, 0)
+    # compress label ids to dense slots via sort-unique over a fixed budget:
+    # take unique labels by scattering into a hash-less table keyed by label
+    # order statistics. Simpler: top-K frequent labels via segment counting
+    # against sorted labels.
+    sorted_l = jnp.sort(present)
+    is_new = jnp.concatenate([sorted_l[:1] > 0, (sorted_l[1:] != sorted_l[:-1]) & (sorted_l[1:] > 0)])
+    uniq_ids = jnp.where(is_new, sorted_l, 0)
+    uniq = jax.lax.top_k(uniq_ids, max_components)[0]      # (N,) label ids, 0-padded
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(-1)
+    sc = scores.reshape(-1).astype(jnp.float32)
+
+    def per(label):
+        m = (flat == label) & (label > 0)
+        cnt = jnp.sum(m)
+        safe = jnp.maximum(cnt, 1)
+        x0 = jnp.min(jnp.where(m, xs, W)).astype(jnp.float32)
+        y0 = jnp.min(jnp.where(m, ys, H)).astype(jnp.float32)
+        x1 = jnp.max(jnp.where(m, xs, -1)).astype(jnp.float32)
+        y1 = jnp.max(jnp.where(m, ys, -1)).astype(jnp.float32)
+        mean = jnp.sum(jnp.where(m, sc, 0.0)) / safe
+        return jnp.stack([x0, y0, x1 + 1, y1 + 1]), mean, cnt, cnt > 0
+
+    boxes, means, areas, valid = jax.vmap(per)(uniq)
+    return boxes, means, areas, valid

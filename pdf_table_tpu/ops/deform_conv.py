@@ -1,0 +1,147 @@
+"""Modulated deformable convolution v2 for TPU.
+
+Replaces the reference's CUDA extension (model/lore/DCNv2_latest/src/cuda/
+dcn_v2_im2col_cuda.cu:1-397; python op model/lore/dcnv2.py:25 over
+torchvision deform_conv2d). TPU-first design: rather than translating the
+im2col CUDA kernel, the sampling step is expressed as four batched gathers +
+bilinear blend (VPU work) and the contraction as one large matmul
+(B*H*W, K*K*Cin) x (K*K*Cin, Cout) that XLA tiles onto the MXU. Gradients
+come for free through gather/matmul autodiff (training parity with the
+reference's backward kernels).
+
+A fused Pallas kernel for the gather+matmul hot path lives in
+ops/pallas/deform_conv_pallas.py; this XLA formulation is the reference
+implementation and the fallback on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
+def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
+                  weight: jax.Array, bias=None,
+                  stride: Tuple[int, int] = (1, 1),
+                  padding: Tuple[int, int] = (1, 1),
+                  dilation: Tuple[int, int] = (1, 1)) -> jax.Array:
+    """Modulated deformable conv (DCNv2), channels-last.
+
+    x:      (B, H, W, Cin)
+    offset: (B, Ho, Wo, 2*Kh*Kw)  — (dy, dx) pairs per kernel tap, matching
+            the reference layout (y first).
+    mask:   (B, Ho, Wo, Kh*Kw)    — post-sigmoid modulation.
+    weight: (Kh, Kw, Cin, Cout)
+    Returns (B, Ho, Wo, Cout) float32.
+    """
+    B, H, W, Cin = x.shape
+    Kh, Kw, _, Cout = weight.shape
+    sh, sw = stride
+    ph, pw = padding
+    dh, dw = dilation
+    Ho = (H + 2 * ph - dh * (Kh - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (Kw - 1) - 1) // sw + 1
+    K = Kh * Kw
+
+    # base sampling grid: p0 + pk
+    oy = jnp.arange(Ho, dtype=jnp.float32) * sh - ph
+    ox = jnp.arange(Wo, dtype=jnp.float32) * sw - pw
+    ky = jnp.arange(Kh, dtype=jnp.float32) * dh
+    kx = jnp.arange(Kw, dtype=jnp.float32) * dw
+    base_y = oy[:, None, None, None] + ky[None, None, :, None]   # (Ho,1,Kh,1)
+    base_x = ox[None, :, None, None] + kx[None, None, None, :]   # (1,Wo,1,Kw)
+    base_y = jnp.broadcast_to(base_y, (Ho, Wo, Kh, Kw)).reshape(Ho, Wo, K)
+    base_x = jnp.broadcast_to(base_x, (Ho, Wo, Kh, Kw)).reshape(Ho, Wo, K)
+
+    off = offset.reshape(B, Ho, Wo, K, 2).astype(jnp.float32)
+    sy = base_y[None] + off[..., 0]   # (B, Ho, Wo, K)
+    sx = base_x[None] + off[..., 1]
+
+    # bilinear sample with zero padding outside
+    x32 = x.astype(jnp.float32)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+
+    def gather(yy, xx):
+        yi = yy.astype(jnp.int32)
+        xi = xx.astype(jnp.int32)
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        flat = x32.reshape(B, H * W, Cin)
+        idx = (yc * W + xc).reshape(B, Ho * Wo * K)
+        g = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+        g = g.reshape(B, Ho, Wo, K, Cin)
+        return g * inb[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    samp = (v00 * ((1 - wy) * (1 - wx))[..., None]
+            + v01 * ((1 - wy) * wx)[..., None]
+            + v10 * (wy * (1 - wx))[..., None]
+            + v11 * (wy * wx)[..., None])                     # (B,Ho,Wo,K,Cin)
+    samp = samp * mask.astype(jnp.float32)[..., None]
+
+    # im2col matmul on the MXU
+    cols = samp.reshape(B * Ho * Wo, K * Cin)
+    wmat = weight.astype(jnp.float32).reshape(K * Cin, Cout)
+    out = jnp.dot(cols, wmat, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(B, Ho, Wo, Cout)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out
+
+
+def deform_conv2d_reference_numpy(x, offset, mask, weight, bias=None,
+                                  stride=(1, 1), padding=(1, 1), dilation=(1, 1)):
+    """Slow numpy reference (mirrors the reference CPU kernel semantics,
+    dcn_v2_im2col_cpu.cpp) used only for parity tests."""
+    import numpy as np
+
+    B, H, W, Cin = x.shape
+    Kh, Kw, _, Cout = weight.shape
+    sh, sw = stride
+    ph, pw = padding
+    dh, dw = dilation
+    Ho = (H + 2 * ph - dh * (Kh - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (Kw - 1) - 1) // sw + 1
+    K = Kh * Kw
+    out = np.zeros((B, Ho, Wo, Cout), np.float64)
+
+    def sample(b, y, x_):
+        if y <= -1 or y >= H or x_ <= -1 or x_ >= W:
+            return np.zeros(Cin)
+        y0, x0 = int(np.floor(y)), int(np.floor(x_))
+        vy, vx = y - y0, x_ - x0
+        acc = np.zeros(Cin)
+        for (yy, ww_y) in ((y0, 1 - vy), (y0 + 1, vy)):
+            for (xx, ww_x) in ((x0, 1 - vx), (x0 + 1, vx)):
+                if 0 <= yy < H and 0 <= xx < W and ww_y * ww_x > 0:
+                    acc += x[b, yy, xx] * (ww_y * ww_x)
+        return acc
+
+    for b in range(B):
+        for i in range(Ho):
+            for j in range(Wo):
+                col = np.zeros((K, Cin))
+                for k in range(K):
+                    kh, kw = divmod(k, Kw)
+                    dy = offset[b, i, j, 2 * k]
+                    dx = offset[b, i, j, 2 * k + 1]
+                    y = i * sh - ph + kh * dh + dy
+                    x_ = j * sw - pw + kw * dw + dx
+                    col[k] = sample(b, y, x_) * mask[b, i, j, k]
+                out[b, i, j] = np.einsum("kc,kco->o", col,
+                                         weight.reshape(K, Cin, Cout))
+    if bias is not None:
+        out += bias
+    return out

@@ -1,0 +1,110 @@
+"""Perspective crop of rotated text boxes, batched on device.
+
+Replaces the reference's per-box cv2.getPerspectiveTransform +
+cv2.warpPerspective loop (utils/ocr/ocr_common_utils.py:214 crop_image,
+ocr_system_task.py:309-314 hot loop): homographies are computed host-side
+(tiny closed-form solves), sampling runs as one vmapped gather program on
+device for all crops of a page at once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
+    """Order 4 points as [top-left, top-right, bottom-right, bottom-left]
+    (image coords, y down). Same contract as the reference's
+    order_point/order_points_clockwise."""
+    pts = np.asarray(pts, dtype=np.float32).reshape(4, 2)
+    s = pts.sum(axis=1)
+    d = pts[:, 0] - pts[:, 1]
+    tl = pts[np.argmin(s)]
+    br = pts[np.argmax(s)]
+    tr = pts[np.argmax(d)]
+    bl = pts[np.argmin(d)]
+    return np.stack([tl, tr, br, bl])
+
+
+def _homography_from_quad(src_quad: np.ndarray, dst_w: float, dst_h: float) -> np.ndarray:
+    """3x3 matrix mapping dst rect (0,0)-(w,h) -> src quad (for inverse-map
+    sampling). Closed-form projective solve."""
+    dst = np.array([[0, 0], [dst_w, 0], [dst_w, dst_h], [0, dst_h]], dtype=np.float64)
+    src = np.asarray(src_quad, dtype=np.float64)
+    # Solve for H with H @ [xd, yd, 1] ~ [xs, ys, 1]
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        xd, yd = dst[i]
+        xs, ys = src[i]
+        A[2 * i] = [xd, yd, 1, 0, 0, 0, -xd * xs, -yd * xs]
+        b[2 * i] = xs
+        A[2 * i + 1] = [0, 0, 0, xd, yd, 1, -xd * ys, -yd * ys]
+        b[2 * i + 1] = ys
+    try:
+        h = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        h = np.linalg.lstsq(A, b, rcond=None)[0]
+    return np.array([[h[0], h[1], h[2]], [h[3], h[4], h[5]], [h[6], h[7], 1.0]],
+                    dtype=np.float32)
+
+
+def perspective_matrices(quads: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """(N, 4, 2) clockwise quads -> (N, 3, 3) dst->src homographies."""
+    oh, ow = out_hw
+    return np.stack([_homography_from_quad(q, ow, oh) for q in quads]) \
+        if len(quads) else np.zeros((0, 3, 3), np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_perspective_batch(img: jax.Array, mats: jax.Array,
+                           out_hw: Tuple[int, int]) -> jax.Array:
+    """Sample N crops from one image. img (H, W, C); mats (N, 3, 3) dst->src.
+    Returns (N, oh, ow, C) float32, zero-padded outside the image."""
+    H, W = img.shape[0], img.shape[1]
+    oh, ow = out_hw
+    ys = jnp.arange(oh, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(ow, dtype=jnp.float32) + 0.5
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")         # (oh, ow)
+    ones = jnp.ones_like(gx)
+    dst = jnp.stack([gx, gy, ones], axis=-1)              # (oh, ow, 3)
+    f = img.astype(jnp.float32)
+
+    def one(mat):
+        src = jnp.einsum("ij,hwj->hwi", mat, dst)
+        sx = src[..., 0] / jnp.maximum(src[..., 2], 1e-8) - 0.5
+        sy = src[..., 1] / jnp.maximum(src[..., 2], 1e-8) - 0.5
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        wx = sx - x0
+        wy = sy - y0
+        valid = (sx >= -1) & (sx <= W) & (sy >= -1) & (sy <= H)
+        x0c = jnp.clip(x0, 0, W - 1)
+        x1c = jnp.clip(x0 + 1, 0, W - 1)
+        y0c = jnp.clip(y0, 0, H - 1)
+        y1c = jnp.clip(y0 + 1, 0, H - 1)
+        flat = f.reshape(H * W, -1)
+        def g(yy, xx):
+            return jnp.take(flat, yy * W + xx, axis=0)
+        out = (g(y0c, x0c) * ((1 - wx) * (1 - wy))[..., None]
+               + g(y0c, x1c) * (wx * (1 - wy))[..., None]
+               + g(y1c, x0c) * ((1 - wx) * wy)[..., None]
+               + g(y1c, x1c) * (wx * wy)[..., None])
+        return jnp.where(valid[..., None], out, 0.0)
+
+    return jax.vmap(one)(mats)
+
+
+def crop_rotated_boxes(img: np.ndarray, quads: np.ndarray,
+                       out_hw: Tuple[int, int]) -> jax.Array:
+    """Host entry: order points, build matrices, sample all crops at once."""
+    if len(quads) == 0:
+        return jnp.zeros((0, out_hw[0], out_hw[1], img.shape[-1]), jnp.float32)
+    ordered = np.stack([order_points_clockwise(q) for q in quads])
+    mats = perspective_matrices(ordered, out_hw)
+    return warp_perspective_batch(jnp.asarray(img), jnp.asarray(mats), out_hw)
