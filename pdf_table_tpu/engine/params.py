@@ -1,0 +1,59 @@
+"""Parameter init / load / save.
+
+The reference downloads torch or onnx checkpoints from HF/ModelScope
+(common_utils.py:465, base_infer_task.py:146-169). Here params are flax
+pytrees: converted weights live as orbax checkpoints under the model cache;
+absent weights fall back to deterministic random init (seed 0) so structure
+and flow are testable hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.logging_utils import logger
+
+
+def init_params(module, sample_inputs, seed: int = 0, train: bool = False):
+    """Initialize flax module variables (params + batch_stats).
+
+    Jitted: one compiled program instead of per-op eager dispatch, and the
+    executable lands in the persistent compilation cache."""
+    rng = jax.random.PRNGKey(seed)
+    init_fn = jax.jit(lambda r, x: module.init({"params": r}, x, train=train))
+    return init_fn(rng, sample_inputs)
+
+
+def save_params(variables, ckpt_dir: str) -> None:
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(os.path.dirname(ckpt_dir), exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(ckpt_dir, jax.tree.map(np.asarray, variables), force=True)
+    logger.info("saved params to %s", ckpt_dir)
+
+
+def load_params(ckpt_dir: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(ckpt_dir))
+
+
+def load_or_init(module, sample_inputs, ckpt_dir: Optional[str] = None,
+                 seed: int = 0):
+    """Restore converted weights if present, else deterministic init."""
+    if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        try:
+            variables = load_params(ckpt_dir)
+            logger.info("restored params from %s", ckpt_dir)
+            return variables
+        except Exception as e:  # corrupted / layout drift -> re-init
+            logger.warning("restore failed (%s); falling back to init", e)
+    return init_params(module, sample_inputs, seed=seed)

@@ -1,0 +1,50 @@
+"""Text-recognition (CTC family) config.
+
+One config covers the reference's CTC recognizers: CRNN
+(model/crnn/modeling_crnn.py:36), PP-OCR SVTR-LCNet (ONNX 3x48x320,
+model/ocr_rec_pp/), and the ConvNextViT chunked recognizer
+(model/convnext_vit/). Backbone choice selects the flax architecture.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class RecConfig:
+    backbone: str = "svtr_lcnet"   # crnn | svtr_lcnet | convnext_vit
+    # input geometry: PP rec = (3, 48, 320) processor_ocr_rec_pp resize_norm_img:44;
+    # CRNN/ModelScope = gray (1, 32, 804) convnext_vit processor:21.
+    img_channels: int = 3
+    img_height: int = 48
+    img_width: int = 320
+    # width buckets for aspect-ratio batching (static shapes for XLA;
+    # generalizes the reference's rec_batch_num sort, processor:69-137)
+    width_buckets: Tuple[int, ...] = (80, 160, 240, 320, 480, 640)
+    max_text_len: int = 80
+    # head
+    hidden_size: int = 64          # CRNN BiLSTM hidden (modeling_crnn.py:36)
+    vocab_size: int = 97           # 95 printable + blank + space handling
+    charset_name: str = "en"       # en | dict file path
+    use_space_char: bool = True
+    blank_id: int = 0
+    # ConvNextViT chunking (processor_convnext_vit.py:88-96)
+    chunk_width: int = 300
+    chunk_overlap: int = 48
+    dtype: str = "float32"
+
+    @classmethod
+    def crnn(cls, **kw) -> "RecConfig":
+        base = dict(backbone="crnn", img_channels=1, img_height=32,
+                    img_width=320, hidden_size=256)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def convnext_vit(cls, **kw) -> "RecConfig":
+        base = dict(backbone="convnext_vit", img_channels=1, img_height=32,
+                    img_width=804, width_buckets=(804,))
+        base.update(kw)
+        return cls(**base)

@@ -1,0 +1,160 @@
+"""CTC text recognizers in flax (NHWC).
+
+Three backbones behind one module:
+  * crnn        — conv stack + BiLSTM + linear CTC head
+                  (reference model/crnn/modeling_crnn.py:36).
+  * svtr_lcnet  — PP-LCNet conv stages + SVTR global-mixer transformer
+                  blocks + CTC head; the PP-OCRv4 rec architecture the
+                  reference runs as ONNX (model/ocr_rec_pp/).
+  * convnext_vit— ConvNext stem + ViT encoder + CTC
+                  (model/convnext_vit/modeling_convnext_vit.py:20).
+
+All emit logits (B, T, V) — time-major width positions. Decode is
+ops.ctc.ctc_greedy_decode (vectorized XLA, no per-sequence Python loop).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..layers import (ConvBNAct, DepthwiseSeparable, MLP,
+                      TransformerEncoderLayer, sinusoid_positions)
+from .config import RecConfig
+
+
+class BiLSTM(nn.Module):
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                     name="fwd")(x)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                     reverse=True, keep_order=True, name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class CRNNBackbone(nn.Module):
+    """VGG-style conv stack collapsing H to 1 (modeling_crnn.py:36-90)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x (B, 32, W, C)
+        def block(x, c, pool, name):
+            x = ConvBNAct(c, (3, 3), act="relu", dtype=self.dtype,
+                          name=name)(x, train)
+            if pool is not None:
+                x = nn.max_pool(x, pool, strides=pool, padding="VALID")
+            return x
+
+        x = block(x, 64, (2, 2), "c1")      # 16 x W/2
+        x = block(x, 128, (2, 2), "c2")     # 8 x W/4
+        x = block(x, 256, None, "c3")
+        x = block(x, 256, (2, 1), "c4")     # 4 x W/4
+        x = block(x, 512, None, "c5")
+        x = block(x, 512, (2, 1), "c6")     # 2 x W/4
+        x = ConvBNAct(512, (2, 2), act="relu", padding="VALID",
+                      dtype=self.dtype, name="c7")(x, train)  # 1 x W/4-1
+        return x[:, 0]  # (B, T, 512)
+
+
+class SVTRLCNetBackbone(nn.Module):
+    """PP-LCNet stages (H strides collapse to 1/16 -> avgpool) + SVTR
+    global-mixer blocks over the width sequence."""
+
+    dtype: Any = jnp.float32
+    dims: int = 120
+    depth: int = 2
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # stem: stride 2 both dims
+        x = ConvBNAct(32, (3, 3), (2, 2), act="hardswish",
+                      dtype=self.dtype, name="stem")(x, train)
+        cfg = [  # (out, k, stride_hw, se)
+            (64, 3, (1, 1), False),
+            (128, 3, (2, 1), False),   # H/4, W/2
+            (128, 3, (1, 1), False),
+            (256, 3, (2, 1), False),   # H/8
+            (256, 5, (1, 1), False),
+            (512, 5, (2, 1), True),    # H/16
+            (512, 5, (1, 1), True),
+        ]
+        for i, (c, k, st, se) in enumerate(cfg):
+            x = DepthwiseSeparable(c, (k, k), st, use_se=se, act="hardswish",
+                                   dtype=self.dtype, name=f"stage{i}")(x, train)
+        # collapse H: (B, H', W', C) -> (B, W', C)
+        x = jnp.mean(x, axis=1)
+        x = nn.Dense(self.dims, dtype=self.dtype, name="proj")(x)
+        T = x.shape[1]
+        x = x + sinusoid_positions(T, self.dims, self.dtype)[None]
+        for i in range(self.depth):
+            x = TransformerEncoderLayer(self.dims, self.heads, mlp_ratio=2.0,
+                                        prenorm=True, dtype=self.dtype,
+                                        name=f"mixer{i}")(x)
+        return x  # (B, T, dims)
+
+
+class ConvNextViTBackbone(nn.Module):
+    """ConvNext downsampling stem + ViT encoder over width patches
+    (modeling_convnext.py:28 + modeling_vit.py:19)."""
+
+    dtype: Any = jnp.float32
+    dims: int = 192
+    depth: int = 4
+    heads: int = 6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="patchify")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln0")(x)
+        for i, c in enumerate((128, 256)):
+            # ConvNext block: dwconv7 + ln + mlp, then downsample H only
+            y = nn.Conv(x.shape[-1], (7, 7), feature_group_count=x.shape[-1],
+                        dtype=self.dtype, name=f"dw{i}")(x)
+            y = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}a")(y)
+            y = MLP(4 * x.shape[-1], x.shape[-1], dtype=self.dtype,
+                    name=f"mlp{i}")(y)
+            x = x + y
+            x = nn.Conv(c, (2, 2), strides=(2, 1), dtype=self.dtype,
+                        name=f"down{i}")(x)
+        x = jnp.mean(x, axis=1)
+        x = nn.Dense(self.dims, dtype=self.dtype, name="proj")(x)
+        T = x.shape[1]
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, T, self.dims))
+        x = x + pos.astype(self.dtype)
+        for i in range(self.depth):
+            x = TransformerEncoderLayer(self.dims, self.heads, prenorm=True,
+                                        dtype=self.dtype, name=f"vit{i}")(x)
+        return x
+
+
+class CTCRecModel(nn.Module):
+    config: RecConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        if cfg.backbone == "crnn":
+            feat = CRNNBackbone(dtype=dtype, name="backbone")(x, train)
+            feat = BiLSTM(cfg.hidden_size, dtype=dtype, name="rnn1")(feat)
+            feat = BiLSTM(cfg.hidden_size, dtype=dtype, name="rnn2")(feat)
+        elif cfg.backbone == "svtr_lcnet":
+            feat = SVTRLCNetBackbone(dtype=dtype, name="backbone")(x, train)
+        elif cfg.backbone == "convnext_vit":
+            feat = ConvNextViTBackbone(dtype=dtype, name="backbone")(x, train)
+        else:
+            raise ValueError(f"unknown rec backbone {cfg.backbone}")
+        logits = nn.Dense(cfg.vocab_size, dtype=dtype, name="ctc_head")(feat)
+        return logits.astype(jnp.float32)  # (B, T, V)

@@ -1,0 +1,102 @@
+"""Recognition pre/post processing.
+
+Pre: the reference sorts crops by aspect ratio and pads each mini-batch to
+the widest crop (ocr_rec_pp processor:69-137) — dynamic shapes. TPU-native
+version: static *width buckets*; every crop resizes to height H and pads to
+the smallest bucket width >= its scaled width, so XLA compiles one program
+per (bucket, batch-bucket) pair and everything else hits the cache.
+
+Post: ops.ctc.ctc_greedy_decode on device + host charset mapping
+(replaces CTCLabelDecode, rec_postprocess.py:167).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .charset import Charset, resolve_charset
+from .config import RecConfig
+
+
+def resize_norm_crop(img: np.ndarray, out_h: int, bucket_w: int,
+                     channels: int) -> Tuple[np.ndarray, int]:
+    """Resize keeping aspect to height out_h, right-pad to bucket_w.
+    Normalization matches PP rec: x/127.5 - 1 (resize_norm_img:44-67).
+    Returns (H, W, C) float32 and the valid (unpadded) width."""
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = out_h / float(h)
+    new_w = min(max(int(round(w * scale)), 1), bucket_w)
+    resized = cv2.resize(img, (new_w, out_h))
+    if channels == 1:
+        if resized.ndim == 3:
+            resized = cv2.cvtColor(resized, cv2.COLOR_RGB2GRAY)
+        resized = resized[:, :, None]
+    elif resized.ndim == 2:
+        resized = np.repeat(resized[:, :, None], 3, axis=2)
+    out = np.zeros((out_h, bucket_w, channels), np.float32)
+    out[:, :new_w] = resized.astype(np.float32) / 127.5 - 1.0
+    return out, new_w
+
+
+class RecPreProcessor:
+    def __init__(self, config: RecConfig):
+        self.config = config
+
+    def pick_bucket(self, w: int, h: int) -> int:
+        cfg = self.config
+        scaled = int(round(w * cfg.img_height / max(h, 1)))
+        for b in cfg.width_buckets:
+            if scaled <= b:
+                return b
+        return cfg.width_buckets[-1]
+
+    def __call__(self, crops: Sequence[np.ndarray]) -> Dict[str, Any]:
+        """crops: list of HWC uint8 RGB. Groups by width bucket.
+
+        Returns {'groups': [(bucket_w, images (N,H,Wb,C), indices, widths)]}
+        keeping the original crop order recoverable via indices."""
+        cfg = self.config
+        groups: Dict[int, List[int]] = {}
+        for i, c in enumerate(crops):
+            b = self.pick_bucket(c.shape[1], c.shape[0])
+            groups.setdefault(b, []).append(i)
+        out = []
+        for b, idxs in sorted(groups.items()):
+            imgs, widths = [], []
+            for i in idxs:
+                img, vw = resize_norm_crop(crops[i], cfg.img_height, b,
+                                           cfg.img_channels)
+                imgs.append(img)
+                widths.append(vw)
+            out.append({"bucket": b,
+                        "images": np.stack(imgs),
+                        "indices": np.array(idxs, np.int64),
+                        "widths": np.array(widths, np.int64)})
+        return {"groups": out, "n": len(crops)}
+
+
+class RecPostProcessor:
+    def __init__(self, config: RecConfig, charset: Charset = None):
+        self.config = config
+        self.charset = charset or resolve_charset(config.charset_name,
+                                                  config.use_space_char)
+
+    def __call__(self, logits, indices, n_total: int,
+                 texts: List[str], scores: List[float]) -> None:
+        """Decode one bucket group's logits into the (pre-sized) output
+        lists at their original positions."""
+        from ...ops.ctc import ctc_greedy_decode
+
+        ids, keep, conf = ctc_greedy_decode(logits,
+                                            blank_id=self.config.blank_id)
+        ids = np.asarray(ids)
+        keep = np.asarray(keep)
+        conf = np.asarray(conf)
+        for row, gi in enumerate(np.asarray(indices)):
+            kept = ids[row][keep[row]]
+            texts[gi] = self.charset.decode_ids(kept.tolist())
+            scores[gi] = float(conf[row])

@@ -1,0 +1,92 @@
+"""Model registry: (task, model_name, task_type/lang) -> config factory.
+
+TPU-native analog of the reference's TABLE_MODEL_DICT
+(model/ocr_pdf/ocr_table_model_config.py:16-347): instead of hub repo ids
+resolved to downloaded torch/onnx checkpoints, entries resolve to config
+factories plus an optional converted-weights directory under
+``Constants.MODEL_CACHE_DIR`` (orbax checkpoints produced by the weight
+converters in tools/). Missing weights -> deterministic random init, which
+keeps structural tests hermetic (reference behavior requires network).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+from ..utils.constants import Constants
+
+
+@dataclass(frozen=True)
+class ModelKey:
+    task: str           # detection | recognition | layout | table_structure | cls
+    name: str           # e.g. "PP-OCRv4_det" / "db_resnet18" / "LoreModel"
+    task_type: str = "" # e.g. "general" / "table" / "wtw"
+    lang: str = "en"
+
+
+_REGISTRY: Dict[Tuple[str, str], Callable[..., Any]] = {}
+
+
+def register(task: str, name: str):
+    def deco(factory):
+        _REGISTRY[(task, name)] = factory
+        return factory
+    return deco
+
+
+def get_config(task: str, name: str, **kwargs):
+    key = (task, name)
+    if key not in _REGISTRY:
+        known = sorted(k[1] for k in _REGISTRY if k[0] == task)
+        raise KeyError(f"no model {name!r} for task {task!r}; known: {known}")
+    return _REGISTRY[key](**kwargs)
+
+
+def list_models(task: Optional[str] = None):
+    return sorted(n for (t, n) in _REGISTRY if task is None or t == task)
+
+
+def weights_dir(task: str, name: str, lang: str = "") -> str:
+    """Directory for converted weights (orbax) for a registry entry."""
+    leaf = f"{name}_{lang}" if lang else name
+    return os.path.join(Constants.MODEL_CACHE_DIR, task, leaf)
+
+
+# -- registrations ----------------------------------------------------------
+
+@register("detection", "db_resnet18")
+def _db_r18(**kw):
+    from .dbnet.config import DbNetConfig
+    return DbNetConfig(backbone="resnet18", **kw)
+
+
+@register("detection", "db_resnet50")
+def _db_r50(**kw):
+    from .dbnet.config import DbNetConfig
+    return DbNetConfig(backbone="resnet50", **kw)
+
+
+@register("detection", "PP-OCRv4_det")
+def _db_pp(**kw):
+    from .dbnet.config import DbNetConfig
+    return DbNetConfig.ppocr(**kw)
+
+
+@register("recognition", "PP-OCRv4_rec")
+def _rec_pp(**kw):
+    from .rec_ctc.config import RecConfig
+    return RecConfig(backbone="svtr_lcnet", **kw)
+
+
+@register("recognition", "CRNN")
+def _rec_crnn(**kw):
+    from .rec_ctc.config import RecConfig
+    return RecConfig.crnn(**kw)
+
+
+@register("recognition", "ConvNextViT")
+def _rec_cnv(**kw):
+    from .rec_ctc.config import RecConfig
+    return RecConfig.convnext_vit(**kw)

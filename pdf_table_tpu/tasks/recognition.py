@@ -1,0 +1,82 @@
+"""Text-recognition task.
+
+Reference: OcrRecognitionTask (model/ocr_pdf/ocr_recognition_task.py:28) —
+there the pipeline calls it once *per text box* (ocr_system_task.py:309-314,
+hot loop #2). Here the whole page's crops go through width-bucketed batches:
+one jitted forward per (width-bucket, batch-bucket) pair, so a page costs a
+handful of device programs regardless of box count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..engine.infer_task import InferTask, TaskConfig, bucket_batch_size
+from ..engine.params import load_or_init
+from ..models.rec_ctc import (Charset, CTCRecModel, RecConfig,
+                              RecPostProcessor, RecPreProcessor)
+from ..models.registry import get_config, weights_dir
+
+
+class OcrRecognitionTask(InferTask):
+    task_name = "recognition"
+
+    def __init__(self, model: str = "PP-OCRv4_rec",
+                 config: Optional[RecConfig] = None,
+                 task_config: Optional[TaskConfig] = None, mesh=None, **kw):
+        super().__init__(task_config, mesh=mesh)
+        self.model_name = model
+        self.model_config = config or get_config("recognition", model, **kw)
+        self.pre = RecPreProcessor(self.model_config)
+        self.post = RecPostProcessor(self.model_config)
+
+    @property
+    def charset(self) -> Charset:
+        return self.post.charset
+
+    def _build_model(self):
+        cfg = self.model_config
+        module = CTCRecModel(cfg)
+        sample = np.zeros((1, cfg.img_height, cfg.width_buckets[0],
+                           cfg.img_channels), np.float32)
+        variables = load_or_init(module, sample,
+                                 weights_dir("recognition", self.model_name))
+
+        def apply_fn(variables, batch):
+            return module.apply(variables, batch["image"], train=False)
+
+        return apply_fn, variables
+
+    def _preprocess(self, inputs: Sequence[np.ndarray], **kw):
+        out = self.pre(inputs)
+        return out, {"n": out["n"]}
+
+    def _run_model(self, batch):
+        self.ensure_built()
+        results = []
+        for group in batch["groups"]:
+            imgs, real_n = self.pad_batch({"image": group["images"]})
+            fn = self._get_jitted(imgs["image"].shape)
+            logits = fn(self._params, imgs)
+            results.append({"logits": logits[:real_n],
+                            "indices": group["indices"]})
+        return results
+
+    def _get_jitted(self, shape):
+        key = ("apply", shape)
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = jax.jit(self._apply_fn)
+            self._jitted[key] = fn
+        return fn
+
+    def _postprocess(self, raw, meta):
+        n = meta["n"]
+        texts: List[str] = [""] * n
+        scores: List[float] = [0.0] * n
+        for group in raw:
+            self.post(group["logits"], group["indices"], n, texts, scores)
+        return {"texts": texts, "scores": scores}

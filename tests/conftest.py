@@ -5,7 +5,10 @@ Must set XLA flags before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment points at a real TPU
+# (JAX_PLATFORMS=axon): tests must never occupy the tunneled chip, and
+# eager dispatch over the tunnel is ~1000x slower than local CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +17,19 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: model-zoo tests are compile-dominated on CPU;
+# caching XLA executables across runs cuts repeat suite time by ~10x.
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU plugin and sets
+# jax.config.jax_platforms programmatically, overriding the env var — force
+# the config back to cpu so tests never touch the tunneled chip.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture(scope="session")
