@@ -62,8 +62,8 @@ def render_page(doc: PdfDocument, page: PdfPage, dpi: int = 144,
         # pdf y-up -> image y-down
         return (x - page.media_box[0]) * scale, h_px - (y - page.media_box[1]) * scale
 
-    # 1. embedded images (bottom layer)
-    for im in page.images:
+    # 1. embedded images (bottom layer); needs the doc for stream access
+    for im in (page.images if doc is not None else []):
         if im.obj_num < 0:
             continue
         data, kind = doc.get_image_bytes(im.obj_num)

@@ -1,0 +1,251 @@
+"""OcrSystemTask — the per-page pipeline orchestrator.
+
+Reference: model/ocr_pdf/ocr_system_task.py:42 (__call__ :549-734). Stages:
+rasterize/pre-process -> layout analysis -> table structure -> text
+(digital-PDF extract or det+rec) -> table HTML -> page HTML, with per-stage
+wall-clock metrics in the reference's metric-dict naming
+(ocr_system_task.py:646-660).
+
+TPU-native differences: sub-tasks are jit-compiled bucketed programs;
+recognition is batched per page (not per box); rasterization comes from the
+in-tree renderer (no Ghostscript subprocess).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..entity.enums import HtmlContentType
+from ..entity.ocr_cell import OcrCell
+from ..utils.logging_utils import logger
+from .output import OcrSystemModelOutput
+
+
+@dataclass
+class OcrSystemConfig:
+    """Routing flags (reference OCRDocumentConfig,
+    configuration_ocr_document.py:22)."""
+
+    detect_model: str = "PP-OCRv4_det"
+    recognizer_model: str = "PP-OCRv4_rec"
+    layout_model: str = "picodet"           # picodet | docx_layout | none
+    table_structure_model: str = "Lore"     # Lore | SLANet | CenterNet | ...
+    lang: str = "en"
+    task_type: str = "general"
+    use_layout: bool = True
+    use_table: bool = True
+    pdf_text_prefer: bool = True            # digital PDFs: extract text, skip OCR
+    render_dpi: int = 144
+    debug: bool = False
+    output_dir: str = ""
+
+
+class OcrSystemTask:
+    """Per-page engine. Call with a raster image (HWC uint8 RGB) and/or a
+    pdfio PdfPage; returns OcrSystemModelOutput."""
+
+    def __init__(self, config: Optional[OcrSystemConfig] = None, mesh=None):
+        self.config = config or OcrSystemConfig()
+        self.mesh = mesh
+        self._det = None
+        self._rec = None
+        self._layout = None
+        self._tsr = None
+        self._pdf_text = None
+        self._table_html = None
+        self._to_html = None
+
+    # -- lazy sub-tasks (reference init_ocr_model, ocr_system_task.py:116) --
+
+    @property
+    def det_task(self):
+        if self._det is None:
+            from ..tasks.detection import OcrDetectionTask
+            self._det = OcrDetectionTask(model=self.config.detect_model,
+                                         mesh=self.mesh)
+        return self._det
+
+    @property
+    def rec_task(self):
+        if self._rec is None:
+            from ..tasks.recognition import OcrRecognitionTask
+            self._rec = OcrRecognitionTask(model=self.config.recognizer_model,
+                                           mesh=self.mesh)
+        return self._rec
+
+    @property
+    def layout_task(self):
+        if self._layout is None and self.config.use_layout \
+                and self.config.layout_model != "none":
+            try:
+                from ..tasks.layout import OcrLayoutTask
+                self._layout = OcrLayoutTask(model=self.config.layout_model,
+                                             lang=self.config.lang,
+                                             mesh=self.mesh)
+            except ImportError:
+                logger.warning("layout task unavailable; skipping layout")
+        return self._layout
+
+    @property
+    def tsr_task(self):
+        if self._tsr is None and self.config.use_table:
+            try:
+                from ..tasks.table_structure import OcrTableStructureTask
+                self._tsr = OcrTableStructureTask(
+                    model=self.config.table_structure_model, mesh=self.mesh)
+            except ImportError:
+                logger.warning("TSR task unavailable; skipping tables")
+        return self._tsr
+
+    @property
+    def pdf_text_task(self):
+        if self._pdf_text is None:
+            from ..tasks.pdf_text import OcrPdfTextTask
+            self._pdf_text = OcrPdfTextTask()
+        return self._pdf_text
+
+    @property
+    def table_html_task(self):
+        if self._table_html is None:
+            from ..tasks.table_to_html import OcrTableToHtmlTask
+            self._table_html = OcrTableToHtmlTask()
+        return self._table_html
+
+    @property
+    def to_html_task(self):
+        if self._to_html is None:
+            from ..tasks.to_html import OcrToHtmlTask
+            self._to_html = OcrToHtmlTask()
+        return self._to_html
+
+    # -- stages -------------------------------------------------------------
+
+    def text_detection(self, image: np.ndarray) -> List[np.ndarray]:
+        out = self.det_task(image)
+        return list(out["det_polygons"].reshape(-1, 4, 2))
+
+    def text_recognition(self, image: np.ndarray,
+                         quads: Sequence[np.ndarray]) -> List[OcrCell]:
+        if not len(quads):
+            return []
+        from ..ops.warp import crop_rotated_boxes
+        crops = crop_rotated_boxes(image, np.asarray(quads), None)
+        res = self.rec_task([np.asarray(c) for c in crops])
+        cells = []
+        for quad, text, score in zip(quads, res["texts"], res["scores"]):
+            cell = OcrCell.from_poly(np.asarray(quad), text=text, score=score)
+            cells.append(cell)
+        return cells
+
+    def layout_analysis(self, image: np.ndarray) -> List[OcrCell]:
+        task = self.layout_task
+        if task is None:
+            return []
+        return task(image).get("layout_cells", [])
+
+    def table_structure(self, image: np.ndarray,
+                        table_bbox: Tuple[float, float, float, float]):
+        task = self.tsr_task
+        if task is None:
+            return None
+        x1, y1, x2, y2 = [int(round(v)) for v in table_bbox]
+        x1, y1 = max(0, x1), max(0, y1)
+        crop = image[y1:y2, x1:x2]
+        if crop.size == 0:
+            return None
+        result = task(crop)
+        result["offset"] = (x1, y1)
+        return result
+
+    # -- main ---------------------------------------------------------------
+
+    def __call__(self, image: Optional[np.ndarray] = None, pdf_page=None,
+                 pdf_doc=None, page: int = 0,
+                 src_id: str = "") -> OcrSystemModelOutput:
+        cfg = self.config
+        out = OcrSystemModelOutput(src_id=src_id, page=page,
+                                   is_pdf=pdf_page is not None)
+        metric: Dict[str, float] = {}
+
+        t0 = time.time()
+        if image is None and pdf_page is not None:
+            from ..pdfio.render import render_page
+            image = render_page(pdf_doc, pdf_page, dpi=cfg.render_dpi)
+        if image is None:
+            raise ValueError("need image and/or pdf_page")
+        out.image = image
+        out.image_shape = image.shape[:2]
+        if pdf_page is not None and pdf_page.height > 0:
+            out.pdf_scale = image.shape[0] / pdf_page.height
+        metric["image_pre_process"] = time.time() - t0
+
+        # layout
+        t0 = time.time()
+        layout_cells = self.layout_analysis(image) if cfg.use_layout else []
+        out.layout_cells = layout_cells
+        metric["layout"] = time.time() - t0
+
+        table_bboxes = [c.bbox for c in layout_cells
+                        if c.cell_type == HtmlContentType.TABLE]
+
+        # table structure per table region
+        t0 = time.time()
+        table_results = []
+        if cfg.use_table:
+            for tb in table_bboxes:
+                r = self.table_structure(image, tb)
+                if r is not None:
+                    table_results.append((tb, r))
+        out.table_structures = [r for _, r in table_results]
+        metric["table_structure"] = time.time() - t0
+
+        # text: digital-PDF extract or det+rec
+        t0 = time.time()
+        if pdf_page is not None and cfg.pdf_text_prefer and pdf_page.texts:
+            out.text_cells = self.pdf_text_task(pdf_page, out.pdf_scale)
+            metric["pdf_text_extract"] = time.time() - t0
+        else:
+            quads = self.text_detection(image)
+            metric["detection"] = time.time() - t0
+            t0 = time.time()
+            out.text_cells = self.text_recognition(image, quads)
+            metric["recognition"] = time.time() - t0
+
+        # table -> html
+        t0 = time.time()
+        table_regions = []
+        for tb, r in table_results:
+            html = self.table_html_task(r, out.text_cells)
+            out.table_html.append(html)
+            table_regions.append((tb, html))
+        metric["table_html"] = time.time() - t0
+
+        # page html
+        t0 = time.time()
+        out.page_html = self.to_html_task(
+            out.text_cells, table_regions,
+            page_width=float(image.shape[1]))
+        metric["ocr_html"] = time.time() - t0
+
+        out.metric = metric
+        if cfg.debug:
+            logger.info("page %s metrics: %s", page,
+                        {k: round(v, 3) for k, v in metric.items()})
+        return out
+
+    # -- batch over pages (reference ocr(), ocr_system_task.py:736) ---------
+
+    def ocr(self, pages: Sequence[Dict[str, Any]]) -> List[OcrSystemModelOutput]:
+        results = []
+        for i, p in enumerate(pages):
+            results.append(self(image=p.get("image"),
+                                pdf_page=p.get("pdf_page"),
+                                pdf_doc=p.get("pdf_doc"),
+                                page=p.get("page", i),
+                                src_id=p.get("src_id", "")))
+        return results

@@ -1,0 +1,84 @@
+"""Digital-PDF text extraction task (no OCR).
+
+Reference: OcrPdfTextTask (model/ocr_pdf/ocr_pdf_text_task.py:29) built on
+pdfminer. Here the native pdfio reader supplies positioned text runs; this
+task converts them to image-space OcrCells, splitting runs that straddle
+table-cell boundaries (reference text_box_split_to_cell,
+table_common.py:1029).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..entity.ocr_cell import OcrCell
+from ..entity.enums import HtmlContentType
+
+
+def pdf_to_image_bbox(bbox: Tuple[float, float, float, float],
+                      page_height: float, scale: float) -> Tuple[float, ...]:
+    """PDF user space (origin bottom-left) -> image space (origin top-left)."""
+    x0, y0, x1, y1 = bbox
+    return (x0 * scale, (page_height - y1) * scale,
+            x1 * scale, (page_height - y0) * scale)
+
+
+class OcrPdfTextTask:
+    """Callable: (pdf_page, scale) -> list[OcrCell] in image coordinates."""
+
+    def __init__(self, min_chars: int = 1):
+        self.min_chars = min_chars
+
+    def __call__(self, pdf_page, scale: float = 1.0) -> List[OcrCell]:
+        cells: List[OcrCell] = []
+        page_h = pdf_page.height
+        for t in pdf_page.texts:
+            txt = t.text
+            if t.invisible or len(txt.strip()) < self.min_chars:
+                continue
+            bbox = pdf_to_image_bbox(t.bbox, page_h, scale)
+            cell = OcrCell.from_bbox(bbox, text=txt)
+            cell.cell_type = HtmlContentType.TXT
+            # stash per-char advances scaled to image px for later splitting
+            cell.char_advances = [a * scale for a in t.adv]
+            cells.append(cell)
+        cells.sort(key=lambda c: (round(c.y1), c.x1))
+        return cells
+
+    @staticmethod
+    def split_cell_at(cell: OcrCell, x_cuts: Sequence[float]) -> List[OcrCell]:
+        """Split a text cell at x positions (table column borders crossing
+        it). Uses per-char advances to place the cut inside the string."""
+        adv = getattr(cell, "char_advances", None)
+        text = cell.text or ""
+        if not adv or len(adv) != len(text) or not x_cuts:
+            return [cell]
+        # char start positions
+        xs = [cell.x1]
+        for a in adv:
+            xs.append(xs[-1] + a)
+        pieces: List[OcrCell] = []
+        start = 0
+        cuts = sorted(c for c in x_cuts if cell.x1 < c < cell.x2)
+        for cut in cuts:
+            # first char whose center is right of the cut
+            idx = start
+            while idx < len(text) and (xs[idx] + xs[idx + 1]) / 2 < cut:
+                idx += 1
+            if idx > start:
+                piece = OcrCell.from_bbox(
+                    (xs[start], cell.y1, xs[idx], cell.y2),
+                    text=text[start:idx])
+                piece.cell_type = HtmlContentType.TXT
+                piece.char_advances = adv[start:idx]
+                pieces.append(piece)
+                start = idx
+        if start < len(text):
+            piece = OcrCell.from_bbox((xs[start], cell.y1, xs[len(text)], cell.y2),
+                                      text=text[start:])
+            piece.cell_type = HtmlContentType.TXT
+            piece.char_advances = adv[start:]
+            pieces.append(piece)
+        return pieces or [cell]

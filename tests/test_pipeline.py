@@ -1,0 +1,159 @@
+"""Pipeline tests: digital-PDF path, HTML assembly, CLI smoke.
+
+Mirrors the reference's end-to-end system test
+(tests/model/ocr_pdf/test_pdf_table_system.py) but hermetic: synthetic PDFs
+from pdfio.writer, random model weights, structural assertions.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def write_text_pdf(path, lines=("Hello World", "Second paragraph here")):
+    from pdf_table_tpu.pdfio.writer import PdfWriter
+
+    w = PdfWriter()
+    page = w.add_page(300, 200)
+    y = 170
+    for ln in lines:
+        page.text(30, y, ln, size=12)
+        y -= 20
+    w.save(path)
+    return path
+
+
+class TestToHtml:
+    def test_paragraph_merge_and_alignment(self):
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.tasks.to_html import OcrToHtmlTask
+
+        cells = [
+            OcrCell.from_bbox((10, 10, 290, 22), text="first line of para"),
+            OcrCell.from_bbox((10, 26, 200, 38), text="second line"),
+            OcrCell.from_bbox((100, 60, 200, 72), text="centered title"),
+        ]
+        html = OcrToHtmlTask()(cells, page_width=300)
+        assert "<p>" in html
+        assert "first line of para" in html
+        assert "centered title" in html
+
+    def test_lines_group_by_overlap(self):
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.tasks.to_html import group_lines
+
+        a = OcrCell.from_bbox((0, 0, 50, 10), text="a")
+        b = OcrCell.from_bbox((60, 1, 100, 11), text="b")
+        c = OcrCell.from_bbox((0, 30, 40, 40), text="c")
+        lines = group_lines([a, b, c])
+        assert len(lines) == 2
+        assert [x.text for x in lines[0]] == ["a", "b"]
+
+
+class TestTableToHtml:
+    def test_cells_to_html_spans(self):
+        from pdf_table_tpu.tasks.table_to_html import cells_to_html
+
+        cells = [
+            {"logic": [0, 0, 0, 1], "text": "header"},
+            {"logic": [1, 1, 0, 0], "text": "a"},
+            {"logic": [1, 1, 1, 1], "text": "b"},
+        ]
+        html = cells_to_html(cells, texts=["header", "a", "b"])
+        assert 'colspan="2"' in html
+        assert html.count("<tr>") == 2
+
+    def test_text_matching(self):
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.tasks.table_to_html import OcrTableToHtmlTask
+
+        tsr = {"cells": [
+            {"bbox": [0, 0, 50, 20], "logic": [0, 0, 0, 0]},
+            {"bbox": [50, 0, 100, 20], "logic": [0, 0, 1, 1]},
+        ], "offset": (10, 10)}
+        texts = [OcrCell.from_bbox((12, 12, 40, 28), text="left"),
+                 OcrCell.from_bbox((65, 12, 100, 28), text="right")]
+        html = OcrTableToHtmlTask()(tsr, texts)
+        assert "<td>left</td>" in html
+        assert "<td>right</td>" in html
+
+
+class TestPdfTextTask:
+    def test_extract_positions(self, tmp_path):
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+        from pdf_table_tpu.tasks.pdf_text import OcrPdfTextTask
+
+        p = write_text_pdf(str(tmp_path / "t.pdf"))
+        with PdfDocument.open(p) as doc:
+            page = doc.load_page(0)
+            cells = OcrPdfTextTask()(page, scale=2.0)
+        texts = " ".join(c.text for c in cells)
+        assert "Hello" in texts
+        # y-down image space: first line above second
+        assert cells[0].y1 < cells[-1].y2
+
+    def test_split_cell(self):
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.tasks.pdf_text import OcrPdfTextTask
+
+        cell = OcrCell.from_bbox((0, 0, 40, 10), text="abcd")
+        cell.char_advances = [10.0, 10.0, 10.0, 10.0]
+        parts = OcrPdfTextTask.split_cell_at(cell, [20.0])
+        assert [p.text for p in parts] == ["ab", "cd"]
+
+
+class TestSystemTask:
+    def test_digital_pdf_page(self, tmp_path):
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+        from pdf_table_tpu.pipeline import OcrSystemConfig, OcrSystemTask
+
+        p = write_text_pdf(str(tmp_path / "t.pdf"))
+        cfg = OcrSystemConfig(use_layout=False, use_table=False, render_dpi=72)
+        sys_task = OcrSystemTask(cfg)
+        with PdfDocument.open(p) as doc:
+            page = doc.load_page(0)
+            out = sys_task(pdf_page=page, pdf_doc=doc, page=0, src_id="t.pdf")
+        assert "Hello" in out.page_html
+        assert out.metric.get("pdf_text_extract") is not None
+        assert out.image is not None and out.image.ndim == 3
+
+    def test_metric_dict_schema(self, tmp_path):
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+        from pdf_table_tpu.pipeline import OcrSystemConfig, OcrSystemTask
+
+        p = write_text_pdf(str(tmp_path / "t.pdf"))
+        cfg = OcrSystemConfig(use_layout=False, use_table=False, render_dpi=72)
+        sys_task = OcrSystemTask(cfg)
+        with PdfDocument.open(p) as doc:
+            out = sys_task(pdf_page=doc.load_page(0), pdf_doc=doc)
+        d = out.to_metric_dict()
+        for key in ("image_pre_process", "layout", "table_structure",
+                    "table_html", "ocr_html", "page", "n_text"):
+            assert key in d
+
+
+class TestCli:
+    def test_cli_on_pdf(self, tmp_path):
+        from pdf_table_tpu.cli.main import main
+
+        p = write_text_pdf(str(tmp_path / "doc.pdf"))
+        out_dir = str(tmp_path / "out")
+        rc = main(["--file_path_or_url", p, "--output_dir", out_dir,
+                   "--layout_model", "none"])
+        assert rc == 0
+        html_path = os.path.join(out_dir, "doc.html")
+        assert os.path.exists(html_path)
+        content = open(html_path).read()
+        assert "Hello" in content and "<html>" in content
+        metrics = json.load(open(os.path.join(out_dir, "doc_metrics.json")))
+        assert metrics["pages"]
+
+    def test_parse_pages(self):
+        from pdf_table_tpu.cli.main import parse_pages
+
+        assert parse_pages("all", 5) == [0, 1, 2, 3, 4]
+        assert parse_pages("1,3", 5) == [0, 2]
+        assert parse_pages("2-4", 5) == [1, 2, 3]
+        assert parse_pages("1,4-end", 5) == [0, 3, 4]
