@@ -1,0 +1,80 @@
+"""LoreModel: detector + on-device decode + logical-location regressor.
+
+Reference control flow (modeling_lore.py:120-200 + process_detect_output,
+lineless_table_process.py:592): detect -> host decode/filter -> processor.
+TPU redesign: the whole forward is ONE jitted program with static K cell
+slots — decode (nms/topk/gather), corner-feature aggregation, and the
+transformer regressor all stay on device; invalid slots carry a mask
+instead of being filtered (no dynamic shapes, no device->host sync).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.centernet import decode_boxes_4ps, gather_feat, heatmap_nms, topk_scores
+from .config import LoreConfig
+from .detector import build_detector
+from .processor_model import LoreProcessor
+
+
+def gather_corner_features(cr_map: jax.Array, dets: jax.Array) -> jax.Array:
+    """Sum the cr feature map at a cell's 4 predicted corners
+    (reference _get_4ps_feat, lineless_table_process.py).
+
+    cr_map (B, H, W, D); dets (B, K, 8) feature-map coords.
+    -> (B, K, D)."""
+    B, H, W, D = cr_map.shape
+    flat = cr_map.reshape(B, H * W, D)
+    xs = jnp.clip(jnp.round(dets[..., 0::2]).astype(jnp.int32), 0, W - 1)
+    ys = jnp.clip(jnp.round(dets[..., 1::2]).astype(jnp.int32), 0, H - 1)
+    idx = ys * W + xs                        # (B, K, 4)
+    K = idx.shape[1]
+    g = jnp.take_along_axis(flat, idx.reshape(B, K * 4)[:, :, None], axis=1)
+    return g.reshape(B, K, 4, D).sum(axis=2)
+
+
+class LoreModel(nn.Module):
+    config: LoreConfig
+
+    def setup(self):
+        self.detector = build_detector(self.config)
+        self.processor = LoreProcessor(self.config)
+
+    def __call__(self, pixel_values: jax.Array, train: bool = False):
+        """pixel_values (B, H, W, 3) normalized. Returns dict with
+        dets (B, K, 8) fmap coords, scores (B, K), valid (B, K),
+        logi / stacked_logi (B, K, 4), plus raw head outputs when training.
+        """
+        cfg = self.config
+        out = self.detector(pixel_values, train=train)
+        hm = jax.nn.sigmoid(out["hm"])
+        K = cfg.max_objs
+
+        # cell-center channel decode (reference ctdet_4ps_decode)
+        dets, scores, _clses, centers, inds = decode_boxes_4ps(
+            hm[..., 0:1], out["wh"], out["reg"], K)
+        valid = scores >= cfg.vis_thresh
+
+        B, H, W, _ = hm.shape
+        ax_flat = out["ax"].reshape(B, H * W, -1)
+        ax_feat = gather_feat(ax_flat, inds)                 # (B, K, 256)
+        cr_feat = gather_corner_features(out["cr"], dets)    # (B, K, 256)
+        feat = ax_feat + cr_feat
+
+        logi, stacked = self.processor(
+            feat, dets=dets, mask=valid if train else None)
+
+        result: Dict[str, Any] = {
+            "dets": dets, "scores": scores, "valid": valid,
+            "centers": centers, "logi": logi,
+            "stacked_logi": stacked if stacked is not None else logi,
+        }
+        if train:
+            result["heads"] = out
+            result["hm"] = hm
+        return result

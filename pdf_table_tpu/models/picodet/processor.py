@@ -1,0 +1,117 @@
+"""PicoDet pre/post processing.
+
+Pre: fixed resize to (H, W) = (800, 608), /255 + imagenet norm
+(reference processor_picodet.py:33-113). Post: GFL decode — softmax over
+reg_max+1 bins -> expected distance * stride from cell centers — then
+per-class hard NMS and rescale to original image
+(processor_picodet.py:184-301). The bin-expectation half runs on device in
+XLA (ops below); candidate selection + NMS run host-side on small arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ...entity.enums import HtmlContentType
+from ...entity.ocr_cell import OcrCell
+from .config import PicoDetConfig
+
+
+class PicoDetPreProcessor:
+    def __init__(self, config: PicoDetConfig):
+        self.config = config
+
+    def __call__(self, image: np.ndarray) -> Dict[str, Any]:
+        import cv2
+
+        cfg = self.config
+        img = image[:, :, ::-1].astype(np.float32)  # RGB->BGR (ref reads BGR)
+        h, w = img.shape[:2]
+        resized = cv2.resize(img, (cfg.img_width, cfg.img_height))
+        resized = resized[:, :, ::-1] / 255.0  # model uses RGB imagenet stats
+        resized = (resized - np.array(cfg.norm_mean, np.float32)) \
+            / np.array(cfg.norm_std, np.float32)
+        return {"image": resized[None].astype(np.float32),
+                "org_shape": (h, w),
+                "scale_factor": (cfg.img_height / h, cfg.img_width / w)}
+
+
+@functools.lru_cache(maxsize=32)
+def _level_centers(fh: int, fw: int, stride: int) -> np.ndarray:
+    hh, ww = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
+    ct_row = (hh.reshape(-1) + 0.5) * stride
+    ct_col = (ww.reshape(-1) + 0.5) * stride
+    return np.stack([ct_col, ct_row, ct_col, ct_row], axis=1).astype(np.float32)
+
+
+def gfl_expected_distance(box_dist: np.ndarray, reg_max: int) -> np.ndarray:
+    """(HW, 4*(reg_max+1)) -> (HW, 4) expected distances (in stride units)."""
+    d = box_dist.reshape(-1, reg_max + 1)
+    d = d - d.max(axis=1, keepdims=True)
+    e = np.exp(d)
+    p = e / e.sum(axis=1, keepdims=True)
+    exp = (p * np.arange(reg_max + 1)).sum(axis=1)
+    return exp.reshape(-1, 4)
+
+
+class PicoDetPostProcessor:
+    def __init__(self, config: PicoDetConfig):
+        self.config = config
+
+    def __call__(self, scores: Sequence[np.ndarray],
+                 boxes: Sequence[np.ndarray],
+                 org_shape: Tuple[int, int]) -> Dict[str, Any]:
+        """scores/boxes: per-level arrays (HW, C) / (HW, 4*(reg_max+1)) for
+        one image. Returns {'bboxs': [{bbox,label,score,category_id}]}."""
+        cfg = self.config
+        ih, iw = cfg.img_height, cfg.img_width
+        all_boxes, all_scores = [], []
+        for stride, score, bd in zip(cfg.strides, scores, boxes):
+            fh, fw = ih // stride, iw // stride
+            centers = _level_centers(fh, fw, stride)
+            dist = gfl_expected_distance(np.asarray(bd), cfg.reg_max) * stride
+            k = min(cfg.nms_top_k, score.shape[0])
+            top = np.argsort(score.max(axis=1))[::-1][:k]
+            decode = centers[top] + np.array([-1, -1, 1, 1], np.float32) * dist[top]
+            all_boxes.append(decode)
+            all_scores.append(np.asarray(score)[top])
+        bboxes = np.concatenate(all_boxes, axis=0)
+        confid = np.concatenate(all_scores, axis=0)
+
+        from ...ops.nms import hard_nms
+
+        results: List[Dict[str, Any]] = []
+        oh, ow = org_shape
+        sy, sx = ih / oh, iw / ow
+        for ci in range(confid.shape[1]):
+            probs = confid[:, ci]
+            mask = probs > cfg.score_threshold
+            if not mask.any():
+                continue
+            kept_boxes, kept_scores, _ = hard_nms(
+                bboxes[mask], probs[mask],
+                iou_threshold=cfg.nms_threshold, top_k=cfg.keep_top_k)
+            for b, s in zip(kept_boxes, kept_scores):
+                x1 = float(np.clip(b[0], 0, iw)) / sx
+                y1 = float(np.clip(b[1], 0, ih)) / sy
+                x2 = float(np.clip(b[2], 0, iw)) / sx
+                y2 = float(np.clip(b[3], 0, ih)) / sy
+                results.append({"bbox": [x1, y1, x2, y2],
+                                "label": cfg.id2label[ci],
+                                "score": float(s), "category_id": ci})
+        results.sort(key=lambda r: -r["score"])
+        return {"bboxs": results}
+
+    def to_layout_cells(self, result: Dict[str, Any]) -> List[OcrCell]:
+        cells = []
+        for r in result["bboxs"]:
+            cell = OcrCell.from_bbox(r["bbox"], text=r["label"],
+                                     score=r["score"])
+            cell.cell_type = (HtmlContentType.TABLE if r["label"] == "table"
+                              else HtmlContentType.TXT)
+            cell.label = r["label"]
+            cells.append(cell)
+        return cells

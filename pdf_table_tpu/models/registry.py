@@ -90,3 +90,19 @@ def _rec_crnn(**kw):
 def _rec_cnv(**kw):
     from .rec_ctc.config import RecConfig
     return RecConfig.convnext_vit(**kw)
+
+
+@register("layout", "picodet")
+def _layout_picodet(**kw):
+    from .picodet.config import PicoDetConfig
+    return PicoDetConfig(**kw)
+
+
+@register("table_structure", "Lore")
+def _tsr_lore(task_type: str = "wtw", **kw):
+    from .lore.config import LoreConfig
+    if task_type == "wtw":
+        return LoreConfig.wtw(**kw)
+    if task_type == "wireless":
+        return LoreConfig.wireless(**kw)
+    return LoreConfig(task_type=task_type, **kw)

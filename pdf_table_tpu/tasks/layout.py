@@ -1,0 +1,61 @@
+"""Layout-analysis task.
+
+Reference: OcrLayoutTask (model/ocr_pdf/ocr_layout_task.py:27) dispatching
+picodet (ONNX) / DocXLayout (torch). Here PicoDet runs as a jitted flax
+forward; DocXLayout joins the registry when implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..engine.infer_task import InferTask, TaskConfig
+from ..engine.params import load_or_init
+from ..models.picodet import (PicoDet, PicoDetConfig, PicoDetPostProcessor,
+                              PicoDetPreProcessor)
+from ..models.registry import get_config, weights_dir
+
+
+class OcrLayoutTask(InferTask):
+    task_name = "layout"
+
+    def __init__(self, model: str = "picodet",
+                 config: Optional[PicoDetConfig] = None,
+                 lang: str = "en",
+                 task_config: Optional[TaskConfig] = None, mesh=None, **kw):
+        super().__init__(task_config, mesh=mesh)
+        self.model_name = model
+        if config is None:
+            kw.setdefault("task_type", lang)
+            config = get_config("layout", model, **kw)
+        self.model_config = config
+        self.pre = PicoDetPreProcessor(config)
+        self.post = PicoDetPostProcessor(config)
+
+    def _build_model(self):
+        cfg = self.model_config
+        module = PicoDet(cfg)
+        sample = np.zeros((1, cfg.img_height, cfg.img_width, 3), np.float32)
+        variables = load_or_init(
+            module, sample,
+            weights_dir("layout", self.model_name, cfg.task_type))
+
+        def apply_fn(variables, batch):
+            return module.apply(variables, batch["image"], train=False)
+
+        return apply_fn, variables
+
+    def _preprocess(self, inputs, **kw):
+        out = self.pre(inputs)
+        meta = {"org_shape": out.pop("org_shape"),
+                "scale_factor": out.pop("scale_factor")}
+        return out, meta
+
+    def _postprocess(self, raw, meta):
+        scores = [np.asarray(s[0]) for s in raw["scores"]]
+        boxes = [np.asarray(b[0]) for b in raw["boxes"]]
+        result = self.post(scores, boxes, meta["org_shape"])
+        result["layout_cells"] = self.post.to_layout_cells(result)
+        return result

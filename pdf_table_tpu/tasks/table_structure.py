@@ -1,0 +1,76 @@
+"""Table-structure-recognition task (dispatcher).
+
+Reference: OcrTableStructureTask (model/ocr_pdf/ocr_table_structure_task.py:48)
+with allowed models {CenterNet, SLANet, Lore, Lgpma, MtlTabNet, TableMaster,
+LineCell, LineCellPdf}. Models join this dispatcher as their flax
+implementations land; all return the common TSR schema
+{"cells": [{"bbox","logic",...}]} consumed by OcrTableToHtmlTask.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..engine.infer_task import InferTask, TaskConfig
+from ..engine.params import load_or_init
+from ..models.registry import get_config, weights_dir
+
+
+class OcrTableStructureTask(InferTask):
+    task_name = "table_structure"
+
+    def __init__(self, model: str = "Lore", task_type: str = "wtw",
+                 config=None, task_config: Optional[TaskConfig] = None,
+                 mesh=None, **kw):
+        super().__init__(task_config, mesh=mesh)
+        self.model_name = model
+        if model == "Lore":
+            from ..models.lore import (LoreConfig, LorePostProcessor,
+                                       LorePreProcessor)
+            self.model_config = config or get_config(
+                "table_structure", model, task_type=task_type, **kw)
+            self.pre = LorePreProcessor(self.model_config)
+            self.post = LorePostProcessor(self.model_config)
+        elif model in ("LineCell", "LineCellPdf"):
+            self.model_config = None
+            self.pre = self.post = None
+        else:
+            raise ImportError(f"TSR model {model!r} not yet available")
+
+    def _build_model(self):
+        if self.model_name != "Lore":
+            return (lambda v, b: b), None
+        from ..models.lore import LoreModel
+
+        cfg = self.model_config
+        module = LoreModel(cfg)
+        sample = np.zeros((1, cfg.resolution[0], cfg.resolution[1], 3),
+                          np.float32)
+        variables = load_or_init(
+            module, sample,
+            weights_dir("table_structure", self.model_name, cfg.task_type))
+
+        def apply_fn(variables, batch):
+            return module.apply(variables, batch["image"], train=False)
+
+        return apply_fn, variables
+
+    def _preprocess(self, inputs, **kw):
+        if self.model_name == "LineCell":
+            from ..models.line_cell import extract_cells_from_image
+            return {"host_result": extract_cells_from_image(inputs)}, {}
+        out = self.pre(inputs)
+        meta = out.pop("meta")
+        return out, meta
+
+    def _run_model(self, batch):
+        if "host_result" in batch:
+            return batch["host_result"]
+        return super()._run_model(batch)
+
+    def _postprocess(self, raw, meta):
+        if self.model_name == "LineCell":
+            return raw
+        return self.post(raw, meta)

@@ -1,0 +1,152 @@
+"""Layout (PicoDet) + TSR (LORE) model/task tests on tiny shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestPicoDet:
+    def test_forward_levels(self):
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.picodet import PicoDet, PicoDetConfig
+
+        cfg = PicoDetConfig(task_type="en", img_height=128, img_width=128,
+                            neck_channels=32, head_convs=1)
+        model = PicoDet(cfg)
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = init_params(model, x)
+        out = model.apply(variables, x, train=False)
+        assert len(out["scores"]) == 4
+        # strides 8,16,32,64 -> HW: 256, 64, 16, 4
+        assert out["scores"][0].shape == (1, 256, 5)
+        assert out["boxes"][0].shape == (1, 256, 32)  # 4*(7+1)
+        s = np.asarray(out["scores"][0])
+        assert (s >= 0).all() and (s <= 1).all()
+
+    def test_postprocess_decodes_peak(self):
+        from pdf_table_tpu.models.picodet import (PicoDetConfig,
+                                                  PicoDetPostProcessor)
+
+        cfg = PicoDetConfig(task_type="en", img_height=64, img_width=64,
+                            score_threshold=0.3)
+        post = PicoDetPostProcessor(cfg)
+        scores, boxes = [], []
+        for stride in cfg.strides:
+            hw = (64 // stride) ** 2
+            s = np.zeros((hw, cfg.num_classes), np.float32)
+            b = np.zeros((hw, 4 * (cfg.reg_max + 1)), np.float32)
+            if stride == 8:
+                s[10, 3] = 0.9  # a "table" at cell 10
+                b[10] = np.tile(np.eye(8)[4] * 10, 4)  # distance ~4 bins
+            scores.append(s)
+            boxes.append(b)
+        out = post(scores, boxes, (64, 64))
+        assert len(out["bboxs"]) == 1
+        assert out["bboxs"][0]["label"] == "table"
+        cells = post.to_layout_cells(out)
+        from pdf_table_tpu.entity.enums import HtmlContentType
+        assert cells[0].cell_type == HtmlContentType.TABLE
+
+    def test_layout_task(self):
+        from pdf_table_tpu.tasks.layout import OcrLayoutTask
+
+        task = OcrLayoutTask(model="picodet", lang="en", img_height=64,
+                             img_width=64, neck_channels=32, head_convs=1)
+        img = np.full((100, 80, 3), 255, np.uint8)
+        out = task(img)
+        assert "bboxs" in out and "layout_cells" in out
+
+
+class TestLore:
+    def _tiny_cfg(self):
+        from pdf_table_tpu.models.lore import LoreConfig
+
+        return LoreConfig(backbone="resnet18", resolution=(64, 64),
+                          max_objs=8, hidden_size=32, head_conv=16,
+                          tsfm_layers=1, stacking_layers=1, num_heads=4,
+                          max_fmp_size=64)
+
+    def test_forward_shapes(self):
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.lore import LoreModel
+
+        cfg = self._tiny_cfg()
+        model = LoreModel(cfg)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = init_params(model, x)
+        out = model.apply(variables, x, train=False)
+        assert out["dets"].shape == (1, 8, 8)
+        assert out["logi"].shape == (1, 8, 4)
+        assert out["stacked_logi"].shape == (1, 8, 4)
+        assert out["valid"].dtype == jnp.bool_
+        assert np.all(np.asarray(out["logi"]) >= 0)  # relu'd axes
+
+    def test_dla_forward(self):
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.lore import LoreConfig, LoreModel
+
+        cfg = LoreConfig(backbone="dla34", resolution=(64, 64), max_objs=4,
+                         hidden_size=32, head_conv=16, tsfm_layers=1,
+                         stacking_layers=1, num_heads=4, max_fmp_size=64)
+        model = LoreModel(cfg)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = init_params(model, x)
+        out = model.apply(variables, x, train=False)
+        assert out["dets"].shape == (1, 4, 8)
+
+    def test_preprocessor_affine(self):
+        from pdf_table_tpu.models.lore import LorePreProcessor
+
+        cfg = self._tiny_cfg()
+        pre = LorePreProcessor(cfg)
+        img = np.full((100, 50, 3), 128, np.uint8)
+        out = pre(img)
+        assert out["image"].shape == (1, 64, 64, 3)
+        assert out["meta"]["s"] == 100.0
+        assert out["meta"]["out_w"] == 16
+
+    def test_postprocessor_roundtrip(self):
+        from pdf_table_tpu.models.lore import LorePostProcessor
+
+        cfg = self._tiny_cfg()
+        post = LorePostProcessor(cfg)
+        K = cfg.max_objs
+        dets = np.zeros((1, K, 8), np.float32)
+        # one valid cell occupying fmap box (2,2)-(6,4) as 4 corners
+        dets[0, 0] = [2, 2, 6, 2, 6, 4, 2, 4]
+        scores = np.zeros((1, K), np.float32)
+        scores[0, 0] = 0.9
+        valid = scores >= cfg.vis_thresh
+        logi = np.zeros((1, K, 4), np.float32)
+        logi[0, 0] = [0.1, 0.9, 1.2, 1.8]
+        raw = {"dets": dets, "scores": scores, "valid": valid,
+               "stacked_logi": logi}
+        meta = {"c": np.zeros(2), "s": 100.0, "org_shape": (100, 50),
+                "out_h": 16, "out_w": 16}
+        out = post(raw, meta)
+        assert len(out["cells"]) == 1
+        cell = out["cells"][0]
+        # fmap x=2 -> image x = 2 * (100/16) = 12.5
+        assert abs(cell["bbox"][0] - 12.5) < 1e-3
+        assert cell["logic"] == [0, 1, 1, 2]
+
+    def test_tsr_task_e2e(self):
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        task = OcrTableStructureTask(
+            model="Lore", task_type="wireless", backbone="resnet18",
+            resolution=(64, 64), max_objs=8, hidden_size=32, head_conv=16,
+            tsfm_layers=1, stacking_layers=1, num_heads=4, max_fmp_size=64)
+        img = np.full((80, 60, 3), 255, np.uint8)
+        out = task(img)
+        assert "cells" in out
+
+
+class TestRoundLogits:
+    def test_rounding(self):
+        from pdf_table_tpu.models.lore.processor import round_logits
+
+        x = np.array([[0.4, 0.5, 1.49, 2.51]])
+        assert round_logits(x).tolist() == [[0, 1, 1, 3]]
