@@ -197,10 +197,30 @@ class OcrSystemTask:
         t0 = time.time()
         table_results = []
         if cfg.use_table:
-            for tb in table_bboxes:
-                r = self.table_structure(image, tb)
-                if r is not None:
-                    table_results.append((tb, r))
+            if pdf_page is not None and pdf_page.segs is not None \
+                    and (pdf_page.segs or pdf_page.rects):
+                # digital PDF: exact wired-table cells from vector lines
+                # (LineCellPdf path; regions from layout or line clusters)
+                from ..models.line_cell import extract_cells_from_pdf_page
+                from ..models.line_cell.from_pdf import detect_table_regions
+                if table_bboxes:
+                    for tb in table_bboxes:
+                        r = extract_cells_from_pdf_page(
+                            pdf_page, out.pdf_scale, bbox=tb)
+                        if r["cells"]:
+                            r["offset"] = (0, 0)
+                            table_results.append((tb, r))
+                else:
+                    for region in detect_table_regions(pdf_page,
+                                                       out.pdf_scale):
+                        r = {"cells": region["cells"],
+                             "type": "line_cell_pdf", "offset": (0, 0)}
+                        table_results.append((region["bbox"], r))
+            else:
+                for tb in table_bboxes:
+                    r = self.table_structure(image, tb)
+                    if r is not None:
+                        table_results.append((tb, r))
         out.table_structures = [r for _, r in table_results]
         metric["table_structure"] = time.time() - t0
 
