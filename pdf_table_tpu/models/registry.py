@@ -98,6 +98,12 @@ def _layout_picodet(**kw):
     return PicoDetConfig(**kw)
 
 
+@register("table_structure", "SLANet")
+def _tsr_slanet(**kw):
+    from .slanet.config import SLANetConfig
+    return SLANetConfig(**kw)
+
+
 @register("table_structure", "Lore")
 def _tsr_lore(task_type: str = "wtw", **kw):
     from .lore.config import LoreConfig

@@ -27,12 +27,18 @@ class OcrTableStructureTask(InferTask):
         super().__init__(task_config, mesh=mesh)
         self.model_name = model
         if model == "Lore":
-            from ..models.lore import (LoreConfig, LorePostProcessor,
-                                       LorePreProcessor)
+            from ..models.lore import LorePostProcessor, LorePreProcessor
             self.model_config = config or get_config(
                 "table_structure", model, task_type=task_type, **kw)
             self.pre = LorePreProcessor(self.model_config)
             self.post = LorePostProcessor(self.model_config)
+        elif model == "SLANet":
+            from ..models.slanet import (SLANetPostProcessor,
+                                         SLANetPreProcessor)
+            self.model_config = config or get_config(
+                "table_structure", model, **kw)
+            self.pre = SLANetPreProcessor(self.model_config)
+            self.post = SLANetPostProcessor(self.model_config)
         elif model in ("LineCell", "LineCellPdf"):
             self.model_config = None
             self.pre = self.post = None
@@ -40,17 +46,26 @@ class OcrTableStructureTask(InferTask):
             raise ImportError(f"TSR model {model!r} not yet available")
 
     def _build_model(self):
-        if self.model_name != "Lore":
-            return (lambda v, b: b), None
-        from ..models.lore import LoreModel
+        if self.model_name == "Lore":
+            from ..models.lore import LoreModel
 
-        cfg = self.model_config
-        module = LoreModel(cfg)
-        sample = np.zeros((1, cfg.resolution[0], cfg.resolution[1], 3),
-                          np.float32)
+            cfg = self.model_config
+            module = LoreModel(cfg)
+            sample = np.zeros((1, cfg.resolution[0], cfg.resolution[1], 3),
+                              np.float32)
+        elif self.model_name == "SLANet":
+            from ..models.slanet import SLANet
+
+            cfg = self.model_config
+            module = SLANet(cfg)
+            sample = np.zeros((1, cfg.table_max_len, cfg.table_max_len, 3),
+                              np.float32)
+        else:
+            return (lambda v, b: b), None
+        task_type = getattr(cfg, "task_type", "")
         variables = load_or_init(
             module, sample,
-            weights_dir("table_structure", self.model_name, cfg.task_type))
+            weights_dir("table_structure", self.model_name, task_type))
 
         def apply_fn(variables, batch):
             return module.apply(variables, batch["image"], train=False)
@@ -62,7 +77,8 @@ class OcrTableStructureTask(InferTask):
             from ..models.line_cell import extract_cells_from_image
             return {"host_result": extract_cells_from_image(inputs)}, {}
         out = self.pre(inputs)
-        meta = out.pop("meta")
+        meta = out.pop("meta", None) or {"shape_list": out.pop("shape_list",
+                                                               None)}
         return out, meta
 
     def _run_model(self, batch):
@@ -73,4 +89,6 @@ class OcrTableStructureTask(InferTask):
     def _postprocess(self, raw, meta):
         if self.model_name == "LineCell":
             return raw
+        if self.model_name == "SLANet":
+            return self.post(raw, meta["shape_list"])
         return self.post(raw, meta)

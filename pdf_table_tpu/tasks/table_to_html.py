@@ -133,12 +133,19 @@ def cells_to_html(cells: List[Dict[str, Any]],
 
 
 class OcrTableToHtmlTask:
-    """(tsr_result, page text cells) -> HTML table string."""
+    """(tsr_result, page text cells) -> HTML table string.
+
+    Cell-path results ({'cells': [{'bbox','logic'}]}) go through logical-grid
+    assembly; token-path results ({'structure_tokens', 'cells'} from
+    SLANet/TableMaster) go through TableMatch (reference
+    match_table_structure_and_text_cell, ocr_table_to_html_task.py:245)."""
 
     def __call__(self, tsr_result: Dict[str, Any],
                  text_cells: Sequence[OcrCell]) -> str:
+        if tsr_result.get("structure_tokens"):
+            return self._token_path(tsr_result, text_cells)
         cells = tsr_result.get("cells", [])
-        if not cells:
+        if not cells or not any("logic" in c for c in cells):
             return "<table></table>"
         ox, oy = tsr_result.get("offset", (0, 0))
         page_bboxes = [[c["bbox"][0] + ox, c["bbox"][1] + oy,
@@ -156,3 +163,18 @@ class OcrTableToHtmlTask:
             texts.append(html_mod.escape(
                 " ".join((t.text or "").strip() for t in inside).strip()))
         return cells_to_html(cells, texts)
+
+    @staticmethod
+    def _token_path(tsr_result: Dict[str, Any],
+                    text_cells: Sequence[OcrCell]) -> str:
+        from .table_matcher import TableMatch
+
+        ox, oy = tsr_result.get("offset", (0, 0))
+        pred_bboxes = [[c["bbox"][0] + ox, c["bbox"][1] + oy,
+                        c["bbox"][2] + ox, c["bbox"][3] + oy]
+                       for c in tsr_result.get("cells", [])]
+        dt_boxes = [list(t.bbox) for t in text_cells]
+        texts = [html_mod.escape((t.text or "").strip()) for t in text_cells]
+        match = TableMatch(use_master=tsr_result.get("type") == "master")
+        return match(tsr_result["structure_tokens"], pred_bboxes,
+                     dt_boxes, texts)
