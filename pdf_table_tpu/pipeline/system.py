@@ -40,6 +40,7 @@ class OcrSystemConfig:
     use_layout: bool = True
     use_table: bool = True
     pdf_text_prefer: bool = True            # digital PDFs: extract text, skip OCR
+    use_orientation_cls: bool = True        # PULC 0/90/180/270 fix for images
     render_dpi: int = 144
     debug: bool = False
     output_dir: str = ""
@@ -101,6 +102,14 @@ class OcrSystemTask:
             except ImportError:
                 logger.warning("TSR task unavailable; skipping tables")
         return self._tsr
+
+    @property
+    def preprocess_task(self):
+        if getattr(self, "_preprocess", None) is None:
+            from ..tasks.preprocess import OcrTablePreprocessTask
+            self._preprocess = OcrTablePreprocessTask(
+                use_orientation_cls=self.config.use_orientation_cls)
+        return self._preprocess
 
     @property
     def pdf_text_task(self):
@@ -178,6 +187,9 @@ class OcrSystemTask:
             image = render_page(pdf_doc, pdf_page, dpi=cfg.render_dpi)
         if image is None:
             raise ValueError("need image and/or pdf_page")
+        pre = self.preprocess_task(image, is_pdf=pdf_page is not None)
+        image = pre["image"]
+        out.rotate_angle = pre["rotate_angle"]
         out.image = image
         out.image_shape = image.shape[:2]
         if pdf_page is not None and pdf_page.height > 0:
