@@ -78,3 +78,27 @@ class LoreModel(nn.Module):
             result["heads"] = out
             result["hm"] = hm
         return result
+
+    def train_forward(self, pixel_values: jax.Array, hm_ind: jax.Array,
+                      gt_dets: jax.Array, hm_mask: jax.Array):
+        """Teacher-forced training path (reference
+        LoreProcessModel.get_train_features, lore_processor.py:432-463):
+        the processor consumes features gathered at GROUND-TRUTH center
+        indices and GT corner positions, not the decoder's top-K.
+
+        hm_ind (B, M) flat fmap indices of GT centers; gt_dets (B, M, 8) GT
+        corner coords in fmap space; hm_mask (B, M) validity.
+        Returns heads + logi/stacked_logi aligned with GT slots.
+
+        BatchNorm runs on stored statistics (train=False) so the step needs
+        no mutable collections; gradients still flow through the affine."""
+        out = self.detector(pixel_values, train=False)
+        B, H, W, _ = out["hm"].shape
+        ax_flat = out["ax"].reshape(B, H * W, -1)
+        ax_feat = gather_feat(ax_flat, hm_ind)
+        cr_feat = gather_corner_features(out["cr"], gt_dets)
+        feat = ax_feat + cr_feat
+        logi, stacked = self.processor(feat, dets=gt_dets, mask=hm_mask)
+        return {"heads": out, "hm": jax.nn.sigmoid(out["hm"]),
+                "logi": logi,
+                "stacked_logi": stacked if stacked is not None else logi}

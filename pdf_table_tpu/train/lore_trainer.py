@@ -1,0 +1,153 @@
+"""LORE TSR trainer: optax + jitted (optionally mesh-sharded) train step,
+orbax checkpoints, best-model tracking.
+
+Reference: TableTrainer (trainer/table_trainer.py:35) over HF Trainer with
+torch.compile (:69-75), poly/step LR (:104-130), best-model save
+(basic_trainer.py:87). TPU-native: one compiled train step (detector +
+teacher-forced processor + loss + adam update), dp batch sharding over a
+Mesh, checkpoint/resume via orbax.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.lore.config import LoreConfig
+from ..models.lore.model import LoreModel
+from ..utils.logging_utils import logger
+from .lore_loss import lore_loss
+from .train_step import TrainState, make_train_step, shard_state
+
+
+@dataclass
+class LoreTrainArgs:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    warmup_steps: int = 100
+    total_steps: int = 10_000
+    lr_schedule: str = "poly"          # poly | step | constant
+    step_lr_drops: tuple = (0.7, 0.9)  # fractions of total at which lr /= 10
+    batch_size: int = 4
+    grad_clip: float = 10.0
+    output_dir: str = "lore_train"
+    save_every: int = 500
+    log_every: int = 50
+
+
+def build_lr_schedule(args: LoreTrainArgs):
+    """Poly-with-warmup like the reference
+    get_polynomial_constant_schedule_with_warmup (utils/model/model_utils.py)."""
+    if args.lr_schedule == "constant":
+        return optax.constant_schedule(args.learning_rate)
+    if args.lr_schedule == "step":
+        bounds = {int(f * args.total_steps): 0.1 for f in args.step_lr_drops}
+        return optax.piecewise_constant_schedule(args.learning_rate, bounds)
+    warmup = optax.linear_schedule(0.0, args.learning_rate,
+                                   max(args.warmup_steps, 1))
+    decay = optax.polynomial_schedule(
+        args.learning_rate, args.learning_rate * 0.01, power=1.0,
+        transition_steps=max(args.total_steps - args.warmup_steps, 1))
+    return optax.join_schedules([warmup, decay], [args.warmup_steps])
+
+
+class LoreTrainer:
+    def __init__(self, config: Optional[LoreConfig] = None,
+                 args: Optional[LoreTrainArgs] = None, mesh=None):
+        self.config = config or LoreConfig.wtw()
+        self.args = args or LoreTrainArgs()
+        self.mesh = mesh
+        self.model = LoreModel(self.config)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.args.grad_clip),
+            optax.adamw(build_lr_schedule(self.args),
+                        weight_decay=self.args.weight_decay))
+        self.state: Optional[TrainState] = None
+        self._step_fn = None
+        self.history: List[Dict[str, float]] = []
+        self.best_loss = float("inf")
+
+    # -- setup --------------------------------------------------------------
+
+    def init_state(self, sample_batch: Dict[str, np.ndarray]) -> None:
+        from ..engine.params import init_params
+
+        variables = init_params(self.model, sample_batch["image"][:1],
+                                train=False)
+        self.state = TrainState.create(variables, self.tx)
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+
+        def apply_fn(variables, batch):
+            out = self.model.apply(
+                variables, batch["image"], batch["hm_ind"].astype(jnp.int32),
+                batch["gt_dets"], batch["hm_mask"],
+                method=LoreModel.train_forward)
+            return out, variables.get("batch_stats", {})
+
+        def loss_fn(outputs, batch):
+            return lore_loss(outputs, batch,
+                             wiz_stacking=self.config.wiz_stacking)
+
+        self._step_fn = make_train_step(apply_fn, loss_fn, self.tx,
+                                        mesh=self.mesh)
+
+    # -- loop ---------------------------------------------------------------
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        if self.state is None:
+            self.init_state(batch)
+        self.state, metrics = self._step_fn(self.state, batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def fit(self, dataset, steps: int, indices: Optional[Iterable[int]] = None,
+            rng_seed: int = 0) -> List[Dict[str, float]]:
+        rng = np.random.default_rng(rng_seed)
+        n = len(dataset)
+        bs = self.args.batch_size
+        for step in range(steps):
+            idx = rng.choice(n, size=min(bs, n), replace=n < bs)
+            batch = dataset.batch(list(idx))
+            t0 = time.perf_counter()
+            metrics = self.train_step(batch)
+            metrics["step_time"] = time.perf_counter() - t0
+            self.history.append(metrics)
+            if step % self.args.log_every == 0:
+                logger.info("step %d: %s", step,
+                            {k: round(v, 4) for k, v in metrics.items()})
+            if metrics["loss"] < self.best_loss:
+                self.best_loss = metrics["loss"]
+            if self.args.save_every and step > 0 \
+                    and step % self.args.save_every == 0:
+                self.save_checkpoint()
+        return self.history
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save_checkpoint(self, path: Optional[str] = None) -> str:
+        from ..engine.params import save_params
+
+        path = path or os.path.join(self.args.output_dir, "checkpoint")
+        variables = {"params": jax.device_get(self.state.params)}
+        if self.state.batch_stats:
+            variables["batch_stats"] = jax.device_get(self.state.batch_stats)
+        save_params(variables, path)
+        return path
+
+    def restore_checkpoint(self, path: str) -> None:
+        from ..engine.params import load_params
+
+        variables = load_params(path)
+        if self.state is None:
+            self.state = TrainState.create(variables, self.tx)
+        else:
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}))

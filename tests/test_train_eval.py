@@ -1,0 +1,197 @@
+"""Training-slice + eval tests: targets, loss, trainer step, metrics, TEDS."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+class TestTargets:
+    def test_gaussian_radius_positive(self):
+        from pdf_table_tpu.data import gaussian_radius
+
+        assert gaussian_radius((10, 20)) > 0
+
+    def test_draw_gaussian_peak(self):
+        from pdf_table_tpu.data import draw_gaussian
+
+        hm = np.zeros((32, 32), np.float32)
+        draw_gaussian(hm, (16, 16), 3)
+        assert hm[16, 16] == 1.0
+        assert hm[16, 19] < 1.0 and hm[16, 19] > 0.0
+
+    def test_make_lore_targets(self):
+        from pdf_table_tpu.data import make_lore_targets
+
+        quads = np.array([[2, 2, 10, 2, 10, 6, 2, 6]], np.float32)
+        logic = np.array([[0, 0, 1, 1]], np.float32)
+        t = make_lore_targets(quads, logic, (16, 16), max_objs=4)
+        assert t["hm"].shape == (16, 16, 2)
+        assert t["hm_mask"][0] == 1.0 and t["hm_mask"][1] == 0.0
+        cx, cy = 6, 4
+        assert t["hm_ind"][0] == cy * 16 + cx
+        assert t["hm"][cy, cx, 0] == 1.0
+        # wh decode convention: corner = center - wh
+        assert np.allclose(cx - t["wh"][0, 0::2],
+                           quads[0, 0::2], atol=1.0)
+        assert (t["logic"][0] == logic[0]).all()
+
+
+class TestWtwDataset:
+    def _make_dataset(self, tmp_path):
+        import cv2
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        img = np.full((64, 64, 3), 255, np.uint8)
+        cv2.rectangle(img, (8, 8), (56, 56), 0, 2)
+        cv2.imwrite(str(img_dir / "t1.jpg"), img)
+        coco = {
+            "images": [{"id": 1, "file_name": "t1.jpg",
+                        "width": 64, "height": 64}],
+            "annotations": [
+                {"id": 1, "image_id": 1,
+                 "segmentation": [[8, 8, 32, 8, 32, 32, 8, 32]],
+                 "logic_axis": [[0, 0, 0, 0]], "bbox": [8, 8, 24, 24]},
+                {"id": 2, "image_id": 1,
+                 "segmentation": [[32, 8, 56, 8, 56, 32, 32, 32]],
+                 "logic_axis": [[0, 0, 1, 1]], "bbox": [32, 8, 24, 24]},
+            ],
+        }
+        label = tmp_path / "coco.json"
+        label.write_text(json.dumps(coco))
+        return str(img_dir), str(label)
+
+    def test_dataset_targets(self, tmp_path):
+        from pdf_table_tpu.data import WtwDataset
+        from pdf_table_tpu.models.lore import LoreConfig
+
+        img_dir, label = self._make_dataset(tmp_path)
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=8)
+        ds = WtwDataset(img_dir, label, config=cfg)
+        assert len(ds) == 1
+        item = ds[0]
+        assert item["image"].shape == (64, 64, 3)
+        assert item["hm"].shape == (16, 16, 2)
+        assert item["hm_mask"].sum() == 2.0
+        batch = ds.batch([0])
+        assert batch["image"].shape == (1, 64, 64, 3)
+
+
+class TestLoreLossAndTrainer:
+    def test_loss_values_finite(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.train.lore_loss import lore_loss
+
+        B, H, W, M = 1, 16, 16, 4
+        outputs = {
+            "heads": {"wh": jnp.zeros((B, H, W, 8)),
+                      "reg": jnp.zeros((B, H, W, 2))},
+            "hm": jnp.full((B, H, W, 2), 0.01),
+            "logi": jnp.zeros((B, M, 4)),
+            "stacked_logi": jnp.zeros((B, M, 4)),
+        }
+        batch = {
+            "hm": jnp.zeros((B, H, W, 2)),
+            "hm_ind": jnp.zeros((B, M), jnp.int32),
+            "hm_mask": jnp.ones((B, M)),
+            "wh": jnp.ones((B, M, 8)),
+            "reg": jnp.zeros((B, M, 2)),
+            "logic": jnp.ones((B, M, 4)),
+        }
+        losses = lore_loss(outputs, batch)
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        assert float(losses["wh_l"]) == pytest.approx(1.0, abs=1e-3)
+        assert float(losses["ax_l"]) == pytest.approx(1.0, abs=1e-3)
+
+    def test_trainer_two_steps_loss_decreases(self, tmp_path):
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        args = LoreTrainArgs(learning_rate=1e-3, batch_size=1,
+                             total_steps=10, save_every=0,
+                             output_dir=str(tmp_path))
+        trainer = LoreTrainer(cfg, args)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((1, 16, 16, 2), np.float32),
+            "hm_ind": np.zeros((1, 4), np.int64),
+            "hm_mask": np.ones((1, 4), np.float32),
+            "wh": np.ones((1, 4, 8), np.float32),
+            "reg": np.zeros((1, 4, 2), np.float32),
+            "logic": np.ones((1, 4, 4), np.float32),
+            "gt_dets": np.ones((1, 4, 8), np.float32),
+        }
+        batch["hm"][0, 4, 4, 0] = 1.0
+        m1 = trainer.train_step(batch)
+        for _ in range(4):
+            m2 = trainer.train_step(batch)
+        assert m2["loss"] < m1["loss"]
+        ckpt = trainer.save_checkpoint(str(tmp_path / "ck"))
+        trainer.restore_checkpoint(ckpt)
+
+
+class TestWtwMetric:
+    def test_perfect_match(self):
+        from pdf_table_tpu.eval import TableWtwMetric
+
+        m = TableWtwMetric()
+        boxes = [[0, 0, 10, 10], [20, 0, 30, 10]]
+        axes = [[0, 0, 0, 0], [0, 0, 1, 1]]
+        m.update(boxes, axes, boxes, axes)
+        r = m.compute()
+        assert r["precision"] == 1.0 and r["recall"] == 1.0
+        assert r["axis_accuracy"] == 1.0
+
+    def test_partial(self):
+        from pdf_table_tpu.eval import TableWtwMetric
+
+        m = TableWtwMetric()
+        m.update([[0, 0, 10, 10]], [[0, 0, 0, 0]],
+                 [[0, 0, 10, 10], [20, 0, 30, 10]],
+                 [[0, 0, 0, 1], [0, 0, 1, 1]])
+        r = m.compute()
+        assert r["recall"] == 0.5 and r["precision"] == 1.0
+        assert r["axis_accuracy"] == 0.0  # axis mismatch
+
+
+class TestTEDS:
+    def test_identical(self):
+        from pdf_table_tpu.eval import TEDS
+
+        html = "<table><tr><td>a</td><td>b</td></tr></table>"
+        assert TEDS().evaluate(html, html) == 1.0
+
+    def test_cell_text_difference(self):
+        from pdf_table_tpu.eval import TEDS
+
+        a = "<table><tr><td>abcd</td></tr></table>"
+        b = "<table><tr><td>abce</td></tr></table>"
+        s = TEDS().evaluate(a, b)
+        assert 0.8 < s < 1.0
+        assert TEDS(structure_only=True).evaluate(a, b) == 1.0
+
+    def test_structure_difference(self):
+        from pdf_table_tpu.eval import TEDS
+
+        a = "<table><tr><td>a</td></tr></table>"
+        b = "<table><tr><td>a</td><td>b</td></tr></table>"
+        s = TEDS().evaluate(a, b)
+        assert s < 1.0
+
+    def test_batch(self):
+        from pdf_table_tpu.eval import TEDS
+
+        html = "<table><tr><td>x</td></tr></table>"
+        scores = TEDS(n_jobs=2).batch_evaluate([html, html], [html, html])
+        assert scores == [1.0, 1.0]
