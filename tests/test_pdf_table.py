@@ -1,0 +1,105 @@
+"""Classical read_pdf (lattice/stream/pdf flavors) tests."""
+
+import numpy as np
+import pytest
+
+
+def make_table_pdf(tmp_path, name="t.pdf", with_lines=True):
+    from pdf_table_tpu.pdfio.writer import PdfWriter
+
+    w = PdfWriter()
+    page = w.add_page(300, 200)
+    if with_lines:
+        page.table(20, 180, [80, 80, 80], 30,
+                   [["h1", "h2", "h3"], ["a", "b", "c"]])
+    else:
+        # borderless "stream" style: aligned text runs only
+        ys = [170, 140, 110]
+        for y, row in zip(ys, [["name", "qty", "price"],
+                               ["apple", "2", "3.50"],
+                               ["pear", "5", "1.25"]]):
+            for x, txt in zip([30, 120, 210], row):
+                page.text(x, y, txt, size=10)
+    p = str(tmp_path / name)
+    w.save(p)
+    return p
+
+
+class TestCore:
+    def test_table_grid_and_df(self):
+        from pdf_table_tpu.pdf_table import Table
+
+        t = Table([0, 50, 100], [100, 50, 0])
+        assert t.shape == (2, 2)
+        t.cells[0][0].text = "x"
+        assert t.data[0][0] == "x"
+        assert t.df.shape == (2, 2)
+
+    def test_span_html(self):
+        from pdf_table_tpu.pdf_table import Table
+
+        t = Table([0, 50, 100], [100, 50, 0])
+        t.set_all_edges()
+        # merge top row horizontally
+        t.cells[0][0].right = False
+        t.cells[0][1].left = False
+        t.set_span()
+        html = t.to_html()
+        assert 'colspan="2"' in html
+
+    def test_whitespace_stat(self):
+        from pdf_table_tpu.pdf_table import Table
+
+        t = Table([0, 50, 100], [100, 50, 0])
+        t.cells[0][0].text = "x"
+        t.compute_stats()
+        assert t.whitespace == 75.0
+
+
+class TestFlavors:
+    def test_pdf_flavor(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = make_table_pdf(tmp_path)
+        tables = read_pdf(p, flavor="pdf")
+        assert tables.n == 1
+        t = tables[0]
+        assert t.shape == (2, 3)
+        assert t.data[0] == ["h1", "h2", "h3"]
+        assert t.data[1] == ["a", "b", "c"]
+
+    def test_lattice_flavor(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = make_table_pdf(tmp_path)
+        tables = read_pdf(p, flavor="lattice")
+        assert tables.n == 1
+        assert tables[0].shape == (2, 3)
+        assert tables[0].data[0] == ["h1", "h2", "h3"]
+
+    def test_stream_flavor(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = make_table_pdf(tmp_path, with_lines=False)
+        tables = read_pdf(p, flavor="stream")
+        assert tables.n == 1
+        t = tables[0]
+        assert t.shape[1] == 3
+        flat = [c for row in t.data for c in row]
+        assert "apple" in flat and "3.50" in flat
+
+    def test_bad_flavor(self):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        with pytest.raises(ValueError):
+            read_pdf("x.pdf", flavor="nope")
+
+    def test_export_csv(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = make_table_pdf(tmp_path)
+        tables = read_pdf(p, flavor="pdf")
+        tables.export(str(tmp_path / "out.csv"))
+        import os
+
+        assert os.path.exists(tmp_path / "out-0.csv")
