@@ -7,7 +7,7 @@ LoreDetectModel (lore_detector.py:148). Output maps at stride 4 (NHWC).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,16 +26,21 @@ def head_channels(hidden_size: int = 256) -> Dict[str, int]:
 
 class CenterHeads(nn.Module):
     """Per-head conv3x3(head_conv)+relu -> conv1x1(out)
-    (reference DLASeg head construction, lore_dla_34.py:160-182)."""
+    (reference DLASeg head construction, lore_dla_34.py:160-182).
+    ``heads`` overrides the LORE head set — DocXLayout and Cycle-CenterNet
+    reuse this module with their own head dicts."""
 
     head_conv: int = 256
     hidden_size: int = 256
+    heads: Optional[Tuple[Tuple[str, int], ...]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out = {}
-        for head, ch in head_channels(self.hidden_size).items():
+        head_map = (dict(self.heads) if self.heads is not None
+                    else head_channels(self.hidden_size))
+        for head, ch in head_map.items():
             y = nn.Conv(self.head_conv, (3, 3), dtype=self.dtype,
                         name=f"{head}_conv")(x)
             y = jax.nn.relu(y)

@@ -13,8 +13,6 @@ import numpy as np
 
 from ..engine.infer_task import InferTask, TaskConfig
 from ..engine.params import load_or_init
-from ..models.picodet import (PicoDet, PicoDetConfig, PicoDetPostProcessor,
-                              PicoDetPreProcessor)
 from ..models.registry import get_config, weights_dir
 
 
@@ -22,25 +20,45 @@ class OcrLayoutTask(InferTask):
     task_name = "layout"
 
     def __init__(self, model: str = "picodet",
-                 config: Optional[PicoDetConfig] = None,
-                 lang: str = "en",
+                 config=None, lang: str = "en",
                  task_config: Optional[TaskConfig] = None, mesh=None, **kw):
         super().__init__(task_config, mesh=mesh)
         self.model_name = model
-        if config is None:
-            kw.setdefault("task_type", lang)
-            config = get_config("layout", model, **kw)
-        self.model_config = config
-        self.pre = PicoDetPreProcessor(config)
-        self.post = PicoDetPostProcessor(config)
+        if model in ("DocXLayout", "docx_layout"):
+            from ..models.docx_layout import (DocXLayoutConfig,
+                                              DocXLayoutPostProcessor,
+                                              DocXLayoutPreProcessor)
+            self.model_name = "DocXLayout"
+            self.model_config = config or DocXLayoutConfig(**kw)
+            self.pre = DocXLayoutPreProcessor(self.model_config)
+            self.post = DocXLayoutPostProcessor(self.model_config)
+        else:
+            from ..models.picodet import (PicoDetPostProcessor,
+                                          PicoDetPreProcessor)
+            if config is None:
+                kw.setdefault("task_type", lang)
+                config = get_config("layout", model, **kw)
+            self.model_config = config
+            self.pre = PicoDetPreProcessor(config)
+            self.post = PicoDetPostProcessor(config)
 
     def _build_model(self):
         cfg = self.model_config
-        module = PicoDet(cfg)
-        sample = np.zeros((1, cfg.img_height, cfg.img_width, 3), np.float32)
-        variables = load_or_init(
-            module, sample,
-            weights_dir("layout", self.model_name, cfg.task_type))
+        if self.model_name == "DocXLayout":
+            from ..models.docx_layout import DocXLayoutModel
+
+            module = DocXLayoutModel(cfg)
+            sample = np.zeros((1, cfg.resolution[0], cfg.resolution[1], 3),
+                              np.float32)
+            wdir = weights_dir("layout", "DocXLayout")
+        else:
+            from ..models.picodet import PicoDet
+
+            module = PicoDet(cfg)
+            sample = np.zeros((1, cfg.img_height, cfg.img_width, 3),
+                              np.float32)
+            wdir = weights_dir("layout", self.model_name, cfg.task_type)
+        variables = load_or_init(module, sample, wdir)
 
         def apply_fn(variables, batch):
             return module.apply(variables, batch["image"], train=False)
@@ -49,13 +67,18 @@ class OcrLayoutTask(InferTask):
 
     def _preprocess(self, inputs, **kw):
         out = self.pre(inputs)
+        if self.model_name == "DocXLayout":
+            return out, out.pop("meta")
         meta = {"org_shape": out.pop("org_shape"),
                 "scale_factor": out.pop("scale_factor")}
         return out, meta
 
     def _postprocess(self, raw, meta):
-        scores = [np.asarray(s[0]) for s in raw["scores"]]
-        boxes = [np.asarray(b[0]) for b in raw["boxes"]]
-        result = self.post(scores, boxes, meta["org_shape"])
+        if self.model_name == "DocXLayout":
+            result = self.post(raw, meta)
+        else:
+            scores = [np.asarray(s[0]) for s in raw["scores"]]
+            boxes = [np.asarray(b[0]) for b in raw["boxes"]]
+            result = self.post(scores, boxes, meta["org_shape"])
         result["layout_cells"] = self.post.to_layout_cells(result)
         return result

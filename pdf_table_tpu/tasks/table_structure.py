@@ -39,6 +39,13 @@ class OcrTableStructureTask(InferTask):
                 "table_structure", model, **kw)
             self.pre = SLANetPreProcessor(self.model_config)
             self.post = SLANetPostProcessor(self.model_config)
+        elif model == "CenterNet":
+            from ..models.center_net import (CenterNetConfig,
+                                             CenterNetPostProcessor,
+                                             CenterNetPreProcessor)
+            self.model_config = config or CenterNetConfig(**kw)
+            self.pre = CenterNetPreProcessor(self.model_config)
+            self.post = CenterNetPostProcessor(self.model_config)
         elif model in ("LineCell", "LineCellPdf"):
             self.model_config = None
             self.pre = self.post = None
@@ -59,6 +66,13 @@ class OcrTableStructureTask(InferTask):
             cfg = self.model_config
             module = SLANet(cfg)
             sample = np.zeros((1, cfg.table_max_len, cfg.table_max_len, 3),
+                              np.float32)
+        elif self.model_name == "CenterNet":
+            from ..models.center_net import CycleCenterNet
+
+            cfg = self.model_config
+            module = CycleCenterNet(cfg)
+            sample = np.zeros((1, cfg.resolution[0], cfg.resolution[1], 3),
                               np.float32)
         else:
             return (lambda v, b: b), None
