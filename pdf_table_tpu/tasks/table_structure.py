@@ -39,6 +39,15 @@ class OcrTableStructureTask(InferTask):
                 "table_structure", model, **kw)
             self.pre = SLANetPreProcessor(self.model_config)
             self.post = SLANetPostProcessor(self.model_config)
+        elif model in ("TableMaster", "MtlTabNet"):
+            from ..models.table_master import (TableMasterConfig,
+                                               TableMasterPostProcessor,
+                                               TableMasterPreProcessor)
+            variant = "mtl_tabnet" if model == "MtlTabNet" else "table_master"
+            kw.setdefault("variant", variant)
+            self.model_config = config or TableMasterConfig(**kw)
+            self.pre = TableMasterPreProcessor(self.model_config)
+            self.post = TableMasterPostProcessor(self.model_config)
         elif model == "CenterNet":
             from ..models.center_net import (CenterNetConfig,
                                              CenterNetPostProcessor,
@@ -73,6 +82,13 @@ class OcrTableStructureTask(InferTask):
             cfg = self.model_config
             module = CycleCenterNet(cfg)
             sample = np.zeros((1, cfg.resolution[0], cfg.resolution[1], 3),
+                              np.float32)
+        elif self.model_name in ("TableMaster", "MtlTabNet"):
+            from ..models.table_master import TableMaster
+
+            cfg = self.model_config
+            module = TableMaster(cfg)
+            sample = np.zeros((1, cfg.img_size[0], cfg.img_size[1], 3),
                               np.float32)
         else:
             return (lambda v, b: b), None
