@@ -1,0 +1,99 @@
+"""Standalone tasks, xlsx writer, result compare tests."""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+
+class TestXlsx:
+    def test_write_and_structure(self, tmp_path):
+        from pdf_table_tpu.utils.xlsx_writer import write_xlsx
+
+        p = str(tmp_path / "t.xlsx")
+        write_xlsx(p, [["a", "b"], ["c", "d"]])
+        with zipfile.ZipFile(p) as z:
+            names = z.namelist()
+            assert "xl/worksheets/sheet1.xml" in names
+            sheet = z.read("xl/worksheets/sheet1.xml").decode()
+            assert ">a</t>" in sheet and ">d</t>" in sheet
+
+    def test_html_to_xlsx_with_merge(self, tmp_path):
+        from pdf_table_tpu.utils.xlsx_writer import html_table_to_xlsx
+
+        html = ('<table><tr><td colspan="2">head</td></tr>'
+                "<tr><td>a</td><td>b</td></tr></table>")
+        p = str(tmp_path / "m.xlsx")
+        html_table_to_xlsx(html, p)
+        with zipfile.ZipFile(p) as z:
+            sheet = z.read("xl/worksheets/sheet1.xml").decode()
+            assert '<mergeCell ref="A1:B1"/>' in sheet
+            assert ">head</t>" in sheet
+
+    def test_col_letter(self):
+        from pdf_table_tpu.utils.xlsx_writer import col_letter
+
+        assert col_letter(0) == "A"
+        assert col_letter(25) == "Z"
+        assert col_letter(26) == "AA"
+
+
+class TestResultCompare:
+    def test_same(self):
+        from pdf_table_tpu.entity.enums import HtmlTableCompareType
+        from pdf_table_tpu.tasks.result_compare import TableResultCompare
+
+        h = "<table><tr><td>a</td></tr></table>"
+        assert TableResultCompare()(h, h)["type"] == HtmlTableCompareType.SAME
+
+    def test_span_diff(self):
+        from pdf_table_tpu.entity.enums import HtmlTableCompareType
+        from pdf_table_tpu.tasks.result_compare import TableResultCompare
+
+        a = '<table><tr><td colspan="2">a</td></tr></table>'
+        b = "<table><tr><td>a</td></tr></table>"
+        r = TableResultCompare()(a, b)
+        assert r["type"] == HtmlTableCompareType.DIFF_CELL_COL_SPAN
+
+    def test_text_order(self):
+        from pdf_table_tpu.entity.enums import HtmlTableCompareType
+        from pdf_table_tpu.tasks.result_compare import TableResultCompare
+
+        a = "<table><tr><td>a</td><td>b</td></tr></table>"
+        b = "<table><tr><td>b</td><td>a</td></tr></table>"
+        r = TableResultCompare()(a, b)
+        assert r["type"] == HtmlTableCompareType.DIFF_TEXT_ORDER
+
+    def test_missing_words(self):
+        from pdf_table_tpu.entity.enums import HtmlTableCompareType
+        from pdf_table_tpu.tasks.result_compare import TableResultCompare
+
+        a = "<table><tr><td>hello</td></tr></table>"
+        b = "<table><tr><td>hello world</td></tr></table>"
+        r = TableResultCompare()(a, b)
+        assert r["type"] == HtmlTableCompareType.DIFF_TEXT_PREDICT_LESS_WORDS
+
+
+class TestStandaloneTasks:
+    def test_table_task_linecell_to_excel(self, tmp_path):
+        import cv2
+
+        from pdf_table_tpu.tasks.table_task import OcrTableTask
+
+        img = np.full((120, 120, 3), 255, np.uint8)
+        for k in range(3):
+            cv2.line(img, (10, 10 + 50 * k), (110, 10 + 50 * k), 0, 2)
+            cv2.line(img, (10 + 50 * k, 10), (10 + 50 * k, 110), 0, 2)
+        task = OcrTableTask(table_structure_model="LineCell")
+        out = task(img, run_ocr=False)
+        assert "<table" in out["html"]
+        xlsx = task.to_excel(out["html"], str(tmp_path / "t.xlsx"))
+        assert os.path.exists(xlsx)
+
+    def test_eval_table_teds(self):
+        from pdf_table_tpu.tasks.table_task import OcrTableTask
+
+        h = "<table><tr><td>a</td></tr></table>"
+        r = OcrTableTask.eval_table([h], [h])
+        assert r["teds"] == 1.0
