@@ -39,6 +39,12 @@ class OcrTableStructureTask(InferTask):
                 "table_structure", model, **kw)
             self.pre = SLANetPreProcessor(self.model_config)
             self.post = SLANetPostProcessor(self.model_config)
+        elif model == "Lgpma":
+            from ..models.lgpma import (LgpmaConfig, LgpmaPostProcessor,
+                                        LgpmaPreProcessor)
+            self.model_config = config or LgpmaConfig(**kw)
+            self.pre = LgpmaPreProcessor(self.model_config)
+            self.post = LgpmaPostProcessor(self.model_config)
         elif model in ("TableMaster", "MtlTabNet"):
             from ..models.table_master import (TableMasterConfig,
                                                TableMasterPostProcessor,
@@ -90,6 +96,12 @@ class OcrTableStructureTask(InferTask):
             module = TableMaster(cfg)
             sample = np.zeros((1, cfg.img_size[0], cfg.img_size[1], 3),
                               np.float32)
+        elif self.model_name == "Lgpma":
+            from ..models.lgpma import LGPMA
+
+            cfg = self.model_config
+            module = LGPMA(cfg)
+            sample = np.zeros((1, 64, 64, 3), np.float32)
         else:
             return (lambda v, b: b), None
         task_type = getattr(cfg, "task_type", "")
