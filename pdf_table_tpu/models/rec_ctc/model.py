@@ -139,6 +139,38 @@ class ConvNextViTBackbone(nn.Module):
         return x
 
 
+class LightweightEdgeBackbone(nn.Module):
+    """Mobile NAS-style recognizer backbone: depthwise-separable stages with
+    mixed kernel sizes collapsing H (reference
+    model/ocr_rec_lightweightedge/modeling_rec_lightweightedge.py:19 +
+    nas_block/ — the searched architecture reduces to a sequence of
+    inverted-residual blocks; this is the TPU re-expression, not a NAS
+    run)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..layers import InvertedResidual
+
+        d = self.dtype
+        x = ConvBNAct(16, (3, 3), (2, 2), act="hardswish", dtype=d,
+                      name="stem")(x, train)
+        cfg = [  # (out, expand, kernel, stride_hw, se)
+            (24, 48, 3, (2, 1), False),
+            (24, 72, 3, (1, 1), False),
+            (40, 96, 5, (2, 1), True),
+            (40, 120, 5, (1, 1), True),
+            (80, 240, 5, (2, 1), True),
+            (96, 288, 5, (1, 1), True),
+        ]
+        for i, (c, e, k, st, se) in enumerate(cfg):
+            x = InvertedResidual(c, e, (k, k), st, use_se=se, act="hardswish",
+                                 dtype=d, name=f"block{i}")(x, train)
+        x = jnp.mean(x, axis=1)               # collapse H
+        return nn.Dense(192, dtype=d, name="proj")(x)
+
+
 class CTCRecModel(nn.Module):
     config: RecConfig
 
@@ -154,6 +186,8 @@ class CTCRecModel(nn.Module):
             feat = SVTRLCNetBackbone(dtype=dtype, name="backbone")(x, train)
         elif cfg.backbone == "convnext_vit":
             feat = ConvNextViTBackbone(dtype=dtype, name="backbone")(x, train)
+        elif cfg.backbone == "lightweight_edge":
+            feat = LightweightEdgeBackbone(dtype=dtype, name="backbone")(x, train)
         else:
             raise ValueError(f"unknown rec backbone {cfg.backbone}")
         logits = nn.Dense(cfg.vocab_size, dtype=dtype, name="ctc_head")(feat)

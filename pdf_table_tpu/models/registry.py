@@ -92,6 +92,22 @@ def _rec_cnv(**kw):
     return RecConfig.convnext_vit(**kw)
 
 
+@register("recognition", "LightweightEdge")
+def _rec_lwe(**kw):
+    from .rec_ctc.config import RecConfig
+    base = dict(backbone="lightweight_edge", img_channels=3, img_height=32,
+                img_width=320)
+    base.update(kw)
+    return RecConfig(**base)
+
+
+@register("layout", "DocXLayout")
+def _layout_docx(**kw):
+    from .docx_layout.config import DocXLayoutConfig
+    kw.pop("task_type", None)
+    return DocXLayoutConfig(**kw)
+
+
 @register("layout", "picodet")
 def _layout_picodet(**kw):
     from .picodet.config import PicoDetConfig
@@ -112,3 +128,35 @@ def _tsr_lore(task_type: str = "wtw", **kw):
     if task_type == "wireless":
         return LoreConfig.wireless(**kw)
     return LoreConfig(task_type=task_type, **kw)
+
+
+@register("table_structure", "CenterNet")
+def _tsr_centernet(**kw):
+    from .center_net.config import CenterNetConfig
+    return CenterNetConfig(**kw)
+
+
+@register("table_structure", "Lgpma")
+def _tsr_lgpma(**kw):
+    from .lgpma.config import LgpmaConfig
+    return LgpmaConfig(**kw)
+
+
+@register("table_structure", "TableMaster")
+def _tsr_master(**kw):
+    from .table_master.config import TableMasterConfig
+    kw.setdefault("variant", "table_master")
+    return TableMasterConfig(**kw)
+
+
+@register("table_structure", "MtlTabNet")
+def _tsr_mtl(**kw):
+    from .table_master.config import TableMasterConfig
+    kw.setdefault("variant", "mtl_tabnet")
+    return TableMasterConfig(**kw)
+
+
+@register("cls", "PPLCNet")
+def _cls_pplcnet(task_type: str = "text_image_orientation", **kw):
+    from .cls.config import ClsPulcConfig
+    return ClsPulcConfig.for_task(task_type, **kw)

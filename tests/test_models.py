@@ -160,3 +160,32 @@ class TestTasks:
         assert cfg.backbone == "mobilenetv3"
         with pytest.raises(KeyError):
             get_config("detection", "nope")
+
+
+class TestLightweightEdge:
+    def test_forward(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.rec_ctc import CTCRecModel, RecConfig
+
+        cfg = RecConfig(backbone="lightweight_edge", vocab_size=37)
+        model = CTCRecModel(cfg)
+        x = jnp.zeros((1, 32, 80, 3), jnp.float32)
+        variables = init_params(model, x)
+        logits = model.apply(variables, x, train=False)
+        assert logits.shape[0] == 1 and logits.shape[2] == 37
+
+
+class TestRegistryComplete:
+    def test_all_reference_models_present(self):
+        from pdf_table_tpu.models.registry import list_models
+
+        tsr = list_models("table_structure")
+        for m in ("Lore", "SLANet", "CenterNet", "Lgpma", "TableMaster",
+                  "MtlTabNet"):
+            assert m in tsr, m
+        assert set(list_models("layout")) >= {"picodet", "DocXLayout"}
+        rec = list_models("recognition")
+        for m in ("PP-OCRv4_rec", "CRNN", "ConvNextViT", "LightweightEdge"):
+            assert m in rec, m
