@@ -1,10 +1,10 @@
-"""Benchmark: end-to-end device work for one "page" of the OCR pipeline.
+"""Benchmark: end-to-end batched page pipeline on the real chip.
 
-Measures the two device-dominant stages on real page-scale shapes:
-  * DBNet (mobilenetv3+RSE-FPN) detection forward at 960x960
-  * CTC recognition (SVTR-LCNet) forward over 64 crops of 48x320
-and derives pages/sec/chip (a page ~ 1 det pass + 64 rec crops, the shape of
-the reference's per-page work in ocr_system_task.py:549-734).
+Measures the production path (pipeline/batch_runner.py): 8 synthetic
+1224x950 pages -> device resize+normalize -> ONE batched DBNet detection
+forward -> host DB postprocess -> rotated-crop + width-bucketed CTC
+recognition sweep -> page HTML. This is the reference's serial per-page
+loop (ocr_system_task.py:549-734) re-shaped for TPU batching.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the ratio against the BASELINE.json north star of 50
@@ -14,48 +14,51 @@ pages/s/chip (the reference publishes no numbers — SURVEY.md §6).
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
+import numpy as np
+
+
+def make_page(seed: int, h: int = 1224, w: int = 950) -> np.ndarray:
+    """Synthetic text-like page: dark line bars on white."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), 255, np.uint8)
+    y = 60
+    while y < h - 60:
+        n_words = rng.integers(3, 8)
+        x = 70
+        for _ in range(n_words):
+            ww = int(rng.integers(60, 160))
+            if x + ww > w - 70:
+                break
+            img[y:y + 16, x:x + ww] = rng.integers(20, 60)
+            x += ww + 18
+        y += int(rng.integers(26, 40))
+    return img
+
 
 def bench() -> dict:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+    from pdf_table_tpu.pipeline.system import OcrSystemConfig
 
-    from pdf_table_tpu.engine.params import init_params
-    from pdf_table_tpu.models.dbnet import DBNet, DbNetConfig
-    from pdf_table_tpu.models.rec_ctc import CTCRecModel, RecConfig
+    cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                          use_orientation_cls=False)
+    bp = BatchPipeline(cfg, batch_pages=8)
+    pages = [{"image": make_page(i)} for i in range(16)]
 
-    det_cfg = DbNetConfig.ppocr(dtype="bfloat16")
-    det = DBNet(det_cfg)
-    det_x = jnp.zeros((1, 960, 960, 3), jnp.float32)
-    det_vars = init_params(det, det_x)
+    # warmup (compile det batch program + rec buckets)
+    bp.run(pages)
 
-    rec_cfg = RecConfig(vocab_size=97, dtype="bfloat16")
-    rec = CTCRecModel(rec_cfg)
-    rec_x = jnp.zeros((64, 48, 320, 3), jnp.float32)
-    rec_vars = init_params(rec, rec_x)
-
-    det_fn = jax.jit(lambda v, x: det.apply(v, x, train=False)["prob"])
-    rec_fn = jax.jit(lambda v, x: rec.apply(v, x, train=False))
-
-    # warmup / compile
-    jax.block_until_ready(det_fn(det_vars, det_x))
-    jax.block_until_ready(rec_fn(rec_vars, rec_x))
-
-    n_iters = 20
+    n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        p = det_fn(det_vars, det_x)
-        r = rec_fn(rec_vars, rec_x)
-    jax.block_until_ready((p, r))
+        results = bp.run(pages)
     dt = (time.perf_counter() - t0) / n_iters
-
-    pages_per_sec = 1.0 / dt
+    pages_per_sec = len(pages) / dt
+    assert len(results) == len(pages)
     return {
-        "metric": "pages_per_sec_per_chip(det@960+rec64@320)",
+        "metric": "e2e_pages_per_sec_per_chip(batched det+rec+html)",
         "value": round(pages_per_sec, 3),
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / 50.0, 3),
@@ -66,7 +69,7 @@ def main() -> int:
     try:
         result = bench()
     except Exception as e:  # never crash the driver
-        result = {"metric": "pages_per_sec_per_chip(det@960+rec64@320)",
+        result = {"metric": "e2e_pages_per_sec_per_chip(batched det+rec+html)",
                   "value": 0.0, "unit": "pages/s", "vs_baseline": 0.0,
                   "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))

@@ -179,6 +179,43 @@ class DbNetPostProcessor:
         return {"det_polygons": np.array(boxes, np.float32).reshape(-1, 8),
                 "det_scores": np.array(scores, np.float32)}
 
+    def fast_host_boxes(self, prob: np.ndarray,
+                        org_shape: Tuple[int, int]) -> Dict[str, Any]:
+        """Fast host path: cv2.connectedComponentsWithStats (axis-aligned
+        boxes, ~20x faster than findContours+minAreaRect on the 1-core
+        host). Exact rotated-quad parity stays in __call__."""
+        import cv2
+
+        cfg = self.config
+        prob = np.asarray(prob, np.float32)
+        if prob.ndim == 3:
+            prob = prob[0]
+        H, W = prob.shape
+        oh, ow = org_shape
+        bitmap = (prob > cfg.thresh).astype(np.uint8)
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(bitmap, 8)
+        boxes: List[List[float]] = []
+        scores: List[float] = []
+        order = np.argsort(-stats[1:, cv2.CC_STAT_AREA])[:cfg.max_candidates]
+        for li in order + 1:
+            x, y, w, h, area = stats[li]
+            if min(w, h) < cfg.min_size:
+                continue
+            region = prob[y:y + h, x:x + w]
+            mask = labels[y:y + h, x:x + w] == li
+            score = float(region[mask].mean()) if mask.any() else 0.0
+            if score < cfg.box_thresh:
+                continue
+            d = (w * h * cfg.unclip_ratio) / max(2.0 * (w + h), 1e-6)
+            x1 = np.clip((x - d) / W * ow, 0, ow)
+            y1 = np.clip((y - d) / H * oh, 0, oh)
+            x2 = np.clip((x + w + d) / W * ow, 0, ow)
+            y2 = np.clip((y + h + d) / H * oh, 0, oh)
+            boxes.append([x1, y1, x2, y1, x2, y2, x1, y2])
+            scores.append(score)
+        return {"det_polygons": np.array(boxes, np.float32).reshape(-1, 8),
+                "det_scores": np.array(scores, np.float32)}
+
     def fast_device_boxes(self, prob, org_shape, max_components: int = 256):
         """Device path: connected components -> axis-aligned boxes; stays in
         XLA until final small gather. Trades rotated-quad fidelity for zero

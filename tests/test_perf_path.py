@@ -1,0 +1,100 @@
+"""Pallas kernels (interpret mode) + batched pipeline tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestResizeNormKernel:
+    def test_pallas_matches_xla(self):
+        from pdf_table_tpu.ops.pallas.resize_norm import (
+            resize_normalize_pallas, resize_normalize_xla)
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0, 255, (2, 40, 56, 3))
+                           .astype(np.float32))
+        mean = jnp.array([123.68, 116.78, 103.94])
+        std = jnp.array([255.0, 255.0, 255.0])
+        ref = resize_normalize_xla(imgs, (32, 64), mean, std)
+        out = resize_normalize_pallas(imgs, (32, 64), mean, std,
+                                      interpret=True)
+        # bf16 operands inside the kernel -> small quantization error
+        assert float(jnp.abs(ref - out).max()) < 3e-2
+
+    def test_resize_matrix_partition_of_unity(self):
+        from pdf_table_tpu.ops.pallas.resize_norm import _resize_matrix
+
+        w = _resize_matrix(32, 100)
+        assert np.allclose(w.sum(axis=1), 1.0, atol=1e-6)
+
+
+class TestBatchPipeline:
+    def test_pack_pages_buckets(self):
+        from pdf_table_tpu.pipeline.batch_runner import pack_pages
+
+        imgs = [np.zeros((500, 400, 3), np.uint8),
+                np.zeros((1300, 1000, 3), np.uint8)]
+        groups = pack_pages(imgs)
+        assert (1280, 960) in groups and (1600, 1280) in groups
+        g = groups[(1280, 960)]
+        assert g["images"].shape == (1, 1280, 960, 3)
+        assert g["shapes"] == [(500, 400)]
+
+    def test_batched_raster_pages(self):
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.tasks.detection import OcrDetectionTask
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False)
+        bp = BatchPipeline(cfg)
+        # inject tiny models
+        bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
+                                          inner_channels=48,
+                                          limit_side_len=96)
+        bp.system._rec = OcrRecognitionTask(
+            config=RecConfig(width_buckets=(80,)))
+
+        img = np.full((120, 100, 3), 255, np.uint8)
+        img[30:42, 10:90] = 30
+        pages = [{"image": img}, {"image": img.copy()}]
+        results = bp.run(pages)
+        assert len(results) == 2
+        for r in results:
+            assert r.page_html is not None
+
+    def test_mixed_digital_and_raster(self, tmp_path):
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+        from pdf_table_tpu.pdfio.writer import PdfWriter
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.tasks.detection import OcrDetectionTask
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+
+        w = PdfWriter()
+        page = w.add_page(200, 150)
+        page.text(20, 120, "Digital text", size=12)
+        p = str(tmp_path / "d.pdf")
+        w.save(p)
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False, render_dpi=72)
+        bp = BatchPipeline(cfg)
+        bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
+                                          inner_channels=48,
+                                          limit_side_len=96)
+        bp.system._rec = OcrRecognitionTask(
+            config=RecConfig(width_buckets=(80,)))
+
+        with PdfDocument.open(p) as doc:
+            pdf_page = doc.load_page(0)
+            raster = np.full((100, 100, 3), 255, np.uint8)
+            results = bp.run([{"pdf_page": pdf_page, "pdf_doc": doc},
+                              {"image": raster}])
+        assert len(results) == 2
+        assert "Digital text" in results[0].page_html
