@@ -1,0 +1,131 @@
+"""Weight-conversion numeric parity: torch layers vs converted flax layers.
+
+This is the per-layer diffing harness SURVEY.md §7 calls a prerequisite for
+checkpoint fidelity — tiny random torch modules run against flax modules
+loaded with converted weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def to_nhwc(x_t):
+    return jnp.asarray(x_t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+class TestLayerParity:
+    def test_conv2d(self):
+        import flax.linen as nn
+
+        from pdf_table_tpu.convert.torch_to_flax import convert_conv
+
+        tconv = torch.nn.Conv2d(3, 8, 3, padding=1)
+        x = torch.randn(1, 3, 16, 16)
+        ref = tconv(x).detach().numpy().transpose(0, 2, 3, 1)
+
+        fconv = nn.Conv(8, (3, 3), padding="SAME")
+        variables = fconv.init(jax.random.PRNGKey(0), to_nhwc(x))
+        variables = {"params": {
+            "kernel": jnp.asarray(convert_conv(tconv.weight.detach().numpy())),
+            "bias": jnp.asarray(tconv.bias.detach().numpy())}}
+        out = fconv.apply(variables, to_nhwc(x))
+        assert np.abs(np.asarray(out) - ref).max() < 1e-4
+
+    def test_conv2d_strided(self):
+        import flax.linen as nn
+
+        from pdf_table_tpu.convert.torch_to_flax import convert_conv
+
+        tconv = torch.nn.Conv2d(4, 6, 3, stride=2, padding=1, bias=False)
+        x = torch.randn(1, 4, 16, 16)
+        ref = tconv(x).detach().numpy().transpose(0, 2, 3, 1)
+        fconv = nn.Conv(6, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                        use_bias=False)
+        variables = {"params": {
+            "kernel": jnp.asarray(convert_conv(tconv.weight.detach().numpy()))}}
+        out = fconv.apply(variables, to_nhwc(x))
+        assert np.abs(np.asarray(out) - ref).max() < 1e-4
+
+    def test_linear(self):
+        import flax.linen as nn
+
+        from pdf_table_tpu.convert.torch_to_flax import convert_dense
+
+        tl = torch.nn.Linear(10, 5)
+        x = torch.randn(2, 10)
+        ref = tl(x).detach().numpy()
+        fl = nn.Dense(5)
+        variables = {"params": {
+            "kernel": jnp.asarray(convert_dense(tl.weight.detach().numpy())),
+            "bias": jnp.asarray(tl.bias.detach().numpy())}}
+        out = fl.apply(variables, jnp.asarray(x.numpy()))
+        assert np.abs(np.asarray(out) - ref).max() < 1e-5
+
+    def test_batchnorm_inference(self):
+        import flax.linen as nn
+
+        from pdf_table_tpu.convert.torch_to_flax import (TorchTensorSource,
+                                                         convert_bn)
+
+        tbn = torch.nn.BatchNorm2d(6)
+        tbn.eval()
+        with torch.no_grad():
+            tbn.running_mean.copy_(torch.randn(6))
+            tbn.running_var.copy_(torch.rand(6) + 0.5)
+            tbn.weight.copy_(torch.randn(6))
+            tbn.bias.copy_(torch.randn(6))
+        x = torch.randn(1, 6, 8, 8)
+        ref = tbn(x).detach().numpy().transpose(0, 2, 3, 1)
+
+        src = TorchTensorSource({f"bn.{k}": v for k, v in
+                                 tbn.state_dict().items()})
+        c = convert_bn("bn", src)
+        fbn = nn.BatchNorm(use_running_average=True, epsilon=1e-5)
+        variables = {"params": {"scale": jnp.asarray(c["scale"]),
+                                "bias": jnp.asarray(c["bias"])},
+                     "batch_stats": {"mean": jnp.asarray(c["mean"]),
+                                     "var": jnp.asarray(c["var"])}}
+        out = fbn.apply(variables, to_nhwc(x))
+        assert np.abs(np.asarray(out) - ref).max() < 1e-4
+
+    def test_conv_transpose(self):
+        import flax.linen as nn
+
+        from pdf_table_tpu.convert.torch_to_flax import convert_conv_transpose
+
+        tct = torch.nn.ConvTranspose2d(4, 3, 2, stride=2, bias=False)
+        x = torch.randn(1, 4, 8, 8)
+        ref = tct(x).detach().numpy().transpose(0, 2, 3, 1)
+        fct = nn.ConvTranspose(3, (2, 2), strides=(2, 2), use_bias=False)
+        k = convert_conv_transpose(tct.weight.detach().numpy())
+        variables = {"params": {"kernel": jnp.asarray(k.copy())}}
+        out = fct.apply(variables, to_nhwc(x))
+        assert np.abs(np.asarray(out) - ref).max() < 1e-4
+
+
+class TestSourceAndReport:
+    def test_module_prefix_strip_and_unused(self):
+        from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
+
+        src = TorchTensorSource({"module.a": torch.ones(2),
+                                 "b": torch.zeros(3)})
+        assert "a" in src and "b" in src
+        src.get("a")
+        assert src.unused() == ["b"]
+
+    def test_report_shape_check(self):
+        from pdf_table_tpu.convert.torch_to_flax import ConversionReport
+
+        tree = {"layer": {"kernel": np.zeros((3, 3, 2, 4))}}
+        rep = ConversionReport()
+        rep.check_assign(tree, ["layer", "kernel"],
+                         np.ones((3, 3, 2, 4)), "t.w")
+        assert rep.ok and tree["layer"]["kernel"].max() == 1.0
+        rep.check_assign(tree, ["layer", "kernel"],
+                         np.ones((1, 1, 2, 4)), "t.w2")
+        assert not rep.ok and rep.shape_errors
