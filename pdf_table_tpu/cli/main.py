@@ -155,7 +155,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.file_path_or_url:
         parser.error("--file_path_or_url is required")
     cli = PdfTableCli(args)
-    result = cli.run_extract_pdf_table()
+    from ..utils.profiling import device_trace
+    with device_trace(args.profile_dir):
+        result = cli.run_extract_pdf_table()
     print(json.dumps(result))
     return 0
 

@@ -61,6 +61,9 @@ class PdfTableCliArguments:
     device_mesh: Optional[str] = field(
         default=None,
         metadata={"help": "data-parallel mesh spec, e.g. 'dp=8'"})
+    profile_dir: Optional[str] = field(
+        default=None,
+        metadata={"help": "write a jax.profiler device trace here"})
 
 
 @dataclass
