@@ -70,11 +70,16 @@ def quad_center(quad: np.ndarray) -> Tuple[float, float]:
 
 def make_lore_targets(quads: np.ndarray, logic: np.ndarray,
                       fmap_hw: Tuple[int, int],
-                      max_objs: int = 300) -> Dict[str, np.ndarray]:
+                      max_objs: int = 300,
+                      with_corners: bool = False) -> Dict[str, np.ndarray]:
     """quads (N, 8) in FEATURE-MAP coords; logic (N, 4).
 
     Returns fixed-size targets: hm (H, W, 2), hm_ind/hm_mask (M,), wh (M, 8),
-    reg (M, 2), logic (M, 4), gt_dets (M, 8)."""
+    reg (M, 2), logic (M, 4), gt_dets (M, 8). With ``with_corners`` also the
+    cycle-pairing targets mk_ind/mk_mask (4M,), st (4M, 8), ctr_cro_ind (4M,)
+    — corner slot (4i+j) holds cell i's corner j with the corner->center
+    vector in pair 0 (identity slot mapping; the reference dedupes shared
+    vertices, a refinement that changes targets only where cells touch)."""
     H, W = fmap_hw
     M = max_objs
     hm = np.zeros((H, W, 2), np.float32)
@@ -84,6 +89,11 @@ def make_lore_targets(quads: np.ndarray, logic: np.ndarray,
     reg = np.zeros((M, 2), np.float32)
     logic_t = np.zeros((M, 4), np.float32)
     gt_dets = np.zeros((M, 8), np.float32)
+
+    mk_ind = np.zeros((4 * M,), np.int64)
+    mk_mask = np.zeros((4 * M,), np.float32)
+    st = np.zeros((4 * M, 8), np.float32)
+    ctr_cro_ind = np.zeros((4 * M,), np.int64)
 
     n = min(len(quads), M)
     for i in range(n):
@@ -111,8 +121,23 @@ def make_lore_targets(quads: np.ndarray, logic: np.ndarray,
         reg[i] = (cx - ci, cy - cj)
         logic_t[i] = logic[i]
         gt_dets[i] = q
-    return {"hm": hm, "hm_ind": hm_ind, "hm_mask": hm_mask, "wh": wh,
-            "reg": reg, "logic": logic_t, "gt_dets": gt_dets}
+        if with_corners:
+            for j in range(4):
+                slot = 4 * i + j
+                qx, qy = int(q[2 * j]), int(q[2 * j + 1])
+                mk_ind[slot] = np.clip(qy, 0, H - 1) * W + np.clip(qx, 0,
+                                                                   W - 1)
+                mk_mask[slot] = 1.0
+                st[slot, 0] = q[2 * j] - cx
+                st[slot, 1] = q[2 * j + 1] - cy
+                # flattened (4M, 2)-view index of (slot, pair 0)
+                ctr_cro_ind[slot] = 4 * slot
+    out = {"hm": hm, "hm_ind": hm_ind, "hm_mask": hm_mask, "wh": wh,
+           "reg": reg, "logic": logic_t, "gt_dets": gt_dets}
+    if with_corners:
+        out.update(mk_ind=mk_ind, mk_mask=mk_mask, st=st,
+                   ctr_cro_ind=ctr_cro_ind)
+    return out
 
 
 class WtwDataset:

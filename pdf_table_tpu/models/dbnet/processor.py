@@ -159,6 +159,9 @@ class DbNetPostProcessor:
         bitmap = (prob > cfg.thresh).astype(np.uint8)
         contours, _ = cv2.findContours(bitmap * 255, cv2.RETR_LIST,
                                        cv2.CHAIN_APPROX_SIMPLE)
+        if cfg.return_polygon:
+            return self._polygons_from_contours(prob, contours,
+                                                (H, W), (oh, ow))
         boxes: List[List[float]] = []
         scores: List[float] = []
         for contour in contours[:cfg.max_candidates]:
@@ -178,6 +181,53 @@ class DbNetPostProcessor:
             scores.append(float(score))
         return {"det_polygons": np.array(boxes, np.float32).reshape(-1, 8),
                 "det_scores": np.array(scores, np.float32)}
+
+    def _polygons_from_contours(self, prob, contours, net_hw, org_hw):
+        """Polygon mode (reference polygons_from_bitmap,
+        ocr_detection_utils.py:116): approxPolyDP + score filter at 0.7 +
+        per-vertex normal offsetting for the unclip."""
+        import cv2
+
+        cfg = self.config
+        H, W = net_hw
+        oh, ow = org_hw
+        polys: List[List[float]] = []
+        scores: List[float] = []
+        for contour in contours[:100]:
+            eps = 0.01 * cv2.arcLength(contour, True)
+            approx = cv2.approxPolyDP(contour, eps, True).reshape(-1, 2)
+            if approx.shape[0] < 4:
+                continue
+            score = _box_score_fast(prob, approx.astype(np.float32))
+            if score < max(cfg.box_thresh, 0.7):
+                continue
+            poly = self._offset_polygon(approx.astype(np.float64), 2.0)
+            poly[:, 0] = np.clip(np.round(poly[:, 0] / W * ow), 0, ow)
+            poly[:, 1] = np.clip(np.round(poly[:, 1] / H * oh), 0, oh)
+            polys.append(poly.reshape(-1).tolist())
+            scores.append(float(score))
+        return {"det_polygons": polys,
+                "det_scores": np.array(scores, np.float32),
+                "is_polygon": True}
+
+    @staticmethod
+    def _offset_polygon(poly: np.ndarray, ratio: float) -> np.ndarray:
+        """Outward offset by d = area*ratio/perimeter along vertex
+        normals (pyclipper-free polygon unclip)."""
+        x, y = poly[:, 0], poly[:, 1]
+        area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        per = np.sum(np.linalg.norm(poly - np.roll(poly, -1, axis=0), axis=1))
+        if per < 1e-6:
+            return poly
+        d = area * ratio / per
+        c = poly.mean(axis=0)
+        out = poly.copy()
+        for i in range(len(poly)):
+            v = poly[i] - c
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                out[i] = poly[i] + v / n * d
+        return out
 
     def fast_host_boxes(self, prob: np.ndarray,
                         org_shape: Tuple[int, int]) -> Dict[str, Any]:

@@ -98,4 +98,29 @@ class LorePostProcessor:
                 "logic": axes[i].tolist(),
                 "score": float(scores[i]),
             })
+        if cells:
+            self.snap_to_grid(cells)
         return {"cells": cells, "type": "lore"}
+
+    @staticmethod
+    def snap_to_grid(cells: List[Dict[str, Any]], tol: float = 6.0) -> None:
+        """Grid-snap post-fix (reference post_process_bbox_and_logits,
+        ocr_table_structure_task.py:393-485 + merge_close_lines,
+        utils/pdf_utils.py:804): cluster cell edges into shared row/col
+        boundary lines and snap each bbox to them, so neighboring cells
+        meet exactly and downstream HTML spans stay consistent."""
+        from ..line_cell.grid import merge_positions
+
+        xs = merge_positions([c["bbox"][0] for c in cells]
+                             + [c["bbox"][2] for c in cells], tol)
+        ys = merge_positions([c["bbox"][1] for c in cells]
+                             + [c["bbox"][3] for c in cells], tol)
+
+        def snap(v, bounds):
+            j = int(np.argmin([abs(v - b) for b in bounds]))
+            return bounds[j] if abs(v - bounds[j]) <= tol else v
+
+        for c in cells:
+            x1, y1, x2, y2 = c["bbox"]
+            c["bbox"] = [snap(x1, xs), snap(y1, ys),
+                         snap(x2, xs), snap(y2, ys)]

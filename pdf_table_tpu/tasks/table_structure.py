@@ -18,6 +18,25 @@ from ..engine.params import load_or_init
 from ..models.registry import get_config, weights_dir
 
 
+def merge_tsr_cells(primary: Dict[str, Any], secondary: Dict[str, Any],
+                    iou_thresh: float = 0.5) -> Dict[str, Any]:
+    """Lore ∪ LineCell fusion (reference merge mode, ocr_system_task.py
+    :604-613 + convert_table_sep_to_merge, table_common.py:1794): keep the
+    secondary (line-derived, exact) cells and add primary (model) cells not
+    already covered, then re-derive logical coordinates over the union."""
+    from ..models.center_net.processor import assign_logical_coords
+    from .table_to_html import bbox_iou
+
+    base = [dict(c) for c in secondary.get("cells", [])]
+    for c in primary.get("cells", []):
+        covered = any(bbox_iou(c["bbox"], b["bbox"]) >= iou_thresh
+                      for b in base)
+        if not covered:
+            base.append(dict(c))
+    assign_logical_coords(base)
+    return {"cells": base, "type": "lore_line_cell_merge"}
+
+
 class OcrTableStructureTask(InferTask):
     task_name = "table_structure"
 
@@ -25,6 +44,12 @@ class OcrTableStructureTask(InferTask):
                  config=None, task_config: Optional[TaskConfig] = None,
                  mesh=None, **kw):
         super().__init__(task_config, mesh=mesh)
+        if model == "LoreAndLineCell":
+            # merge mode: LORE cells fused with OpenCV line cells
+            self._merge_line_cell = True
+            model = "Lore"
+        else:
+            self._merge_line_cell = False
         self.model_name = model
         if model == "Lore":
             from ..models.lore import LorePostProcessor, LorePreProcessor
@@ -121,6 +146,9 @@ class OcrTableStructureTask(InferTask):
         out = self.pre(inputs)
         meta = out.pop("meta", None) or {"shape_list": out.pop("shape_list",
                                                                None)}
+        if self._merge_line_cell:
+            from ..models.line_cell import extract_cells_from_image
+            meta["line_cells"] = extract_cells_from_image(inputs)
         return out, meta
 
     def _run_model(self, batch):
@@ -133,4 +161,7 @@ class OcrTableStructureTask(InferTask):
             return raw
         if self.model_name == "SLANet":
             return self.post(raw, meta["shape_list"])
-        return self.post(raw, meta)
+        result = self.post(raw, meta)
+        if self._merge_line_cell and meta.get("line_cells"):
+            result = merge_tsr_cells(result, meta["line_cells"])
+        return result

@@ -39,25 +39,83 @@ def axis_loss(logi: jax.Array, mask: jax.Array, target: jax.Array,
     return jnp.sum(jnp.abs(logi * m - target * m)) / (4 * (jnp.sum(m) + eps))
 
 
+def pair_loss(wh_map: jax.Array, st_map: jax.Array,
+              batch: Dict[str, jax.Array],
+              eps: float = 1e-4) -> Dict[str, jax.Array]:
+    """Cycle-pairing loss (reference PairLoss, loss/common_loss.py:125).
+
+    Supervises wh (center->corner vectors, gathered at hm_ind) and st
+    (corner->center vectors, gathered at mk_ind), weighting each element by
+    w = 1 - exp(-pi * min(delta^2, 1)) where delta is the relative
+    consistency error — hard pairs get emphasized, near-perfect pairs
+    barely contribute.
+
+    batch needs: hm_ind (B,M), hm_mask (B,M), wh (B,M,8);
+    mk_ind (B,4M), mk_mask (B,4M), st (B,4M,8), ctr_cro_ind (B,4M)
+    mapping each cell-corner to its corner slot.
+    """
+    pred1 = gather_map_at(wh_map, batch["hm_ind"])        # (B, M, 8)
+    pred2 = gather_map_at(st_map, batch["mk_ind"])        # (B, 4M, 8)
+    target1 = batch["wh"]
+    target2 = batch["st"]
+    B, M = batch["hm_ind"].shape
+    mask = jnp.broadcast_to(batch["hm_mask"][:, :, None],
+                            pred1.shape).astype(pred1.dtype)
+
+    # per cell: gather the (dy,dx) each of its 4 corners predicts for it
+    p2 = pred2.reshape(B, 4 * pred2.shape[1], 2)
+    t2 = target2.reshape(B, 4 * target2.shape[1], 2)
+    idx = batch["ctr_cro_ind"][:, :, None].astype(jnp.int32)  # (B, 4M, 1)
+    p2g = jnp.take_along_axis(p2, idx, axis=1).reshape(B, M, 8)
+    t2g = jnp.take_along_axis(t2, idx, axis=1).reshape(B, M, 8)
+
+    delta = (jnp.abs(pred1 - target1) + jnp.abs(p2g - t2g)) \
+        / (jnp.abs(target1) + eps)
+    delta = jnp.minimum(delta * delta, 1.0)
+    weight = 1.0 - jnp.exp(-3.14 * delta)
+
+    denom = jnp.sum(mask) + eps
+    loss1 = jnp.sum(jnp.abs(pred1 - target1) * mask * weight) / denom
+    loss2 = jnp.sum(jnp.abs(p2g - t2g) * mask * weight) / denom
+    # direct st supervision on valid corner slots (reference loss3 variant)
+    m2 = jnp.broadcast_to(batch["mk_mask"][:, :, None],
+                          pred2.shape).astype(pred2.dtype)
+    loss3 = jnp.sum(jnp.abs(pred2 - target2) * m2) / denom
+    return {"wh_l": loss1, "st_l": 0.5 * loss2 + 0.2 * loss3}
+
+
 def lore_loss(outputs: Dict[str, Any], batch: Dict[str, jax.Array],
               hm_weight: float = 1.0, wh_weight: float = 1.0,
               off_weight: float = 0.1,
-              wiz_stacking: bool = True) -> Dict[str, jax.Array]:
+              wiz_stacking: bool = True,
+              wiz_pairloss: bool = False) -> Dict[str, jax.Array]:
     """outputs: LoreModel.train_forward result; batch targets:
       hm (B, H, W, 2) gaussians; hm_ind (B, M); hm_mask (B, M);
-      wh (B, M, 8); reg (B, M, 2); logic (B, M, 4).
+      wh (B, M, 8); reg (B, M, 2); logic (B, M, 4); with wiz_pairloss also
+      mk_ind/mk_mask/st/ctr_cro_ind (see pair_loss).
     """
     heads = outputs["heads"]
     hm = outputs["hm"]
-    # supervision on the center channel (no-pair branch, lore_loss.py:50-54)
-    hm_l = focal_loss(hm[..., 0], batch["hm"][..., 0])
-    wh_l = reg_l1(heads["wh"], batch["hm_ind"], batch["hm_mask"], batch["wh"])
+    if wiz_pairloss and "mk_ind" in batch:
+        # both channels supervised + cycle-pairing (lore_loss.py:36-44)
+        hm_l = focal_loss(hm, batch["hm"])
+        pl = pair_loss(heads["wh"], heads["st"], batch)
+        wh_l, st_l = pl["wh_l"], pl["st_l"]
+    else:
+        # center channel only (no-pair branch, lore_loss.py:50-54)
+        hm_l = focal_loss(hm[..., 0], batch["hm"][..., 0])
+        wh_l = reg_l1(heads["wh"], batch["hm_ind"], batch["hm_mask"],
+                      batch["wh"])
+        st_l = None
     off_l = reg_l1(heads["reg"], batch["hm_ind"], batch["hm_mask"],
                    batch["reg"])
     ax_l = axis_loss(outputs["logi"], batch["hm_mask"], batch["logic"])
     total = hm_weight * hm_l + wh_weight * wh_l + off_weight * off_l \
         + 2.0 * ax_l
     losses = {"hm_l": hm_l, "wh_l": wh_l, "off_l": off_l, "ax_l": ax_l}
+    if st_l is not None:
+        total = total + st_l
+        losses["st_l"] = st_l
     if wiz_stacking:
         sax_l = axis_loss(outputs["stacked_logi"], batch["hm_mask"],
                           batch["logic"])

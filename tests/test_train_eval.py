@@ -195,3 +195,59 @@ class TestTEDS:
         html = "<table><tr><td>x</td></tr></table>"
         scores = TEDS(n_jobs=2).batch_evaluate([html, html], [html, html])
         assert scores == [1.0, 1.0]
+
+
+class TestPairLoss:
+    def test_pair_targets_and_loss(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.data import make_lore_targets
+        from pdf_table_tpu.train.lore_loss import lore_loss
+
+        quads = np.array([[2, 2, 10, 2, 10, 6, 2, 6]], np.float32)
+        logic = np.array([[0, 0, 1, 1]], np.float32)
+        t = make_lore_targets(quads, logic, (16, 16), max_objs=4,
+                              with_corners=True)
+        assert t["mk_mask"].sum() == 4.0
+        assert t["st"].shape == (16, 8)
+        assert t["ctr_cro_ind"][1] == 4  # slot 1 pair 0
+
+        B, H, W, M = 1, 16, 16, 4
+        batch = {k: jnp.asarray(v)[None] for k, v in t.items()
+                 if k != "image"}
+        outputs = {
+            "heads": {"wh": jnp.zeros((B, H, W, 8)),
+                      "st": jnp.zeros((B, H, W, 8)),
+                      "reg": jnp.zeros((B, H, W, 2))},
+            "hm": jnp.full((B, H, W, 2), 0.01),
+            "logi": jnp.zeros((B, M, 4)),
+            "stacked_logi": jnp.zeros((B, M, 4)),
+        }
+        losses = lore_loss(outputs, batch, wiz_pairloss=True)
+        assert "st_l" in losses
+        for v in losses.values():
+            assert np.isfinite(float(v))
+
+
+class TestGridSnap:
+    def test_snap_aligns_edges(self):
+        from pdf_table_tpu.models.lore.processor import LorePostProcessor
+
+        cells = [{"bbox": [0.0, 0.0, 49.0, 20.0]},
+                 {"bbox": [51.0, 0.5, 100.0, 20.5]}]
+        LorePostProcessor.snap_to_grid(cells, tol=4.0)
+        assert cells[0]["bbox"][2] == cells[1]["bbox"][0]
+        assert cells[0]["bbox"][1] == cells[1]["bbox"][1]
+
+
+class TestMergeMode:
+    def test_merge_tsr_cells(self):
+        from pdf_table_tpu.tasks.table_structure import merge_tsr_cells
+
+        lore = {"cells": [{"bbox": [0, 0, 50, 20]},      # covered
+                          {"bbox": [200, 0, 260, 20]}]}  # new
+        line = {"cells": [{"bbox": [0, 0, 52, 21], "logic": [0, 0, 0, 0]},
+                          {"bbox": [52, 0, 104, 21], "logic": [0, 0, 1, 1]}]}
+        merged = merge_tsr_cells(lore, line)
+        assert len(merged["cells"]) == 3
+        assert all("logic" in c for c in merged["cells"])
