@@ -70,8 +70,18 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        padding = self.padding
+        if padding == "SAME":
+            # torch/paddle convention: symmetric k//2 padding. Identical to
+            # XLA SAME at stride 1 (odd kernels) but differs for strided
+            # convs, where XLA SAME pads asymmetrically — symmetric padding
+            # keeps converted reference checkpoints numerically exact.
+            kh, kw = self.kernel
+            dh, dw = self.dilation
+            padding = ((dh * (kh - 1) // 2, dh * (kh - 1) // 2),
+                       (dw * (kw - 1) // 2, dw * (kw - 1) // 2))
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding=self.padding, feature_group_count=self.groups,
+                    padding=padding, feature_group_count=self.groups,
                     kernel_dilation=self.dilation,
                     use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -214,7 +224,8 @@ class ResNet(nn.Module):
 
         x = ConvBNAct(64, (7, 7), (2, 2), act="relu",
                       dtype=self.dtype, name="stem")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         feats = []
         widths = (64, 128, 256, 512)

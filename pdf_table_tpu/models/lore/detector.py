@@ -87,7 +87,7 @@ class ResNetDetector(nn.Module):
         d = jnp.dtype(cfg.dtype)
         x = ConvBNAct(64, (7, 7), (2, 2), act="relu", dtype=d,
                       name="stem")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         c0 = x                                             # stride 4
         widths = (64, 128, 256, 256)
         feats = []
