@@ -97,7 +97,12 @@ class BatchPipeline:
         nw = max(int(round(W * ratio / 32) * 32), 32)
 
         modelscope = cfg.norm_style == "modelscope"
-        key = ("batch_det", N, H, W, nh, nw)
+        # dp sharding: pad the page batch to a multiple of the mesh size so
+        # each chip gets equal shards (params replicated, XLA all-gathers
+        # only the tiny prob maps)
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        n_pad = (-N) % dp
+        key = ("batch_det", N + n_pad, H, W, nh, nw)
         fn = det._jitted.get(key)
         if fn is None:
             if modelscope:
@@ -117,9 +122,22 @@ class BatchPipeline:
                 out = det._apply_fn(variables, {"image": x})
                 # quantize the prob map for the downlink
                 return jnp.round(out["prob"] * 255.0).astype(jnp.uint8)
-            fn = jax.jit(run)
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_sh = NamedSharding(self.mesh, P("dp"))
+                repl = NamedSharding(self.mesh, P())
+                param_sh = jax.tree.map(lambda _: repl, det._params)
+                fn = jax.jit(run, in_shardings=(param_sh, batch_sh))
+            else:
+                fn = jax.jit(run)
             det._jitted[key] = fn
-        probs_u8 = np.asarray(fn(det._params, jnp.asarray(images)))
+        if n_pad:
+            images = np.concatenate(
+                [np.asarray(images),
+                 np.zeros((n_pad, H, W, 3), np.uint8)], axis=0)
+        probs_u8 = np.asarray(fn(det._params, jnp.asarray(images)))[:N]
 
         results = []
         for i, (h, w) in enumerate(shapes):

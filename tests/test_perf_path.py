@@ -98,3 +98,30 @@ class TestBatchPipeline:
                               {"image": raster}])
         assert len(results) == 2
         assert "Digital text" in results[0].page_html
+
+
+class TestMeshBatchDetection:
+    def test_dp_sharded_det(self, cpu_mesh):
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.tasks.detection import OcrDetectionTask
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False)
+        bp = BatchPipeline(cfg, mesh=cpu_mesh, batch_pages=8)
+        bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
+                                          inner_channels=48,
+                                          limit_side_len=96)
+        bp.system._rec = OcrRecognitionTask(
+            config=RecConfig(width_buckets=(80,)))
+
+        img = np.full((120, 100, 3), 255, np.uint8)
+        img[30:42, 10:90] = 30
+        # 5 pages -> padded to 8 for the dp=8 mesh
+        pages = [{"image": img.copy()} for _ in range(5)]
+        results = bp.run(pages)
+        assert len(results) == 5
+        for r in results:
+            assert r.page_html is not None
