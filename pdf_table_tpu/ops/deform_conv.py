@@ -9,9 +9,15 @@ bilinear blend (VPU work) and the contraction as one large matmul
 come for free through gather/matmul autodiff (training parity with the
 reference's backward kernels).
 
-A fused Pallas kernel for the gather+matmul hot path lives in
-ops/pallas/deform_conv_pallas.py; this XLA formulation is the reference
-implementation and the fallback on non-TPU backends.
+Pallas-kernel evaluation (2026-08, v5e): Mosaic has no per-element 2D
+gather (jnp.take_along_axis fails to lower; one-hot matmul needs
+128-aligned selector tiles and blows VMEM at these sizes; per-row dynamic
+slices can't express per-position sample coordinates). Meanwhile this XLA
+formulation measures <0.1 ms for LORE's hottest deform-conv shape
+(1x192x192x256 -> 256) on v5e — far off the critical path (the DLA trunk
+conv stack dominates). Decision: XLA gather+matmul IS the TPU
+implementation; the C++ oracle (ops/native/deform_conv_cpu.cc) pins its
+numerics. Revisit only if Mosaic grows a gather primitive.
 """
 
 from __future__ import annotations
