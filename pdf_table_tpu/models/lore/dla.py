@@ -148,6 +148,52 @@ def _bilinear_upsample(x, factor: int):
                             method="bilinear")
 
 
+def bilinear_up_kernel(f: int) -> "jnp.ndarray":
+    """Torch fill_up_weights init (lore_dla_34.py:53): (2f, 2f) bilinear
+    tap weights for a stride-f depthwise transposed conv."""
+    k = 2 * f
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    i = jnp.arange(k, dtype=jnp.float32)
+    w1 = 1.0 - jnp.abs(i / f - c)
+    return w1[:, None] * w1[None, :]
+
+
+class DepthwiseUpsample(nn.Module):
+    """Learnable grouped ConvTranspose(k=2f, stride=f, pad=f//2, groups=C)
+    — the reference IDAUp 'up' op (lore_dla_34.py:96-99), bilinear-
+    initialized. Expressed as an lhs-dilated depthwise conv (XLA-native;
+    flax ConvTranspose lacks groups)."""
+
+    factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        if f == 1:
+            return x
+        C = x.shape[-1]
+        k = 2 * f
+
+        def init(key, shape, dtype=jnp.float32):
+            base = bilinear_up_kernel(f).astype(dtype)
+            return jnp.broadcast_to(base[:, :, None, None], shape)
+
+        kern = self.param("kernel", init, (k, k, 1, C))
+        # ConvTranspose(stride f, pad f//2) == lhs-dilated conv with the
+        # flipped kernel and per-side padding 2f - 1 - f//2
+        pad = 2 * f - 1 - f // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            jnp.flip(kern, (0, 1)).astype(jnp.float32),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+        return y.astype(self.dtype)
+
+
 class IDAUp(nn.Module):
     """Iterative deep aggregation (reference IDAUp, lore_dla_34.py:86).
 
@@ -168,7 +214,8 @@ class IDAUp(nn.Module):
             k = i - startp
             x = DeformConvBlock(self.features, dtype=self.dtype,
                                 name=f"proj_{k}")(out[i], train)
-            x = _bilinear_upsample(x, int(self.up_factors[k]))
+            x = DepthwiseUpsample(int(self.up_factors[k]), dtype=self.dtype,
+                                  name=f"up_{k}")(x)
             x = DeformConvBlock(self.features, dtype=self.dtype,
                                 name=f"node_{k}")(x + out[i - 1], train)
             out[i] = x

@@ -129,3 +129,24 @@ class TestSourceAndReport:
         rep.check_assign(tree, ["layer", "kernel"],
                          np.ones((1, 1, 2, 4)), "t.w2")
         assert not rep.ok and rep.shape_errors
+
+
+class TestDepthwiseUpsample:
+    def test_matches_torch_grouped_deconv(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.models.lore.dla import DepthwiseUpsample
+
+        f, C = 2, 6
+        up = torch.nn.ConvTranspose2d(C, C, f * 2, stride=f, padding=f // 2,
+                                      groups=C, bias=False)
+        torch.manual_seed(0)
+        up.weight.data = torch.randn_like(up.weight.data)
+        x = torch.randn(1, C, 8, 8)
+        ref = up(x).detach().numpy().transpose(0, 2, 3, 1)
+
+        mod = DepthwiseUpsample(f)
+        wk = up.weight.detach().numpy()[:, 0].transpose(1, 2, 0)[:, :, None, :]
+        out = mod.apply({"params": {"kernel": jnp.asarray(wk)}},
+                        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        assert np.abs(ref - np.asarray(out)).max() < 1e-5
