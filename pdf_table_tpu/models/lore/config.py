@@ -31,6 +31,7 @@ class LoreConfig:
     tsfm_layers: int = 4
     stacking_layers: int = 4
     num_heads: int = 8
+    d_ff: int = 2048                 # FeedForward width (lore_processor.py:229)
     max_fmp_size: int = 256          # position-embedding vocab
     wiz_2dpe: bool = True
     wiz_stacking: bool = True

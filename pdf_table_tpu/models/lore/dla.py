@@ -40,8 +40,28 @@ class Root(nn.Module):
         return jax.nn.relu(x)
 
 
+class DlaBasicBlock(nn.Module):
+    """DLA residual block: the residual is SUPPLIED by the caller
+    (maxpool+project in Tree), unlike torchvision's internal shortcut
+    (reference BasicBlock, center_net/modeling_centernet.py:220)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual, train: bool = False):
+        y = ConvBNAct(self.features, (3, 3), (self.stride, self.stride),
+                      act="relu", dtype=self.dtype, name="conv1")(x, train)
+        y = ConvBNAct(self.features, (3, 3), act=None,
+                      dtype=self.dtype, name="conv2")(y, train)
+        return jax.nn.relu(y + residual)
+
+
 class Tree(nn.Module):
-    """Recursive aggregation tree (reference Tree in dla module)."""
+    """Recursive aggregation tree (reference Tree,
+    center_net/modeling_centernet.py: maxpool downsample + 1x1 conv+bn
+    ``project`` form the block residual; children accumulate into Root)."""
 
     levels: int
     features: int
@@ -56,24 +76,26 @@ class Tree(nn.Module):
         if self.stride > 1:
             bottom = nn.max_pool(x, (self.stride, self.stride),
                                  strides=(self.stride, self.stride),
-                                 padding="SAME")
+                                 padding="VALID")
         else:
             bottom = x
-        if residual is None:
-            if bottom.shape[-1] != self.features:
-                residual = ConvBNAct(self.features, (1, 1), act=None,
-                                     dtype=self.dtype,
-                                     name="project")(bottom, train)
-            else:
-                residual = bottom
+        # NOTE: like the reference (Tree.forward, modeling_centernet.py:258),
+        # any residual passed by a parent tree is ignored — the residual is
+        # always recomputed from project(bottom).
+        if bottom.shape[-1] != self.features:
+            residual = ConvBNAct(self.features, (1, 1), act=None,
+                                 dtype=self.dtype,
+                                 name="project")(bottom, train)
+        else:
+            residual = bottom
         if self.level_root:
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.features, (self.stride, self.stride),
-                            dtype=self.dtype, name="tree1")(x, train)
-            x2 = BasicBlock(self.features, (1, 1),
-                            dtype=self.dtype, name="tree2")(x1, train)
+            x1 = DlaBasicBlock(self.features, self.stride, dtype=self.dtype,
+                               name="tree1")(x, residual, train)
+            x2 = DlaBasicBlock(self.features, 1, dtype=self.dtype,
+                               name="tree2")(x1, x1, train)
             out = Root(self.features, self.root_residual, dtype=self.dtype,
                        name="root")([x2, x1] + children, train)
         else:

@@ -61,8 +61,42 @@ def main() -> int:
         print("saved to", out_dir)
         return 0
 
+    if args.model.startswith("lore"):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.convert.lore_convert import (
+            convert_lore_detector, convert_lore_processor)
+        from pdf_table_tpu.models.lore import LoreModel
+
+        task_type = args.model.split("_", 1)[1] if "_" in args.model \
+            else "wtw"
+        cfg = get_config("table_structure", "Lore", task_type=task_type)
+        model = LoreModel(cfg)
+        variables = jax.tree.map(
+            np.asarray,
+            dict(init_params(model, jnp.zeros((1, *cfg.resolution, 3)))))
+        rep1 = convert_lore_detector(src, variables, cfg.hidden_size)
+        # processor may live in the same checkpoint under 'processor', or in
+        # a sibling processor_best.pth
+        proc_path = args.checkpoint.replace("model_best", "processor_best")
+        proc_src = src if any("tsfm_axis" in k for k in src.keys()) \
+            else TorchTensorSource(proc_path)
+        rep2 = convert_lore_processor(proc_src, variables,
+                                      cfg.tsfm_layers, cfg.stacking_layers)
+        print("detector:", rep1.summary())
+        print("processor:", rep2.summary())
+        if not (rep1.ok and rep2.ok):
+            print("MISSING:", (rep1.missing + rep2.missing)[:10])
+            print("SHAPE:", (rep1.shape_errors + rep2.shape_errors)[:10])
+            return 1
+        out_dir = args.out or weights_dir("table_structure", "Lore",
+                                          task_type)
+        save_params(variables, out_dir)
+        print("saved to", out_dir)
+        return 0
+
     print(f"no converter for {args.model!r} yet; available: db_resnet18, "
-          f"db_resnet50")
+          f"db_resnet50, lore_wtw, lore_wireless")
     return 2
 
 
