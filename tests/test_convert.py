@@ -150,3 +150,21 @@ class TestDepthwiseUpsample:
         out = mod.apply({"params": {"kernel": jnp.asarray(wk)}},
                         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
         assert np.abs(ref - np.asarray(out)).max() < 1e-5
+
+
+class TestOnnxReader:
+    def test_roundtrip(self):
+        from pdf_table_tpu.convert.onnx_reader import (encode_test_onnx,
+                                                       read_onnx_initializers)
+
+        tensors = {
+            "conv1.w_0": np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2),
+            "fc.b_0": np.array([1.5, -2.5], np.float32),
+            "shape": np.array([1, 3, 48, 320], np.int64),
+        }
+        blob = encode_test_onnx(tensors)
+        out = read_onnx_initializers(blob)
+        assert set(out) == set(tensors)
+        for k in tensors:
+            assert out[k].dtype == tensors[k].dtype
+            assert np.array_equal(out[k], tensors[k]), k
