@@ -111,6 +111,7 @@ class PdfTableCli:
                                         src_id=os.path.basename(src))
                         page_results.append((i, r.page_html))
                         metrics.append(r.to_metric_dict())
+                        self._save_debug(r, out_dir, src, i)
                     except Exception as e:  # page-level containment
                         logger.exception("page %d failed: %s", i, e)
                         metrics.append({"page": i, "error": str(e)})
@@ -123,6 +124,7 @@ class PdfTableCli:
             r = self.system(image=img, page=0, src_id=os.path.basename(src))
             page_results.append((0, r.page_html))
             metrics.append(r.to_metric_dict())
+            self._save_debug(r, out_dir, src, 0)
 
         merged = self.make_pdf_output_html(page_results)
         base = os.path.splitext(os.path.basename(src))[0]
@@ -137,6 +139,18 @@ class PdfTableCli:
                     len(page_results), time.time() - t_start)
         return {"html": html_path, "metrics": metric_path,
                 "n_pages": len(page_results)}
+
+    def _save_debug(self, result, out_dir: str, src: str, page: int) -> None:
+        """Write the annotated overlay PNG in debug mode (reference debug
+        renders per stage, ocr_system_task.py:584-718)."""
+        render = result.debug.get("render") if result.debug else None
+        if render is None:
+            return
+        import cv2
+
+        base = os.path.splitext(os.path.basename(src))[0]
+        path = os.path.join(out_dir, f"{base}_page{page + 1}_debug.png")
+        cv2.imwrite(path, cv2.cvtColor(render, cv2.COLOR_RGB2BGR))
 
     def make_pdf_output_html(self, page_results) -> str:
         from ..tasks.to_html import HTML_FOOTER, HTML_HEADER

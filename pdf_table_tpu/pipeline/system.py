@@ -266,6 +266,9 @@ class OcrSystemTask:
 
         out.metric = metric
         if cfg.debug:
+            from ..utils.debug_render import render_debug_overlay
+            out.debug["render"] = render_debug_overlay(
+                image, out.text_cells, out.layout_cells, table_results)
             logger.info("page %s metrics: %s", page,
                         {k: round(v, 3) for k, v in metric.items()})
         return out

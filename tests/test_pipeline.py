@@ -157,3 +157,30 @@ class TestCli:
         assert parse_pages("1,3", 5) == [0, 2]
         assert parse_pages("2-4", 5) == [1, 2, 3]
         assert parse_pages("1,4-end", 5) == [0, 3, 4]
+
+
+class TestDebugMode:
+    def test_debug_overlay_written(self, tmp_path):
+        from pdf_table_tpu.cli.main import main
+
+        p = write_text_pdf(str(tmp_path / "dbg.pdf"))
+        out_dir = str(tmp_path / "out")
+        main(["--file_path_or_url", p, "--output_dir", out_dir,
+              "--layout_model", "none", "--debug"])
+        assert os.path.exists(os.path.join(out_dir, "dbg_page1_debug.png"))
+
+    def test_render_overlay_shapes(self):
+        import numpy as np
+
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.utils.debug_render import render_debug_overlay
+
+        img = np.full((60, 80, 3), 255, np.uint8)
+        cells = [OcrCell.from_bbox((5, 5, 40, 20), text="x")]
+        layout = [OcrCell.from_bbox((2, 2, 70, 50), text="table", score=0.9)]
+        tsr = [((2, 2, 70, 50), {"cells": [{"bbox": [4, 4, 30, 18],
+                                            "logic": [0, 0, 0, 0]}],
+                                 "offset": (0, 0)})]
+        out = render_debug_overlay(img, cells, layout, tsr)
+        assert out.shape == img.shape
+        assert (out != img).any()
