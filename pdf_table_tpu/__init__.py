@@ -13,4 +13,21 @@ assembly, and classical OpenCV-lineage extraction.
 
 from .version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "read_pdf", "OcrSystemTask", "OcrSystemConfig"]
+
+
+def __getattr__(name):
+    """Lazy re-exports of the public API surfaces (reference
+    src/pdftable/__init__.py:14-19 re-exports entity/utils/model/process)."""
+    if name == "read_pdf":
+        from .pdf_table import read_pdf
+        return read_pdf
+    if name in ("OcrSystemTask", "OcrSystemConfig"):
+        from . import pipeline
+        return getattr(pipeline, name)
+    if name in ("entity", "utils", "models", "tasks", "pipeline",
+                "pdf_table", "ops", "eval", "data", "train", "convert",
+                "pdfio", "parallel"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

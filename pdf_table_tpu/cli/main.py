@@ -100,7 +100,22 @@ class PdfTableCli:
         page_results = []
         metrics: List[Dict[str, Any]] = []
 
-        if src.lower().endswith(".pdf"):
+        if src.lower().endswith(".pdf") and args.batch_pages > 1:
+            # batched device path (pages/s mode)
+            from ..pdfio.reader import PdfDocument
+            from ..pipeline.batch_runner import BatchPipeline
+
+            bp = BatchPipeline(self.system.config,
+                               batch_pages=args.batch_pages)
+            bp.system = self.system
+            with PdfDocument.open(src) as doc:
+                idxs = parse_pages(args.pages, doc.page_count)
+                pages = [{"pdf_page": doc.load_page(i), "pdf_doc": doc,
+                          "page": i} for i in idxs]
+                for i, r in zip(idxs, bp.run(pages)):
+                    page_results.append((i, r.page_html))
+                    metrics.append(r.to_metric_dict())
+        elif src.lower().endswith(".pdf"):
             from ..pdfio.reader import PdfDocument
             with PdfDocument.open(src) as doc:
                 idxs = parse_pages(args.pages, doc.page_count)

