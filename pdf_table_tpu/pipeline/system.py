@@ -228,6 +228,20 @@ class OcrSystemTask:
                         r = {"cells": region["cells"],
                              "type": "line_cell_pdf", "offset": (0, 0)}
                         table_results.append((region["bbox"], r))
+            elif table_bboxes and self.tsr_task is not None \
+                    and hasattr(self.tsr_task, "batch_infer"):
+                # all table crops of the page in one device forward
+                crops, kept = [], []
+                for tb in table_bboxes:
+                    x1, y1, x2, y2 = [int(round(v)) for v in tb]
+                    crop = image[max(0, y1):y2, max(0, x1):x2]
+                    if crop.size:
+                        crops.append(crop)
+                        kept.append((tb, (max(0, x1), max(0, y1))))
+                for (tb, offset), r in zip(kept,
+                                           self.tsr_task.batch_infer(crops)):
+                    r["offset"] = offset
+                    table_results.append((tb, r))
             else:
                 for tb in table_bboxes:
                     r = self.table_structure(image, tb)

@@ -165,3 +165,26 @@ class OcrTableStructureTask(InferTask):
         if self._merge_line_cell and meta.get("line_cells"):
             result = merge_tsr_cells(result, meta["line_cells"])
         return result
+
+    def batch_infer(self, crops) -> list:
+        """All table crops of a page in ONE device forward (the reference
+        loops per crop, ocr_system_task.py:192-198). Fixed model resolution
+        makes the stack static-shape; host pre/post stay per crop."""
+        if not crops:
+            return []
+        if self.model_name in ("LineCell",):
+            return [self(c) for c in crops]
+        import numpy as np
+
+        prepped = [self._preprocess(c) for c in crops]
+        pres = [p[0] for p in prepped]
+        metas = [p[1] for p in prepped]
+        self.ensure_built()
+        batch = {"image": np.concatenate([p["image"] for p in pres], axis=0)}
+        raw = self._run_model(batch)
+        results = []
+        for i, meta in enumerate(metas):
+            one = {k: np.asarray(v)[i:i + 1] for k, v in raw.items()
+                   if hasattr(v, "shape") and np.asarray(v).ndim >= 1}
+            results.append(self._postprocess(one, meta))
+        return results

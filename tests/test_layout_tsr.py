@@ -150,3 +150,23 @@ class TestRoundLogits:
 
         x = np.array([[0.4, 0.5, 1.49, 2.51]])
         assert round_logits(x).tolist() == [[0, 1, 1, 3]]
+
+
+class TestBatchTsr:
+    def test_batch_infer_matches_single(self):
+        import numpy as np
+
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        task = OcrTableStructureTask(
+            model="Lore", task_type="wireless", backbone="resnet18",
+            resolution=(64, 64), max_objs=8, hidden_size=32, head_conv=16,
+            tsfm_layers=1, stacking_layers=1, num_heads=4, max_fmp_size=64)
+        rng = np.random.default_rng(0)
+        crops = [rng.integers(0, 255, (70, 50, 3)).astype(np.uint8)
+                 for _ in range(3)]
+        batched = task.batch_infer(crops)
+        singles = [task(c) for c in crops]
+        assert len(batched) == 3
+        for b, s in zip(batched, singles):
+            assert len(b["cells"]) == len(s["cells"])
