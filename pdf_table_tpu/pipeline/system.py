@@ -187,6 +187,16 @@ class OcrSystemTask:
             image = render_page(pdf_doc, pdf_page, dpi=cfg.render_dpi)
         if image is None:
             raise ValueError("need image and/or pdf_page")
+        pdf_text_ok = pdf_page is not None
+        if pdf_page is not None:
+            from ..tasks.pdf_text import check_pdf_text_need_rotate90
+            if check_pdf_text_need_rotate90(pdf_page):
+                # page authored rotated: fix the raster, use OCR for text
+                # (reference check_pdf_text_need_rotate90 flow,
+                # ocr_system_task.py:461 + table_common.py:1617)
+                image = np.ascontiguousarray(np.rot90(image, k=3))
+                out.rotate_angle = 90.0
+                pdf_text_ok = False
         pre = self.preprocess_task(image, is_pdf=pdf_page is not None)
         image = pre["image"]
         out.rotate_angle = pre["rotate_angle"]
@@ -209,7 +219,7 @@ class OcrSystemTask:
         t0 = time.time()
         table_results = []
         if cfg.use_table:
-            if pdf_page is not None and pdf_page.segs is not None \
+            if pdf_text_ok and pdf_page.segs is not None \
                     and (pdf_page.segs or pdf_page.rects):
                 # digital PDF: exact wired-table cells from vector lines
                 # (LineCellPdf path; regions from layout or line clusters)
@@ -252,7 +262,7 @@ class OcrSystemTask:
 
         # text: digital-PDF extract or det+rec
         t0 = time.time()
-        if pdf_page is not None and cfg.pdf_text_prefer and pdf_page.texts:
+        if pdf_text_ok and cfg.pdf_text_prefer and pdf_page.texts:
             out.text_cells = self.pdf_text_task(pdf_page, out.pdf_scale)
             metric["pdf_text_extract"] = time.time() - t0
         else:
@@ -298,3 +308,17 @@ class OcrSystemTask:
                                 page=p.get("page", i),
                                 src_id=p.get("src_id", "")))
         return results
+
+    @staticmethod
+    def timing_summary(results: Sequence[OcrSystemModelOutput]
+                       ) -> Dict[str, Dict[str, float]]:
+        """Per-stage latency stats over a page batch (reference per-stage
+        timing aggregation, ocr_system_task.py:736-791 +
+        print_timings schema)."""
+        from ..utils.benchmark_utils import timing_stats
+
+        stages: Dict[str, List[float]] = {}
+        for r in results:
+            for k, v in r.metric.items():
+                stages.setdefault(k, []).append(v * 1000.0)
+        return {k: timing_stats(v) for k, v in stages.items()}

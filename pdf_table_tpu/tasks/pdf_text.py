@@ -25,6 +25,18 @@ def pdf_to_image_bbox(bbox: Tuple[float, float, float, float],
             x1 * scale, (page_height - y0) * scale)
 
 
+def check_pdf_text_need_rotate90(pdf_page, min_runs: int = 6,
+                                 ratio: float = 0.7) -> bool:
+    """True when most text runs flow vertically — the page was authored
+    rotated (reference check_pdf_text_need_rotate90,
+    model/pdf_table/table_common.py:1617)."""
+    runs = [t for t in pdf_page.texts if t.text.strip()]
+    if len(runs) < min_runs:
+        return False
+    vertical = sum(1 for t in runs if not t.is_horizontal)
+    return vertical / len(runs) >= ratio
+
+
 class OcrPdfTextTask:
     """Callable: (pdf_page, scale) -> list[OcrCell] in image coordinates."""
 

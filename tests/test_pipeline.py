@@ -215,3 +215,39 @@ class TestPackageApi:
         assert callable(pdf_table_tpu.read_pdf)
         assert pdf_table_tpu.OcrSystemTask is not None
         assert hasattr(pdf_table_tpu.entity, "OcrCell") or True
+
+
+class TestRotate90Check:
+    def test_vertical_text_detected(self):
+        from pdf_table_tpu.pdfio.reader import PdfPage, PdfText
+        from pdf_table_tpu.tasks.pdf_text import check_pdf_text_need_rotate90
+
+        page = PdfPage(index=0, media_box=(0, 0, 200, 300), rotate=0)
+        for i in range(8):
+            page.texts.append(PdfText(
+                text=f"t{i}", bbox=(10 + i * 5, 10, 15 + i * 5, 60),
+                origin=(10 + i * 5, 10), direction=(0.0, 1.0), size=10,
+                font="F1", adv=[5.0] * 2))
+        assert check_pdf_text_need_rotate90(page)
+        # horizontal text: no rotation
+        page2 = PdfPage(index=0, media_box=(0, 0, 200, 300), rotate=0)
+        for i in range(8):
+            page2.texts.append(PdfText(
+                text=f"t{i}", bbox=(10, 10 + i * 8, 60, 15 + i * 8),
+                origin=(10, 10 + i * 8), direction=(1.0, 0.0), size=10,
+                font="F1", adv=[5.0] * 2))
+        assert not check_pdf_text_need_rotate90(page2)
+
+    def test_timing_summary(self, tmp_path):
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+        from pdf_table_tpu.pipeline import OcrSystemConfig, OcrSystemTask
+
+        p = write_text_pdf(str(tmp_path / "t.pdf"))
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              render_dpi=72)
+        sys_task = OcrSystemTask(cfg)
+        with PdfDocument.open(p) as doc:
+            results = sys_task.ocr([{"pdf_page": doc.load_page(0),
+                                     "pdf_doc": doc}])
+        summary = OcrSystemTask.timing_summary(results)
+        assert "ocr_html" in summary and summary["ocr_html"]["count"] == 1
