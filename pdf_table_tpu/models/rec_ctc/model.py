@@ -130,9 +130,12 @@ class ConvNextViTBackbone(nn.Module):
         x = jnp.mean(x, axis=1)
         x = nn.Dense(self.dims, dtype=self.dtype, name="proj")(x)
         T = x.shape[1]
+        # fixed-capacity positions sliced to T: the same params serve both
+        # the full 804-px pass and the 300-px chunked pass
+        max_len = max(T, 256)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, T, self.dims))
-        x = x + pos.astype(self.dtype)
+                         (1, max_len, self.dims))
+        x = x + pos[:, :T].astype(self.dtype)
         for i in range(self.depth):
             x = TransformerEncoderLayer(self.dims, self.heads, prenorm=True,
                                         dtype=self.dtype, name=f"vit{i}")(x)

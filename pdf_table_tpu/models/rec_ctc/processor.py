@@ -54,12 +54,43 @@ class RecPreProcessor:
                 return b
         return cfg.width_buckets[-1]
 
+    def chunked_convnext(self, crops: Sequence[np.ndarray]) -> Dict[str, Any]:
+        """ConvNextViT path (reference processor_convnext_vit.py:88-96):
+        gray keep-ratio pad to 32x804, split into 3 overlapping 300-px
+        windows (stride 252) stacked as a sub-batch; decode re-concatenates
+        the 3 chunks along time before CTC collapse."""
+        import cv2
+
+        cfg = self.config
+        cw, ov = cfg.chunk_width, cfg.chunk_overlap
+        full_w = 3 * cw - 2 * ov  # 804
+        imgs = []
+        for c in crops:
+            g = cv2.cvtColor(c, cv2.COLOR_RGB2GRAY) if c.ndim == 3 else c
+            h, w = g.shape
+            ratio = w / float(h)
+            tw = min(int(cfg.img_height * ratio), full_w)
+            g = cv2.resize(g, (max(tw, 1), cfg.img_height))
+            canvas = np.zeros((cfg.img_height, full_w), np.float32)
+            canvas[:, :g.shape[1]] = g
+            for i in range(3):
+                left = (cw - ov) * i
+                imgs.append(canvas[:, left:left + cw, None] / 255.0)
+        group = {"bucket": cw,
+                 "images": np.stack(imgs).astype(np.float32),
+                 "indices": np.arange(len(crops), dtype=np.int64),
+                 "widths": np.full(len(crops), full_w, np.int64),
+                 "chunked": 3}
+        return {"groups": [group], "n": len(crops)}
+
     def __call__(self, crops: Sequence[np.ndarray]) -> Dict[str, Any]:
         """crops: list of HWC uint8 RGB. Groups by width bucket.
 
         Returns {'groups': [(bucket_w, images (N,H,Wb,C), indices, widths)]}
         keeping the original crop order recoverable via indices."""
         cfg = self.config
+        if cfg.backbone == "convnext_vit" and crops:
+            return self.chunked_convnext(crops)
         groups: Dict[int, List[int]] = {}
         for i, c in enumerate(crops):
             b = self.pick_bucket(c.shape[1], c.shape[0])

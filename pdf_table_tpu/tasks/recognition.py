@@ -60,8 +60,17 @@ class OcrRecognitionTask(InferTask):
         for group in batch["groups"]:
             imgs, real_n = self.pad_batch({"image": group["images"]})
             fn = self._get_jitted(imgs["image"].shape)
-            logits = fn(self._params, imgs)
-            results.append({"logits": logits[:real_n],
+            logits = fn(self._params, imgs)[:real_n]
+            chunks = group.get("chunked")
+            if chunks:
+                # (3N, T, V) -> (N, 3T, V): chunk logits concatenate along
+                # time before CTC collapse (ConvNextViT chunking)
+                import jax.numpy as jnp
+
+                n = real_n // chunks
+                T, V = logits.shape[1], logits.shape[2]
+                logits = logits.reshape(n, chunks * T, V)
+            results.append({"logits": logits,
                             "indices": group["indices"]})
         return results
 

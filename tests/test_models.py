@@ -189,3 +189,27 @@ class TestRegistryComplete:
         rec = list_models("recognition")
         for m in ("PP-OCRv4_rec", "CRNN", "ConvNextViT", "LightweightEdge"):
             assert m in rec, m
+
+
+class TestConvNextChunking:
+    def test_chunked_preprocess(self):
+        from pdf_table_tpu.models.rec_ctc import RecConfig, RecPreProcessor
+
+        cfg = RecConfig.convnext_vit()
+        pre = RecPreProcessor(cfg)
+        crops = [np.zeros((20, 500, 3), np.uint8),
+                 np.zeros((24, 100, 3), np.uint8)]
+        out = pre(crops)
+        g = out["groups"][0]
+        assert g["chunked"] == 3
+        assert g["images"].shape == (6, 32, 300, 1)
+
+    def test_task_chunked_decode(self):
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+        from pdf_table_tpu.tasks import OcrRecognitionTask
+
+        cfg = RecConfig.convnext_vit(vocab_size=37)
+        task = OcrRecognitionTask(config=cfg)
+        crops = [make_image(20, 400, seed=1), make_image(24, 90, seed=2)]
+        out = task(crops)
+        assert len(out["texts"]) == 2
