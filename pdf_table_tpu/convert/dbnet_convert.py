@@ -14,9 +14,7 @@ bn1, up2.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
-
-import numpy as np
+from typing import Any, Dict
 
 from .torch_to_flax import (ConversionReport, TorchTensorSource,
                             assign_conv_bn, convert_conv,

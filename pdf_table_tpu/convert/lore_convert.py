@@ -12,7 +12,7 @@ LoreProcessModel (lore_processor.py:399).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -3,7 +3,7 @@ model/ocr_pdf/cls_image_pulc_task.py:23)."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -8,17 +8,14 @@ apply per padded input shape.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 
 from ..engine.infer_task import InferTask, TaskConfig
 from ..engine.params import load_or_init
 from ..models.dbnet import DBNet, DbNetConfig, DbNetPreProcessor, DbNetPostProcessor
 from ..models.registry import get_config, weights_dir
-from ..utils.logging_utils import logger
 
 
 class OcrDetectionTask(InferTask):

@@ -7,7 +7,7 @@ forward; DocXLayout joins the registry when implemented.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -9,9 +9,7 @@ table_common.py:1029).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import List, Sequence, Tuple
 
 from ..entity.ocr_cell import OcrCell
 from ..entity.enums import HtmlContentType

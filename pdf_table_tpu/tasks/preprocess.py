@@ -8,7 +8,7 @@ mass, utils/table/image_processing.py:500-545) and rotate_image_v2:116
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -9,12 +9,12 @@ handful of device programs regardless of box count.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import numpy as np
 
-from ..engine.infer_task import InferTask, TaskConfig, bucket_batch_size
+from ..engine.infer_task import InferTask, TaskConfig
 from ..engine.params import load_or_init
 from ..models.rec_ctc import (Charset, CTCRecModel, RecConfig,
                               RecPostProcessor, RecPreProcessor)

@@ -10,7 +10,7 @@ TableMaster/MtlTabNet via the master variant.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

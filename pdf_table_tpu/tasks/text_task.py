@@ -5,7 +5,7 @@ Reference: OcrTextTask (model/ocr_pdf/ocr_text_task.py:44).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List
 
 import numpy as np
 
