@@ -168,3 +168,51 @@ class TestOnnxReader:
         for k in tensors:
             assert out[k].dtype == tensors[k].dtype
             assert np.array_equal(out[k], tensors[k]), k
+
+
+class TestOnnxShapeMatcher:
+    def test_sequential_cnn_roundtrip(self):
+        """Build a tiny flax CNN, export its params as ordered ONNX
+        initializers (torch-layout), scramble values, and verify the shape
+        matcher restores them in order."""
+        import flax.linen as nn
+
+        from pdf_table_tpu.convert.onnx_reader import (encode_test_onnx,
+                                                       read_onnx_initializers)
+        from pdf_table_tpu.convert.onnx_shape_matcher import (flatten_params,
+                                                              match_by_shape)
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(8, (3, 3), name="c1")(x)
+                x = nn.Conv(16, (3, 3), name="c2")(x)
+                x = x.mean(axis=(1, 2))
+                return nn.Dense(4, name="fc")(x)
+
+        m = Tiny()
+        variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        params = jax.tree.map(np.asarray, dict(variables))["params"]
+
+        rng = np.random.default_rng(0)
+        onnx_tensors = {}
+        for i, (name, val) in enumerate(flatten_params(params)):
+            v = rng.normal(size=val.shape).astype(np.float32)
+            if val.ndim == 4:   # to ONNX OIHW
+                v_onnx = np.transpose(v, (3, 2, 0, 1))
+            elif val.ndim == 2:
+                v_onnx = v.T
+            else:
+                v_onnx = v
+            onnx_tensors[f"p_{i}.w_0"] = np.ascontiguousarray(v_onnx)
+
+        blob = encode_test_onnx(onnx_tensors)
+        loaded = read_onnx_initializers(blob)
+        rep = match_by_shape(loaded, params)
+        assert not rep.missing and len(rep.mapped) == 6
+        # values actually landed (converted back to flax layout)
+        flat_after = dict(flatten_params(params))
+        # flax orders leaves alphabetically: p_0 is c1/bias, p_1 c1/kernel
+        v1 = loaded["p_1.w_0"]
+        assert np.allclose(flat_after["c1/kernel"],
+                           np.transpose(v1, (2, 3, 1, 0)))
