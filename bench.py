@@ -45,6 +45,13 @@ def bench() -> dict:
     cfg = OcrSystemConfig(use_layout=False, use_table=False,
                           use_orientation_cls=False)
     bp = BatchPipeline(cfg, batch_pages=8)
+    # random weights find no text: drop thresholds so ~dozens of candidate
+    # boxes per page flow through crop + recognition, making the measured
+    # path representative of converted-weight workloads
+    from pdf_table_tpu.tasks.detection import OcrDetectionTask
+
+    bp.system._det = OcrDetectionTask(model="PP-OCRv4_det", thresh=0.45,
+                                      box_thresh=0.0, max_candidates=48)
     pages = [{"image": make_page(i)} for i in range(16)]
 
     # warmup (compile det batch program + rec buckets)

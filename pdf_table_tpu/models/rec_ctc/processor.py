@@ -23,8 +23,9 @@ from .config import RecConfig
 def resize_norm_crop(img: np.ndarray, out_h: int, bucket_w: int,
                      channels: int) -> Tuple[np.ndarray, int]:
     """Resize keeping aspect to height out_h, right-pad to bucket_w.
-    Normalization matches PP rec: x/127.5 - 1 (resize_norm_img:44-67).
-    Returns (H, W, C) float32 and the valid (unpadded) width."""
+    Returns (H, W, C) uint8 and the valid (unpadded) width; the PP-rec
+    normalization (x/127.5 - 1, resize_norm_img:44-67) happens on device so
+    crops ship as uint8 (4x less transfer on the tunneled chip)."""
     import cv2
 
     h, w = img.shape[:2]
@@ -37,8 +38,8 @@ def resize_norm_crop(img: np.ndarray, out_h: int, bucket_w: int,
         resized = resized[:, :, None]
     elif resized.ndim == 2:
         resized = np.repeat(resized[:, :, None], 3, axis=2)
-    out = np.zeros((out_h, bucket_w, channels), np.float32)
-    out[:, :new_w] = resized.astype(np.float32) / 127.5 - 1.0
+    out = np.zeros((out_h, bucket_w, channels), np.uint8)
+    out[:, :new_w] = resized
     return out, new_w
 
 
@@ -71,13 +72,13 @@ class RecPreProcessor:
             ratio = w / float(h)
             tw = min(int(cfg.img_height * ratio), full_w)
             g = cv2.resize(g, (max(tw, 1), cfg.img_height))
-            canvas = np.zeros((cfg.img_height, full_w), np.float32)
+            canvas = np.zeros((cfg.img_height, full_w), np.uint8)
             canvas[:, :g.shape[1]] = g
             for i in range(3):
                 left = (cw - ov) * i
-                imgs.append(canvas[:, left:left + cw, None] / 255.0)
+                imgs.append(canvas[:, left:left + cw, None])
         group = {"bucket": cw,
-                 "images": np.stack(imgs).astype(np.float32),
+                 "images": np.stack(imgs),
                  "indices": np.arange(len(crops), dtype=np.int64),
                  "widths": np.full(len(crops), full_w, np.int64),
                  "chunked": 3}

@@ -10,7 +10,7 @@ device for all crops of a page at once.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,10 +101,49 @@ def warp_perspective_batch(img: jax.Array, mats: jax.Array,
 
 
 def crop_rotated_boxes(img: np.ndarray, quads: np.ndarray,
-                       out_hw: Tuple[int, int]) -> jax.Array:
-    """Host entry: order points, build matrices, sample all crops at once."""
+                       out_hw: Optional[Tuple[int, int]] = None):
+    """Crop text quads out of a page image (reference crop_image,
+    utils/ocr/ocr_common_utils.py:214).
+
+    With ``out_hw`` all crops sample to one static size in a single device
+    program (warp_perspective_batch). With ``out_hw=None`` each crop keeps
+    its natural size (list of numpy arrays): axis-aligned quads slice
+    directly; rotated quads go through cv2.warpPerspective on host.
+    """
     if len(quads) == 0:
-        return jnp.zeros((0, out_hw[0], out_hw[1], img.shape[-1]), jnp.float32)
-    ordered = np.stack([order_points_clockwise(q) for q in quads])
-    mats = perspective_matrices(ordered, out_hw)
-    return warp_perspective_batch(jnp.asarray(img), jnp.asarray(mats), out_hw)
+        if out_hw is None:
+            return []
+        return jnp.zeros((0, out_hw[0], out_hw[1], img.shape[-1]),
+                         jnp.float32)
+    if out_hw is not None:
+        ordered = np.stack([order_points_clockwise(q) for q in quads])
+        mats = perspective_matrices(ordered, out_hw)
+        return warp_perspective_batch(jnp.asarray(img), jnp.asarray(mats),
+                                      out_hw)
+
+    import cv2
+
+    H, W = img.shape[:2]
+    crops = []
+    for q in np.asarray(quads, np.float32).reshape(-1, 4, 2):
+        o = order_points_clockwise(q)
+        w = int(round(max(np.linalg.norm(o[0] - o[1]),
+                          np.linalg.norm(o[3] - o[2]))))
+        h = int(round(max(np.linalg.norm(o[0] - o[3]),
+                          np.linalg.norm(o[1] - o[2]))))
+        w, h = max(w, 1), max(h, 1)
+        xs, ys = o[:, 0], o[:, 1]
+        axis_aligned = (abs(ys[0] - ys[1]) < 1.0 and abs(xs[1] - xs[2]) < 1.0
+                        and abs(ys[2] - ys[3]) < 1.0)
+        if axis_aligned:
+            x1 = int(np.clip(np.floor(xs.min()), 0, W - 1))
+            y1 = int(np.clip(np.floor(ys.min()), 0, H - 1))
+            x2 = int(np.clip(np.ceil(xs.max()), x1 + 1, W))
+            y2 = int(np.clip(np.ceil(ys.max()), y1 + 1, H))
+            crops.append(np.ascontiguousarray(img[y1:y2, x1:x2]))
+        else:
+            dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1],
+                            [0, h - 1]], np.float32)
+            m = cv2.getPerspectiveTransform(o.astype(np.float32), dst)
+            crops.append(cv2.warpPerspective(img, m, (w, h)))
+    return crops

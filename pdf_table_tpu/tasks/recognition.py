@@ -44,9 +44,16 @@ class OcrRecognitionTask(InferTask):
                            cfg.img_channels), np.float32)
         variables = load_or_init(module, sample,
                                  weights_dir("recognition", self.model_name))
+        # normalization on device: crops upload as uint8
+        # (PP rec: x/127.5-1; ConvNextViT: x/255 — processor refs)
+        convnext = cfg.backbone == "convnext_vit"
 
         def apply_fn(variables, batch):
-            return module.apply(variables, batch["image"], train=False)
+            import jax.numpy as jnp
+
+            x = batch["image"].astype(jnp.float32)
+            x = x / 255.0 if convnext else x / 127.5 - 1.0
+            return module.apply(variables, x, train=False)
 
         return apply_fn, variables
 

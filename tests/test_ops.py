@@ -249,3 +249,37 @@ class TestConnectedComponents:
             m.astype(np.uint8), connectivity=8)
         # same number of components
         assert len(np.unique(labels[labels > 0])) == n_ref - 1
+
+
+class TestVariableCrops:
+    def test_axis_aligned_slices(self):
+        import numpy as np
+
+        from pdf_table_tpu.ops.warp import crop_rotated_boxes
+
+        img = np.arange(40 * 60 * 3, dtype=np.uint8).reshape(40, 60, 3)
+        quads = np.array([[10, 5, 30, 5, 30, 15, 10, 15]], np.float32)
+        crops = crop_rotated_boxes(img, quads, None)
+        assert len(crops) == 1
+        assert crops[0].shape == (10, 20, 3)
+        assert np.array_equal(crops[0], img[5:15, 10:30])
+
+    def test_rotated_warps(self):
+        import numpy as np
+
+        from pdf_table_tpu.ops.warp import crop_rotated_boxes
+
+        img = np.zeros((50, 50, 3), np.uint8)
+        img[20:30, 10:40] = 200
+        # slightly rotated quad around the bar
+        quads = np.array([[10, 21, 39, 19, 40, 29, 11, 31]], np.float32)
+        crops = crop_rotated_boxes(img, quads, None)
+        assert len(crops) == 1
+        assert crops[0].mean() > 100  # captured the bright bar
+
+    def test_empty(self):
+        from pdf_table_tpu.ops.warp import crop_rotated_boxes
+        import numpy as np
+
+        assert crop_rotated_boxes(np.zeros((10, 10, 3), np.uint8),
+                                  np.zeros((0, 4, 2)), None) == []
