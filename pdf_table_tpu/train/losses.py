@@ -63,6 +63,19 @@ def db_loss(outputs: Dict[str, jax.Array], batch: Dict[str, jax.Array],
     return {"loss": total, "bce": bce, "l1": l1, "dice": dice}
 
 
+def ctc_loss(logits: jax.Array, labels: jax.Array,
+             label_paddings: jax.Array, blank_id: int = 0) -> jax.Array:
+    """Mean CTC loss over the batch (recognizer training; the reference
+    trains its ModelScope recognizers with torch CTCLoss —
+    ocr_recognition/modeling_ocr_recognition.py)."""
+    import optax
+
+    logit_paddings = jnp.zeros(logits.shape[:2], logits.dtype)
+    per = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
+                         blank_id=blank_id)
+    return per.mean()
+
+
 def focal_loss(pred: jax.Array, gt: jax.Array, alpha: float = 2.0,
                beta: float = 4.0, eps: float = 1e-6) -> jax.Array:
     """CenterNet focal loss on gaussian heatmaps

@@ -251,3 +251,34 @@ class TestMergeMode:
         merged = merge_tsr_cells(lore, line)
         assert len(merged["cells"]) == 3
         assert all("logic" in c for c in merged["cells"])
+
+
+class TestDbTargets:
+    def test_shrink_and_border(self):
+        from pdf_table_tpu.data.det_targets import make_db_targets
+
+        t = make_db_targets([[10, 10, 50, 30]], (64, 64))
+        assert t["gt"].shape == (64, 64)
+        # shrunk interior positive, original border not
+        assert t["gt"][20, 30] == 1.0
+        assert t["gt"][10, 10] == 0.0
+        # threshold ramp peaks at the box edge, mask covers the band
+        assert t["thresh_mask"][10, 30] == 1.0
+        assert t["thresh_map"][10, 30] > t["thresh_map"][20, 30]
+        assert 0.29 < t["thresh_map"].max() <= 0.71
+
+    def test_ctc_loss_decreases_towards_target(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.train.losses import ctc_loss
+
+        B, T, V = 2, 10, 5
+        labels = jnp.array([[1, 2, 0, 0], [3, 0, 0, 0]], jnp.int32)
+        pads = jnp.array([[0, 0, 1, 1], [0, 1, 1, 1]], jnp.float32)
+        bad = jnp.zeros((B, T, V))
+        # logits aligned with the labels should score better than uniform
+        good = np.zeros((B, T, V), np.float32)
+        good[0, :, 1] = 5; good[0, 5:, 2] = 10
+        good[1, :, 3] = 8
+        assert float(ctc_loss(jnp.asarray(good), labels, pads)) < \
+            float(ctc_loss(bad, labels, pads))
