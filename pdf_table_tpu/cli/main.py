@@ -29,7 +29,7 @@ PAGE_SEP = "@" * 48  # reference merge separator (cli/main.py:154-226)
 # configuration_ocr_document.py:120-150)
 DET_ALIASES = {"PP-OCRv4": "PP-OCRv4_det", "PP-OCRv3": "PP-OCRv4_det",
                "resnet18": "db_resnet18", "resnet50": "db_resnet50",
-               "proxylessnas": "db_resnet18"}
+               "proxylessnas": "db_proxylessnas"}
 REC_ALIASES = {"PP-OCRv4": "PP-OCRv4_rec", "PP-OCRv3": "PP-OCRv4_rec",
                "PP-Table": "PP-OCRv4_rec", "ConvNextViT": "ConvNextViT",
                "CRNN": "CRNN", "LightweightEdge": "CRNN"}

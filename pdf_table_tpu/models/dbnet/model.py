@@ -70,6 +70,36 @@ class MobileNetV3Det(nn.Module):
         return tuple(feats)  # C2..C5
 
 
+class CompactNasBackbone(nn.Module):
+    """Compact mobile det backbone with NAS-style mixed-kernel inverted
+    residuals, width stages (32, 64, 96, 128) (reference DBNasModel ->
+    CompactDetBackbone, db_net/dbnet.py:693-713 + proxyless.py:90; the
+    searched cell choices are re-expressed as a fixed stage list)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        x = ConvBNAct(32, (3, 3), (2, 2), act="relu6", dtype=d,
+                      name="stem")(x, train)
+        feats = []
+        stages = [  # (out, blocks as (expand, kernel))
+            (32, [(3, 3), (3, 5)]),
+            (64, [(6, 5), (3, 3)]),
+            (96, [(6, 5), (3, 5)]),
+            (128, [(6, 7), (6, 5)]),
+        ]
+        for si, (c, blocks) in enumerate(stages):
+            for bi, (e, k) in enumerate(blocks):
+                stride = (2, 2) if bi == 0 else (1, 1)
+                x = InvertedResidual(c, c * e, (k, k), stride,
+                                     act="relu6", dtype=d,
+                                     name=f"s{si}_b{bi}")(x, train)
+            feats.append(x)
+        return tuple(feats)  # strides 4, 8, 16, 32
+
+
 class RSELayer(nn.Module):
     """Residual squeeze-excite conv (PP-OCRv3 RSE-FPN unit)."""
 
@@ -155,6 +185,10 @@ class DBNet(nn.Module):
             feats = MobileNetV3Det(dtype=dtype, name="backbone")(x, train)
             fused = RSEFPN(cfg.inner_channels, dtype=dtype,
                            name="neck")(feats, train)
+        elif cfg.backbone == "proxylessnas":
+            feats = CompactNasBackbone(dtype=dtype, name="backbone")(x, train)
+            fused = FPN(cfg.inner_channels, dtype=dtype,
+                        name="neck")(feats, train)
         else:
             raise ValueError(f"unknown backbone {cfg.backbone}")
 

@@ -68,6 +68,13 @@ def _db_r50(**kw):
     return DbNetConfig(backbone="resnet50", **kw)
 
 
+@register("detection", "db_proxylessnas")
+def _db_nas(**kw):
+    from .dbnet.config import DbNetConfig
+    kw.setdefault("inner_channels", 64)
+    return DbNetConfig(backbone="proxylessnas", **kw)
+
+
 @register("detection", "PP-OCRv4_det")
 def _db_pp(**kw):
     from .dbnet.config import DbNetConfig

@@ -213,3 +213,18 @@ class TestConvNextChunking:
         crops = [make_image(20, 400, seed=1), make_image(24, 90, seed=2)]
         out = task(crops)
         assert len(out["texts"]) == 2
+
+
+class TestProxylessNasDet:
+    def test_forward(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.dbnet import DBNet, DbNetConfig
+
+        cfg = DbNetConfig(backbone="proxylessnas", inner_channels=32)
+        model = DBNet(cfg)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = init_params(model, x)
+        out = model.apply(variables, x, train=False)
+        assert out["prob"].shape == (1, 64, 64)
