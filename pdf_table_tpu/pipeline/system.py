@@ -269,7 +269,9 @@ class OcrSystemTask:
             quads = self.text_detection(image)
             metric["detection"] = time.time() - t0
             t0 = time.time()
-            out.text_cells = self.text_recognition(image, quads)
+            cells = self.text_recognition(image, quads)
+            from ..tasks.to_html import merge_overlapping_cells
+            out.text_cells = merge_overlapping_cells(cells)
             metric["recognition"] = time.time() - t0
 
         # table -> html

@@ -25,6 +25,48 @@ HTML_HEADER = ("<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"UTF-8\">\n"
 HTML_FOOTER = "</body>\n</html>\n"
 
 
+def merge_overlapping_cells(cells: Sequence[OcrCell],
+                            overlap_thresh: float = 0.7) -> List[OcrCell]:
+    """Merge detections that substantially overlap (containment ratio of
+    the smaller box >= threshold) into one cell, concatenating text in
+    x-order (reference ocr_post_process, table_common.py:1328)."""
+    items = list(cells)
+    merged = True
+    while merged:
+        merged = False
+        out: List[OcrCell] = []
+        used = [False] * len(items)
+        for i, a in enumerate(items):
+            if used[i]:
+                continue
+            for j in range(i + 1, len(items)):
+                if used[j]:
+                    continue
+                b = items[j]
+                ix = max(0.0, min(a.x2, b.x2) - max(a.x1, b.x1))
+                iy = max(0.0, min(a.y2, b.y2) - max(a.y1, b.y1))
+                inter = ix * iy
+                smaller = max(min(a.area, b.area), 1e-9)
+                if inter / smaller >= overlap_thresh:
+                    left, right = (a, b) if a.x1 <= b.x1 else (b, a)
+                    text = " ".join(t for t in
+                                    ((left.text or "").strip(),
+                                     (right.text or "").strip()) if t)
+                    c = OcrCell.from_bbox(
+                        (min(a.x1, b.x1), min(a.y1, b.y1),
+                         max(a.x2, b.x2), max(a.y2, b.y2)),
+                        text=text, score=max(a.score, b.score))
+                    used[i] = used[j] = True
+                    out.append(c)
+                    merged = True
+                    break
+            if not used[i]:
+                out.append(a)
+                used[i] = True
+        items = out
+    return items
+
+
 def group_lines(cells: Sequence[OcrCell],
                 y_overlap_ratio: float = 0.5) -> List[List[OcrCell]]:
     """Group cells into visual lines by vertical overlap, sort each line by x."""

@@ -251,3 +251,26 @@ class TestRotate90Check:
                                      "pdf_doc": doc}])
         summary = OcrSystemTask.timing_summary(results)
         assert "ocr_html" in summary and summary["ocr_html"]["count"] == 1
+
+
+class TestOverlapMerge:
+    def test_contained_boxes_merge(self):
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.tasks.to_html import merge_overlapping_cells
+
+        a = OcrCell.from_bbox((0, 0, 100, 20), text="hello")
+        b = OcrCell.from_bbox((10, 2, 60, 18), text="dup")   # inside a
+        c = OcrCell.from_bbox((200, 0, 260, 20), text="far")
+        out = merge_overlapping_cells([a, b, c])
+        assert len(out) == 2
+        texts = sorted(x.text for x in out)
+        assert "far" in texts
+        assert any("hello" in t for t in texts)
+
+    def test_disjoint_untouched(self):
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.tasks.to_html import merge_overlapping_cells
+
+        cells = [OcrCell.from_bbox((i * 50, 0, i * 50 + 40, 10), text=str(i))
+                 for i in range(4)]
+        assert len(merge_overlapping_cells(cells)) == 4
