@@ -54,7 +54,7 @@ class SLAHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, train: bool = False):
+    def __call__(self, feat, train: bool = False, teacher_tokens=None):
         B, H, W, C = feat.shape
         mem = feat.reshape(B, H * W, C).astype(jnp.float32)
         hd, V, L = self.hidden, self.vocab_size, self.loc_reg_num
@@ -85,8 +85,10 @@ class SLAHead(nn.Module):
 
         keys = mem @ w_k                          # (B, HW, hd) — precompute
 
-        def step(carry, _):
+        def step(carry, teacher_tok):
             hidden, tok = carry
+            if teacher_tok is not None:
+                tok = teacher_tok                 # teacher forcing (training)
             q = (hidden @ w_q)[:, None, :]        # (B, 1, hd)
             e = (jnp.tanh(q + keys) @ w_v)[..., 0]    # (B, HW)
             a = jax.nn.softmax(e, axis=-1)
@@ -105,8 +107,19 @@ class SLAHead(nn.Module):
 
         h0 = jnp.zeros((B, hd), jnp.float32)
         tok0 = jnp.zeros((B,), jnp.int32)  # sos
-        (_, _), (logits, locs) = jax.lax.scan(
-            step, (h0, tok0), None, length=self.max_len)
+        if teacher_tokens is not None:
+            # inputs = [sos, tok_0 .. tok_{T-2}] (shifted right)
+            xs = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32),
+                 teacher_tokens[:, :self.max_len - 1].astype(jnp.int32)],
+                axis=1)
+            (_, _), (logits, locs) = jax.lax.scan(
+                lambda c, t: step(c, t), (h0, tok0),
+                jnp.transpose(xs, (1, 0)))
+        else:
+            (_, _), (logits, locs) = jax.lax.scan(
+                lambda c, _: step(c, None), (h0, tok0), None,
+                length=self.max_len)
         # scan stacks on axis 0 -> (T, B, ...) -> (B, T, ...)
         return (jnp.transpose(jax.nn.softmax(logits, axis=-1), (1, 0, 2)),
                 jnp.transpose(locs, (1, 0, 2)))
@@ -116,12 +129,16 @@ class SLANet(nn.Module):
     config: SLANetConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, teacher_tokens=None):
+        """With ``teacher_tokens`` (B, T) the decoder consumes ground-truth
+        tokens shifted right (teacher forcing) instead of its own argmax —
+        the training mode; inference greedy-decodes."""
         cfg = self.config
         d = jnp.dtype(cfg.dtype)
         vocab = cfg.vocab_size or len(StructureVocab())
         feat = SLABackbone(cfg.hidden_size, dtype=d, name="backbone")(x, train)
         probs, locs = SLAHead(vocab, cfg.hidden_size, cfg.loc_reg_num,
                               cfg.max_structure_len, dtype=d,
-                              name="head")(feat, train)
+                              name="head")(feat, train,
+                                           teacher_tokens=teacher_tokens)
         return {"structure_probs": probs, "loc_preds": locs}

@@ -110,3 +110,47 @@ class TestTableMatch:
         cells = [OcrCell.from_bbox((5, 2, 55, 18), text="hello")]
         html = OcrTableToHtmlTask()(tsr, cells)
         assert "<td>hello</td>" in html
+
+
+class TestTeacherForcing:
+    def test_teacher_tokens_shapes_and_training(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.slanet import SLANet, SLANetConfig
+
+        cfg = SLANetConfig(table_max_len=64, hidden_size=32,
+                           max_structure_len=6)
+        m = SLANet(cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = dict(init_params(m, x))
+        toks = jnp.array([[1, 7, 8, 30, 49, 49]], jnp.int32)
+        out = m.apply(v, x, train=False, teacher_tokens=toks)
+        assert out["structure_probs"].shape[1] == 6
+
+        tx = optax.adam(3e-3)
+        p = v["params"]
+        opt = tx.init(p)
+
+        @jax.jit
+        def step(p, opt):
+            def loss_fn(pp):
+                vv = {"params": pp}
+                if "batch_stats" in v:
+                    vv["batch_stats"] = v["batch_stats"]
+                o = m.apply(vv, x, train=False, teacher_tokens=toks)
+                logp = jnp.log(o["structure_probs"] + 1e-9)
+                return -jnp.take_along_axis(
+                    logp, toks[..., None], -1).mean()
+
+            l, g = jax.value_and_grad(loss_fn)(p)
+            up, opt = tx.update(g, opt, p)
+            return optax.apply_updates(p, up), opt, l
+
+        l0 = None
+        for _ in range(20):
+            p, opt, l = step(p, opt)
+            l0 = l0 if l0 is not None else float(l)
+        assert float(l) < l0 * 0.7
