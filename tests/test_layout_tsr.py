@@ -170,3 +170,41 @@ class TestBatchTsr:
         assert len(batched) == 3
         for b, s in zip(batched, singles):
             assert len(b["cells"]) == len(s["cells"])
+
+
+class TestSystemBatchedTsr:
+    def test_layout_routed_tables_batch(self):
+        from pdf_table_tpu.entity.enums import HtmlContentType
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+        from pdf_table_tpu.pipeline.system import (OcrSystemConfig,
+                                                   OcrSystemTask)
+        from pdf_table_tpu.tasks.detection import OcrDetectionTask
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        cfg = OcrSystemConfig(use_layout=True, use_table=True,
+                              use_orientation_cls=False)
+        st = OcrSystemTask(cfg)
+        st._det = OcrDetectionTask(model="PP-OCRv4_det", inner_channels=48,
+                                   limit_side_len=96)
+        st._rec = OcrRecognitionTask(config=RecConfig(width_buckets=(80,)))
+        st._tsr = OcrTableStructureTask(
+            model="Lore", task_type="wireless", backbone="resnet18",
+            resolution=(64, 64), max_objs=8, hidden_size=32, head_conv=16,
+            tsfm_layers=1, stacking_layers=1, num_heads=4, max_fmp_size=64)
+
+        class FakeLayout:
+            def __call__(self, image):
+                cells = []
+                for bb in ((5, 5, 60, 50), (5, 60, 60, 110)):
+                    c = OcrCell.from_bbox(bb, text="table", score=0.9)
+                    c.cell_type = HtmlContentType.TABLE
+                    cells.append(c)
+                return {"layout_cells": cells}
+
+        st._layout = FakeLayout()
+        img = np.full((120, 100, 3), 255, np.uint8)
+        out = st(image=img)
+        assert len(out.table_structures) == 2
+        assert len(out.table_html) == 2

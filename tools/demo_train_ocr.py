@@ -107,6 +107,11 @@ def train_recognizer(steps: int, rng: np.random.Generator):
         for i in range(bs):
             w = WORDS[int(r.integers(0, len(WORDS)))]
             crop = render_word(w, px=int(r.integers(22, 30)))
+            # random margins match detector output crops (unclip padding)
+            pt, pb = r.integers(0, 10, 2)
+            pl, pr_ = r.integers(0, 14, 2)
+            crop = np.pad(crop, ((pt, pb), (pl, pr_), (0, 0)),
+                          constant_values=255)
             img, _ = resize_norm_crop(crop, 48, 160, 3)
             imgs[i] = img.astype(np.float32)
             ids = charset.encode(w)[:MAXLAB]
