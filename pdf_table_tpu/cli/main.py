@@ -16,7 +16,6 @@ import time
 from dataclasses import fields as dc_fields
 from typing import Any, Dict, List, Optional
 
-import numpy as np
 
 from ..entity.args import PdfTableCliArguments
 from ..pipeline.system import OcrSystemConfig, OcrSystemTask

@@ -14,7 +14,7 @@ Use: load initializers (convert.onnx_reader), filter the tensor kinds, then
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ part 4: weight conversion fidelity needs a per-layer diffing harness').
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 

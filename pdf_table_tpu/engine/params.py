@@ -10,10 +10,9 @@ and flow are testable hermetically.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils.logging_utils import logger

@@ -8,7 +8,7 @@ EvalUtils (utils/eval/eval_utils.py:23,197).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

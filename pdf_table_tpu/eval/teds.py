@@ -13,7 +13,7 @@ TEDS = 1 - distance / max(|T_pred|, |T_gt|).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 
 class _Node:

@@ -9,7 +9,6 @@ cyclic vertex-snap grouping stays host-side on the small K/MK arrays.
 
 from __future__ import annotations
 
-from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ derives logical axes geometrically via TableProcessUtils).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 

@@ -7,7 +7,6 @@ optional 1x1 expand conv (class_expand=1280, hardswish) -> fc.
 
 from __future__ import annotations
 
-from typing import Any
 
 import flax.linen as nn
 import jax

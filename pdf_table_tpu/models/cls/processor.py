@@ -4,7 +4,7 @@ post: topk labels or multilabel thresholds)."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import numpy as np
 

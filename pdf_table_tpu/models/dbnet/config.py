@@ -10,7 +10,6 @@ Covers both reference flavors with one implementation:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
 
 
 @dataclass

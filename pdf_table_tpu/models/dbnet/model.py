@@ -13,13 +13,13 @@ binary map  b = 1/(1+exp(-k(p - t)))  (SegDetector.step_function:484).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import (ACTS, ConvBNAct, FPN, InvertedResidual, ResNet,
+from ..layers import (ConvBNAct, FPN, InvertedResidual, ResNet,
                       SEModule, make_divisible, upsample2x)
 from .config import DbNetConfig
 

@@ -19,7 +19,6 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ...utils.logging_utils import logger
 from .config import DbNetConfig
 
 

@@ -16,7 +16,7 @@ MobileNetV3 det backbone, ResNet (db_net/dbnet.py:260), DLA-34
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

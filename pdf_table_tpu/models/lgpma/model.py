@@ -11,14 +11,14 @@ inside jit), RoIAlign via ops.roi_align gathers, all stages in one program.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ...ops.roi_align import roi_align
-from ..layers import ConvBNAct, FPN, ResNet
+from ..layers import FPN, ResNet
 from .config import LgpmaConfig
 
 

@@ -9,7 +9,7 @@ JAX reduce-window variant backs the on-device fast path for batched pages.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

@@ -81,8 +81,6 @@ def detect_table_regions(pdf_page, scale: float = 1.0,
     """Group line clusters into candidate table bounding boxes (used when
     no learned layout model routes tables; reference
     TableExtractorPdf._generate_table_bbox:127 analog)."""
-    from .grid import merge_positions
-
     h_lines, v_lines = pdf_page_lines(pdf_page, scale=scale)
     if len(h_lines) < 2 or len(v_lines) < 2:
         return []

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..layers import BasicBlock, ConvBNAct
 from .config import LoreConfig
-from .dla import DLA34, DLAUp, IDAUp, _bilinear_upsample
+from .dla import DLA34, DLAUp, IDAUp
 
 def head_channels(hidden_size: int = 256) -> Dict[str, int]:
     """{hm:2, st:8, wh:8, ax:H, cr:H, reg:2} (modeling_lore.py:84; ax/cr

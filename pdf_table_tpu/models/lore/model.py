@@ -10,13 +10,13 @@ instead of being filtered (no dynamic shapes, no device->host sync).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.centernet import decode_boxes_4ps, gather_feat, heatmap_nms, topk_scores
+from ...ops.centernet import decode_boxes_4ps, gather_feat
 from .config import LoreConfig
 from .detector import build_detector
 from .processor_model import LoreProcessor

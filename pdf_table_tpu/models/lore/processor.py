@@ -13,7 +13,7 @@ schema {"cells": [{"bbox","poly","logic","score"}]}.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 import numpy as np
 

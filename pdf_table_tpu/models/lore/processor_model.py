@@ -11,7 +11,7 @@ over quantized det corners (:399-430).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ ch=CDLA-10, en=publaynet-5, table=1).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 LABEL_CONFIG: Dict[str, Dict[str, int]] = {
     "ch": {"text": 0, "title": 1, "figure": 2, "figure_caption": 3,

@@ -9,13 +9,13 @@ the exact tensor contract the reference postprocessor consumes
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import ConvBNAct, DepthwiseSeparable, SEModule, upsample2x
+from ..layers import ConvBNAct, DepthwiseSeparable, upsample2x
 from .config import PicoDetConfig
 
 

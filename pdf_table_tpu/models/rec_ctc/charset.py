@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import string
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 
 class Charset:

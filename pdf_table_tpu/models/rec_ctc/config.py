@@ -9,7 +9,7 @@ model/ocr_rec_pp/), and the ConvNextViT chunked recognizer
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclass

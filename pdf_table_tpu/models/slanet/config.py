@@ -5,7 +5,6 @@ implementation with a lax.scan autoregressive head)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
 
 
 @dataclass

@@ -13,7 +13,7 @@ regression come out stacked (B, T, ...).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

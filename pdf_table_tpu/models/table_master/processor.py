@@ -8,7 +8,7 @@ matcher (tasks/table_matcher.py, use_master=True).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

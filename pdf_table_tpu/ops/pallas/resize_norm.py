@@ -14,7 +14,7 @@ The weight matrices are tiny (out_dim x in_dim) and precomputed on host per
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ Reference: Table text filling inside TableExtractorLattice/Stream/Pdf
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 from .core import Table
 

@@ -6,7 +6,7 @@ and PDFHandler.parse (pdf_handlers.py:86, parser_class map :120).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Union
 
 from .core import TableList
 from .lattice import TableExtractorLattice

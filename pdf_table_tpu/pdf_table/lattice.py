@@ -9,9 +9,7 @@ PdfImageProcessor.find_lines, image_processing.py:79).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
 
-import numpy as np
 
 from ..models.line_cell.algo import find_table_lines
 from ..models.line_cell.grid import merge_positions

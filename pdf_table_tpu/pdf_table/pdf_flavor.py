@@ -9,12 +9,11 @@ separator-grid builder for span inference, and pdf-space text matching.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
 
 from ..models.line_cell.from_pdf import pdf_page_lines
 from ..models.line_cell.grid import build_grid_cells
 from .assign import assign_text
-from .core import Cell, Table, TableList
+from .core import Table, TableList
 
 
 class TableExtractorPdf:

@@ -8,10 +8,8 @@ is cut at gaps between column groups.
 
 from __future__ import annotations
 
-from collections import Counter
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
-import numpy as np
 
 from .assign import assign_text
 from .core import Table, TableList

@@ -8,7 +8,7 @@ the synthetic benchmark corpus. Coordinates are PDF user space (y up).
 from __future__ import annotations
 
 import zlib
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 # Helvetica width table (WinAnsi codes 32..126), thousandths of em — used to
 # position/measure text without a reader round-trip.

@@ -6,7 +6,7 @@ parity; delegates to the batched text task.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import numpy as np
 

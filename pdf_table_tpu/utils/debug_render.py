@@ -4,7 +4,6 @@ table-structure cells drawn onto the page raster."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
