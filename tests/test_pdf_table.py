@@ -103,3 +103,31 @@ class TestFlavors:
         import os
 
         assert os.path.exists(tmp_path / "out-0.csv")
+
+
+class TestSpansFromPdf:
+    def test_merged_header_colspan(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+        from pdf_table_tpu.pdfio.writer import PdfWriter
+
+        w = PdfWriter()
+        page = w.add_page(300, 200)
+        # hand-drawn 2-row grid: top row has NO middle separator (colspan 2)
+        x0, x1, x2 = 50.0, 150.0, 250.0
+        y0, y1, y2 = 180.0, 150.0, 120.0
+        for y in (y0, y1, y2):
+            page.line(x0, y, x2, y)
+        for x in (x0, x2):
+            page.line(x, y2, x, y0)
+        page.line(x1, y2, x1, y1)   # middle separator only in bottom row
+        page.text(100, 160, "HEAD", size=10)
+        page.text(70, 130, "a", size=10)
+        page.text(170, 130, "b", size=10)
+        p = str(tmp_path / "span.pdf")
+        w.save(p)
+
+        tables = read_pdf(p, flavor="pdf")
+        assert tables.n == 1
+        html = tables[0].to_html()
+        assert 'colspan="2"' in html
+        assert "HEAD" in html and ">a</td>" in html
