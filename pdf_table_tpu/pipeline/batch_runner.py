@@ -113,10 +113,6 @@ class BatchPipeline:
         det = self.system.det_task
         det.ensure_built()
         cfg = det.model_config
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops.pallas.resize_norm import resize_normalize_xla
 
         shape = shape_hint if shape_hint is not None else images.shape
         if bucket_hw is not None:
@@ -129,6 +125,24 @@ class BatchPipeline:
             nh, nw = det_input_size((H, W), cfg.limit_side_len)
             pre_resized = False
 
+        probs_u8 = np.asarray(self._detect_enqueue(
+            images, shape, (nh, nw), pre_resized))[:N]
+        return self._det_post(probs_u8, shapes, (H, W), (nh, nw), fast_post)
+
+    def _detect_enqueue(self, images, shape, det_hw, pre_resized: bool):
+        """Enqueue the detection program; returns the (async) device array
+        of uint8-quantized prob maps. Callers may enqueue several chunks
+        before blocking so D2H of chunk k overlaps compute of k+1."""
+        det = self.system.det_task
+        det.ensure_built()
+        cfg = det.model_config
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.pallas.resize_norm import resize_normalize_xla
+
+        N, H, W, _ = shape
+        nh, nw = det_hw
         modelscope = cfg.norm_style == "modelscope"
         # dp sharding: pad the page batch to a multiple of the mesh size so
         # each chip gets equal shards (params replicated, XLA all-gathers
@@ -173,11 +187,15 @@ class BatchPipeline:
             images = np.concatenate(
                 [np.asarray(images),
                  np.zeros((n_pad, shape[1], shape[2], 3), np.uint8)], axis=0)
-        probs_u8 = np.asarray(fn(det._params, jnp.asarray(images)))[:N]
+        return fn(det._params, jnp.asarray(images))
 
+    def _det_post(self, probs_u8: np.ndarray,
+                  shapes, bucket_hw, det_hw, fast_post: bool = True):
+        det = self.system.det_task
+        H, W = bucket_hw
+        nh, nw = det_hw
         results = []
         for i, (h, w) in enumerate(shapes):
-            # valid region of the prob map for this page
             vh = int(round(h / H * nh))
             vw = int(round(w / W * nw))
             page_prob = probs_u8[i, :vh, :vw].astype(np.float32) / 255.0
@@ -265,14 +283,21 @@ class BatchPipeline:
                                    "shapes": g["shapes"][s:e],
                                    "indices": g["indices"][s:e],
                                    "bucket": bucket})
-            dev_next = jax.device_put(chunks[0]["images"]) if chunks else None
+            # enqueue every chunk's upload + det program up front (async):
+            # chunk k's D2H then overlaps chunk k+1's H2D/compute on the
+            # device stream while the host posts/recognizes chunk k
+            handles = []
+            for chunk in chunks:
+                shp = chunk["images"].shape
+                dev = jax.device_put(chunk["images"])
+                nh, nw = shp[1], shp[2]
+                handles.append(self._detect_enqueue(dev, shp, (nh, nw),
+                                                    pre_resized=True))
             for ci, chunk in enumerate(chunks):
-                dev = dev_next
-                if ci + 1 < len(chunks):
-                    dev_next = jax.device_put(chunks[ci + 1]["images"])
-                quads = self._detect_batch(dev, chunk["shapes"],
-                                           shape_hint=chunk["images"].shape,
-                                           bucket_hw=chunk["bucket"])
+                shp = chunk["images"].shape
+                probs_u8 = np.asarray(handles[ci])[:shp[0]]
+                quads = self._det_post(probs_u8, chunk["shapes"],
+                                       chunk["bucket"], (shp[1], shp[2]))
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
                 texts, scores = self._recognize_all(page_imgs, quads)
                 for k, gi in enumerate(chunk["indices"]):
