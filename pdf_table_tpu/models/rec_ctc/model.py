@@ -27,41 +27,55 @@ from .config import RecConfig
 
 
 class BiLSTM(nn.Module):
+    """Bidirectional LSTM + output projection (reference
+    BidirectionalLSTM, modeling_crnn.py:19: nn.LSTM(bidir) + embedding)."""
+
     hidden: int
+    out: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, T, C)
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
-                     name="fwd")(x)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
-                     reverse=True, keep_order=True, name="bwd")(x)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                          name="fwd_cell"))(x)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                          name="bwd_cell"),
+                     reverse=True, keep_order=True)(x)
+        y = jnp.concatenate([fwd, bwd], axis=-1)
+        return nn.Dense(self.out, dtype=self.dtype, name="embedding")(y)
 
 
 class CRNNBackbone(nn.Module):
-    """VGG-style conv stack collapsing H to 1 (modeling_crnn.py:36-90)."""
+    """Exact reference conv stack (modeling_crnn.py:36-90):
+    conv0(64)+p0(2,2) -> conv1(128)+p1(2,2) -> conv2(256,256)+p2(2,1) ->
+    conv3(512,512)+p3(2,1) -> conv4(512, k=(2,1) s=(2,1)). Input H=32
+    collapses to 1; RGB->gray happens inside like the reference."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # x (B, 32, W, C)
-        def block(x, c, pool, name):
-            x = ConvBNAct(c, (3, 3), act="relu", dtype=self.dtype,
-                          name=name)(x, train)
-            if pool is not None:
-                x = nn.max_pool(x, pool, strides=pool, padding="VALID")
-            return x
+        d = self.dtype
+        if x.shape[-1] == 3:
+            x = (x[..., 0:1] * 0.2989 + x[..., 1:2] * 0.5870
+                 + x[..., 2:3] * 0.1140)
 
-        x = block(x, 64, (2, 2), "c1")      # 16 x W/2
-        x = block(x, 128, (2, 2), "c2")     # 8 x W/4
-        x = block(x, 256, None, "c3")
-        x = block(x, 256, (2, 1), "c4")     # 4 x W/4
-        x = block(x, 512, None, "c5")
-        x = block(x, 512, (2, 1), "c6")     # 2 x W/4
-        x = ConvBNAct(512, (2, 2), act="relu", padding="VALID",
-                      dtype=self.dtype, name="c7")(x, train)  # 1 x W/4-1
+        def conv(x, c, name, kernel=(3, 3), stride=(1, 1), padding="SAME"):
+            return ConvBNAct(c, kernel, stride, act="relu", use_bias=True,
+                             padding=padding, dtype=d, name=name)(x, train)
+
+        def pool(x, kh, kw):
+            return nn.max_pool(x, (kh, kw), strides=(kh, kw),
+                               padding="VALID")
+
+        x = pool(conv(x, 64, "conv0_0"), 2, 2)
+        x = pool(conv(x, 128, "conv1_0"), 2, 2)
+        x = conv(conv(x, 256, "conv2_0"), 256, "conv2_3")
+        x = pool(x, 2, 1)
+        x = conv(conv(x, 512, "conv3_0"), 512, "conv3_3")
+        x = pool(x, 2, 1)
+        x = conv(x, 512, "conv4_0", kernel=(2, 1), stride=(2, 1),
+                 padding="VALID")
         return x[:, 0]  # (B, T, 512)
 
 
@@ -183,8 +197,10 @@ class CTCRecModel(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         if cfg.backbone == "crnn":
             feat = CRNNBackbone(dtype=dtype, name="backbone")(x, train)
-            feat = BiLSTM(cfg.hidden_size, dtype=dtype, name="rnn1")(feat)
-            feat = BiLSTM(cfg.hidden_size, dtype=dtype, name="rnn2")(feat)
+            feat = BiLSTM(cfg.hidden_size, cfg.hidden_size, dtype=dtype,
+                          name="rnn1")(feat)
+            feat = BiLSTM(cfg.hidden_size, 512, dtype=dtype,
+                          name="rnn2")(feat)
         elif cfg.backbone == "svtr_lcnet":
             feat = SVTRLCNetBackbone(dtype=dtype, name="backbone")(x, train)
         elif cfg.backbone == "convnext_vit":

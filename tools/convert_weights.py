@@ -95,8 +95,30 @@ def main() -> int:
         print("saved to", out_dir)
         return 0
 
+    if args.model == "crnn":
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.convert.crnn_convert import convert_crnn
+        from pdf_table_tpu.models.rec_ctc import CTCRecModel, RecConfig
+
+        # reference vocab: 7644 entries (modeling_crnn.py:90)
+        cfg = RecConfig.crnn(vocab_size=7644, hidden_size=256)
+        model = CTCRecModel(cfg)
+        variables = jax.tree.map(
+            np.asarray,
+            dict(init_params(model, jnp.zeros((1, 32, 48, 3)))))
+        rep = convert_crnn(src, variables)
+        print("conversion:", rep.summary())
+        if not rep.ok:
+            print("MISSING:", rep.missing[:10])
+            return 1
+        out_dir = args.out or weights_dir("recognition", "CRNN")
+        save_params(variables, out_dir)
+        print("saved to", out_dir)
+        return 0
+
     print(f"no converter for {args.model!r} yet; available: db_resnet18, "
-          f"db_resnet50, lore_wtw, lore_wireless")
+          f"db_resnet50, lore_wtw, lore_wireless, crnn")
     return 2
 
 
