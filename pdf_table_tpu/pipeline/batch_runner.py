@@ -89,10 +89,11 @@ class BatchPipeline:
     system task stages."""
 
     def __init__(self, config: Optional[OcrSystemConfig] = None, mesh=None,
-                 batch_pages: int = 8):
+                 batch_pages: int = 8, half_res_probs: bool = True):
         self.system = OcrSystemTask(config or OcrSystemConfig(), mesh=mesh)
         self.mesh = mesh
         self.batch_pages = batch_pages
+        self.half_res_probs = half_res_probs
 
     # -- batched detection ---------------------------------------------------
 
@@ -159,6 +160,8 @@ class BatchPipeline:
                 mean = jnp.array([0.485, 0.456, 0.406])
                 std = jnp.array([0.229, 0.224, 0.225])
 
+            half = self.half_res_probs
+
             def run(variables, raw_u8):
                 x = raw_u8.astype(jnp.float32)
                 if modelscope:
@@ -170,8 +173,18 @@ class BatchPipeline:
                 else:
                     x = resize_normalize_xla(x, (nh, nw), mean, std)
                 out = det._apply_fn(variables, {"image": x})
+                prob = out["prob"]
+                if half:
+                    # 2x2 max-pool before the downlink: 4x fewer bytes over
+                    # the tunnel; DB maps are smooth at text scale so the
+                    # fast box path loses <1px of edge precision (boxes are
+                    # unclipped anyway). Exact-parity mode sets
+                    # half_res_probs=False.
+                    prob = jax.lax.reduce_window(
+                        prob, -jnp.inf, jax.lax.max, (1, 2, 2), (1, 2, 2),
+                        "VALID")
                 # quantize the prob map for the downlink
-                return jnp.round(out["prob"] * 255.0).astype(jnp.uint8)
+                return jnp.round(prob * 255.0).astype(jnp.uint8)
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -193,11 +206,13 @@ class BatchPipeline:
                   shapes, bucket_hw, det_hw, fast_post: bool = True):
         det = self.system.det_task
         H, W = bucket_hw
-        nh, nw = det_hw
+        # prob maps may come back downsampled (half_res_probs); scale math
+        # uses the actual array dims so box coordinates stay exact
+        ph, pw = probs_u8.shape[1], probs_u8.shape[2]
         results = []
         for i, (h, w) in enumerate(shapes):
-            vh = int(round(h / H * nh))
-            vw = int(round(w / W * nw))
+            vh = int(round(h / H * ph))
+            vw = int(round(w / W * pw))
             page_prob = probs_u8[i, :vh, :vw].astype(np.float32) / 255.0
             post = det.post.fast_host_boxes if fast_post else det.post
             r = post(page_prob, (h, w))
