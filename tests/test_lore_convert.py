@@ -305,3 +305,76 @@ class TestLoreProcessorConvert:
         assert np.abs(np.asarray(logi) - ref_logi.numpy()).max() < 1e-4
         assert np.abs(np.asarray(stacked)
                       - ref_stacked.numpy()).max() < 1e-4
+
+
+def build_dla_centernet_torch(heads: dict, head_conv=16):
+    """Reference-shaped DLA CenterNet with arbitrary heads."""
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            ch = [16, 32, 64, 128, 256, 512]
+            self.base = TDLA(ch)
+
+            class TDLAUp(tnn.Module):
+                def __init__(self):
+                    super().__init__()
+                    channels = ch[2:]
+                    in_ch = list(channels)
+                    import numpy as _np
+                    sc = _np.array([1, 2, 4, 8])
+                    for i in range(3):
+                        j = -i - 2
+                        setattr(self, f"ida_{i}",
+                                TIDAUp(channels[j], in_ch[j:],
+                                       list(sc[j:] // sc[j])))
+                        sc[j + 1:] = sc[j]
+                        in_ch[j + 1:] = [channels[j] for _ in channels[j + 1:]]
+
+            self.dla_up = TDLAUp()
+            self.ida_up = TIDAUp(ch[2], ch[2:5], [1, 2, 4])
+            for head, classes in heads.items():
+                setattr(self, head, tnn.Sequential(
+                    tnn.Conv2d(ch[2], head_conv, 3, padding=1),
+                    tnn.ReLU(), tnn.Conv2d(head_conv, classes, 1)))
+    return M()
+
+
+class TestCenterNetFamilyConvert:
+    def test_docx_layout_coverage(self):
+        from pdf_table_tpu.convert.centernet_convert import convert_docx_layout
+        from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.docx_layout import (DocXLayoutConfig,
+                                                      DocXLayoutModel)
+
+        heads = {"cls": 4, "ftype": 3, "hm": 11, "hm_sub": 2, "reg": 2,
+                 "wh": 8}
+        tm = build_dla_centernet_torch(heads, head_conv=16)
+        src = TorchTensorSource(tm.state_dict())
+        cfg = DocXLayoutConfig(resolution=(64, 64), head_conv=16)
+        model = DocXLayoutModel(cfg)
+        variables = jax.tree.map(
+            np.asarray, dict(init_params(model, jnp.zeros((1, 64, 64, 3)))))
+        rep = convert_docx_layout(src, variables)
+        assert rep.ok, (rep.missing[:6], rep.shape_errors[:6])
+        leftovers = [k for k in src.unused()
+                     if "num_batches_tracked" not in k]
+        assert not leftovers, leftovers[:8]
+
+    def test_cycle_centernet_coverage(self):
+        from pdf_table_tpu.convert.centernet_convert import (
+            convert_cycle_centernet)
+        from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.center_net import (CenterNetConfig,
+                                                     CycleCenterNet)
+
+        heads = {"hm": 2, "v2c": 8, "c2v": 8, "reg": 2}
+        tm = build_dla_centernet_torch(heads, head_conv=16)
+        src = TorchTensorSource(tm.state_dict())
+        cfg = CenterNetConfig(resolution=(64, 64), head_conv=16, K=4, MK=8)
+        model = CycleCenterNet(cfg)
+        variables = jax.tree.map(
+            np.asarray, dict(init_params(model, jnp.zeros((1, 64, 64, 3)))))
+        rep = convert_cycle_centernet(src, variables)
+        assert rep.ok, (rep.missing[:6], rep.shape_errors[:6])
