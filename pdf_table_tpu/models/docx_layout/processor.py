@@ -124,7 +124,31 @@ class DocXLayoutPostProcessor:
                             "poly": quad.reshape(-1).tolist(),
                             "label": label, "score": float(scores[i]),
                             "category_id": int(clses[i])})
-        return {"bboxs": results}
+
+        # subfield (full/sub column) detections from hm_sub share wh/reg
+        # (reference dets_sub path, image_processing_docxlayout.py:232-244)
+        subfields = []
+        if "hm_sub" in raw:
+            shm = jax.nn.sigmoid(jnp.asarray(raw["hm_sub"]))
+            sdets, sscores, sclses, _, _ = decode_boxes_4ps(
+                shm, raw["wh"], raw["reg"], min(cfg.top_k, 20))
+            sdets = np.asarray(sdets[0])
+            sscores = np.asarray(sscores[0])
+            sclses = np.asarray(sclses[0])
+            spts = sdets.reshape(-1, 4, 2) * scale_back
+            spts[:, :, 0] += cx - s / 2
+            spts[:, :, 1] += cy - s / 2
+            sub_labels = {0: "full_column", 1: "sub_column"}
+            for i in np.where(sscores >= cfg.scores_thresh)[0]:
+                q = spts[i]
+                subfields.append({
+                    "bbox": [float(np.clip(q[:, 0].min(), 0, w)),
+                             float(np.clip(q[:, 1].min(), 0, h)),
+                             float(np.clip(q[:, 0].max(), 0, w)),
+                             float(np.clip(q[:, 1].max(), 0, h))],
+                    "label": sub_labels.get(int(sclses[i]), "sub"),
+                    "score": float(sscores[i])})
+        return {"bboxs": results, "subfield_dets": subfields}
 
     def to_layout_cells(self, result: Dict[str, Any]) -> List[OcrCell]:
         cells = []
