@@ -20,9 +20,9 @@ class TableMasterConfig:
     variant: str = "table_master"    # table_master | mtl_tabnet
     img_size: Tuple[int, int] = (480, 480)
     d_model: int = 512
-    decoder_layers: int = 3
+    decoder_layers: int = 3      # N: N-1 shared + forked cls/bbox layers
     heads: int = 8
-    ff_dim: int = 2048
+    ff_dim: int = 2024           # reference d_ff (table_master_config.py:59)
     max_structure_len: int = 500
     vocab_size: int = 0              # 0 -> StructureVocab default
     dict_path: str = ""

@@ -1,31 +1,103 @@
-"""TableMaster in flax: ResNet-extra encoder + Master transformer decoder
-with KV-cache greedy decode in one lax.scan.
+"""TableMaster / MtlTabNet in flax: TableResNetExtra encoder + Master
+transformer decoder with KV-cache greedy decode in one lax.scan.
 
-Reference: model/table/mtl_tabnet/table_master.py (TableMaster:592,
-EncodeDecodeRecognizer:270), master_decoder.py, table_resnet_extra.py.
-TPU redesign: instead of eager per-step re-encoding, the decoder keeps
-per-layer K/V caches in the scan carry; each step projects only the new
-token, appends to the caches (dynamic_update_slice), and attends over the
-filled prefix. Cross-attention K/V over the visual memory are precomputed
-once. Greedy argmax feeds the next step. Structure logits + per-step bbox
-regression come out stacked (B, T, ...).
+Reference: model/table/mtl_tabnet/ — encoder table_resnet_extra.py:205
+(TableResNetExtra, layers=[1,2,5,3], GCB ContextBlock:38 on layers 2-4),
+decoder master_decoder.py (TableMasterDecoder:532 = N-1 shared DecoderLayers
++ forked cls/bbox DecoderLayers sharing one final LayerNorm;
+MtlTabNetDecoder:194 adds a cell-content branch), configs
+table_master_config.py:27-66 / mtl_tabnet_config.py:50-82 (d_model 512,
+heads 8, d_ff 2024, N=3, max_seq_len 500).
+
+TPU redesign: instead of eager full-sequence re-decoding per emitted token
+(reference greedy_forward re-runs decode_test on the growing prefix — O(T^2)
+layer passes), the decoder keeps per-layer K/V caches in a lax.scan carry;
+each step projects only the new token, appends via dynamic_update_slice,
+and attends over the filled prefix. Cross-attention K/V over the visual
+memory are precomputed once. Greedy argmax feeds the next step (or teacher
+tokens when training). Structure logits + per-step bbox come out stacked.
+Numerics match the reference layer-for-layer: pre-norm sublayers
+(SubLayerConnection master_decoder.py:33), biased q/k/v/out linears
+(MultiHeadAttention:75), embedding scaled by sqrt(d_model) (Embeddings:17),
+interleaved sin/cos positions (PositionalEncoding:166), eps 1e-5.
 """
 
 from __future__ import annotations
 
-from typing import Any
+import math
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import BasicBlock, ConvBNAct, sinusoid_positions
+from ..layers import ConvBNAct
 from ..slanet.vocab import StructureVocab
 from .config import TableMasterConfig
 
 
+def interleaved_positions(length: int, dim: int) -> jax.Array:
+    """torch-convention PE: pe[:, 0::2]=sin, pe[:, 1::2]=cos
+    (master_decoder.py:173-179)."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / dim))
+    pe = jnp.zeros((length, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe
+
+
+class ContextBlock(nn.Module):
+    """Global-context block, att pooling + channel_add fusion
+    (table_resnet_extra.py:38; config headers=1, ratio=0.0625)."""
+
+    ratio: float = 0.0625
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        planes = int(c * self.ratio)
+        mask = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype,
+                       name="conv_mask")(x)                 # (B,H,W,1)
+        attn = jax.nn.softmax(mask.reshape(b, h * w, 1), axis=1)
+        ctx = jnp.einsum("bsc,bsk->bkc", x.reshape(b, h * w, c),
+                         attn)[:, None]                     # (B,1,1,C)
+        y = nn.Conv(planes, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="ca_conv1")(ctx)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ca_ln")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="ca_conv2")(y)
+        return x + y
+
+
+class MasterBasicBlock(nn.Module):
+    """BasicBlock with optional GCB after bn2 (table_resnet_extra.py:158)."""
+
+    features: int
+    gcb: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = ConvBNAct(self.features, (3, 3), act="relu", dtype=self.dtype,
+                      name="conv1")(x, train)
+        y = ConvBNAct(self.features, (3, 3), act=None, dtype=self.dtype,
+                      name="conv2")(y, train)
+        if self.gcb:
+            y = ContextBlock(dtype=self.dtype, name="context")(y)
+        if x.shape[-1] != self.features:
+            identity = ConvBNAct(self.features, (1, 1), act=None,
+                                 dtype=self.dtype, name="down")(x, train)
+        return jax.nn.relu(y + identity)
+
+
 class TableResNetExtra(nn.Module):
-    """Conv encoder to stride 16 (reference table_resnet_extra.py:318)."""
+    """Stride-8 conv encoder (table_resnet_extra.py:205; layers=[1,2,5,3],
+    gcb layers=[False,True,True,True])."""
 
     dtype: Any = jnp.float32
 
@@ -35,39 +107,68 @@ class TableResNetExtra(nn.Module):
         x = ConvBNAct(64, (3, 3), act="relu", dtype=d, name="c1")(x, train)
         x = ConvBNAct(128, (3, 3), act="relu", dtype=d, name="c2")(x, train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = BasicBlock(256, dtype=d, name="b1")(x, train)
+        x = MasterBasicBlock(256, dtype=d, name="layer1_0")(x, train)
         x = ConvBNAct(256, (3, 3), act="relu", dtype=d, name="c3")(x, train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i in range(2):
-            x = BasicBlock(256, dtype=d, name=f"b2_{i}")(x, train)
+            x = MasterBasicBlock(256, gcb=True, dtype=d,
+                                 name=f"layer2_{i}")(x, train)
         x = ConvBNAct(256, (3, 3), act="relu", dtype=d, name="c4")(x, train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i in range(5):
-            x = BasicBlock(512, dtype=d, name=f"b3_{i}")(x, train)
+            x = MasterBasicBlock(512, gcb=True, dtype=d,
+                                 name=f"layer3_{i}")(x, train)
         x = ConvBNAct(512, (3, 3), act="relu", dtype=d, name="c5")(x, train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i in range(3):
-            x = BasicBlock(512, dtype=d, name=f"b4_{i}")(x, train)
+            x = MasterBasicBlock(512, gcb=True, dtype=d,
+                                 name=f"layer4_{i}")(x, train)
         return ConvBNAct(512, (3, 3), act="relu", dtype=d,
-                         name="c6")(x, train)  # stride 16
+                         name="c6")(x, train)  # stride 8
+
+
+def _layer_norm(x, s, b, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
 
 
 class TableMaster(nn.Module):
     config: TableMasterConfig
 
+    def _decoder_layer_params(self, name: str, D: int, FF: int):
+        """One DecoderLayer's weights (master_decoder.py:99): biased
+        self-attn q/k/v/o, biased cross-attn q/k/v/o, FF, 3 pre-norms."""
+        p = self.param
+        init = nn.initializers.xavier_uniform()
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        lp = {}
+        for key, shape in (("q", (D, D)), ("k", (D, D)), ("v", (D, D)),
+                           ("o", (D, D)), ("cq", (D, D)), ("ck", (D, D)),
+                           ("cv", (D, D)), ("co", (D, D)),
+                           ("ff1", (D, FF)), ("ff2", (FF, D))):
+            lp[key] = p(f"{name}_{key}", init, shape)
+            lp[key + "b"] = p(f"{name}_{key}b", zeros, (shape[1],))
+        for i in (1, 2, 3):
+            lp[f"ln{i}s"] = p(f"{name}_ln{i}s", ones, (D,))
+            lp[f"ln{i}b"] = p(f"{name}_ln{i}b", zeros, (D,))
+        return lp
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 teacher_tokens: Optional[jax.Array] = None):
         cfg = self.config
         dt = jnp.dtype(cfg.dtype)
         V = cfg.vocab_size or len(StructureVocab())
-        D, L, H = cfg.d_model, cfg.decoder_layers, cfg.heads
+        D, H = cfg.d_model, cfg.heads
         Dh = D // H
         T = cfg.max_structure_len
+        n_shared = cfg.decoder_layers - 1   # N-1 shared + cls + bbox forks
 
         feat = TableResNetExtra(dtype=dt, name="encoder")(x, train)
         B, fh, fw, C = feat.shape
         mem = feat.reshape(B, fh * fw, C).astype(jnp.float32)
-        mem = mem + sinusoid_positions(fh * fw, C)[None]
+        mem = mem + interleaved_positions(fh * fw, C)[None]
         if C != D:
             mem = nn.Dense(D, name="mem_proj")(mem)
 
@@ -75,89 +176,85 @@ class TableMaster(nn.Module):
         init = nn.initializers.xavier_uniform()
         zeros = nn.initializers.zeros
         embed_tbl = p("token_embed", nn.initializers.normal(0.02), (V, D))
-        pos_tbl = sinusoid_positions(T, D)
+        pos_tbl = interleaved_positions(T + 1, D)
 
-        layer_params = []
-        for li in range(L):
-            lp = {
-                "q1": p(f"l{li}_q1", init, (D, D)),
-                "k1": p(f"l{li}_k1", init, (D, D)),
-                "v1": p(f"l{li}_v1", init, (D, D)),
-                "o1": p(f"l{li}_o1", init, (D, D)),
-                "q2": p(f"l{li}_q2", init, (D, D)),
-                "o2": p(f"l{li}_o2", init, (D, D)),
-                "ff1": p(f"l{li}_ff1", init, (D, cfg.ff_dim)),
-                "ff1b": p(f"l{li}_ff1b", zeros, (cfg.ff_dim,)),
-                "ff2": p(f"l{li}_ff2", init, (cfg.ff_dim, D)),
-                "ff2b": p(f"l{li}_ff2b", zeros, (D,)),
-                "ln1s": p(f"l{li}_ln1s", nn.initializers.ones, (D,)),
-                "ln1b": p(f"l{li}_ln1b", zeros, (D,)),
-                "ln2s": p(f"l{li}_ln2s", nn.initializers.ones, (D,)),
-                "ln2b": p(f"l{li}_ln2b", zeros, (D,)),
-                "ln3s": p(f"l{li}_ln3s", nn.initializers.ones, (D,)),
-                "ln3b": p(f"l{li}_ln3b", zeros, (D,)),
-            }
-            # cross-attention K/V precomputed over memory
-            mk = p(f"l{li}_k2", init, (D, D))
-            mv = p(f"l{li}_v2", init, (D, D))
-            lp["mem_k"] = (mem @ mk).reshape(B, -1, H, Dh)
-            lp["mem_v"] = (mem @ mv).reshape(B, -1, H, Dh)
-            layer_params.append(lp)
+        names = [f"l{i}" for i in range(n_shared)] + ["cls", "bbox"]
+        layers = []
+        for name in names:
+            lp = self._decoder_layer_params(name, D, cfg.ff_dim)
+            # cross-attn K/V over memory precomputed once per forward
+            lp["mem_k"] = (mem @ lp["ck"] + lp["ckb"]).reshape(B, -1, H, Dh)
+            lp["mem_v"] = (mem @ lp["cv"] + lp["cvb"]).reshape(B, -1, H, Dh)
+            layers.append(lp)
+        shared, cls_lp, bbox_lp = layers[:n_shared], layers[-2], layers[-1]
 
+        fns = p("fnorm_s", nn.initializers.ones, (D,))
+        fnb = p("fnorm_b", zeros, (D,))
         w_cls = p("fc_cls", init, (D, V))
         b_cls = p("fc_cls_b", zeros, (V,))
         w_loc = p("fc_loc", init, (D, cfg.loc_reg_num))
         b_loc = p("fc_loc_b", zeros, (cfg.loc_reg_num,))
 
-        def ln(x, s, b, eps=1e-6):
-            mu = x.mean(-1, keepdims=True)
-            var = ((x - mu) ** 2).mean(-1, keepdims=True)
-            return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+        scale = math.sqrt(D)
+        # TableMasterConvertor (start_end_same=False, with_unknown=True):
+        # ids = [dict..., unknown, start, end, pad] -> start = V - 3.
+        vocab_sos = (cfg.vocab_size - 3 if cfg.vocab_size
+                     else StructureVocab().sos_id)
+
+        def layer_step(h, lp, kc, vc, t):
+            """One token through one DecoderLayer (pre-norm residuals)."""
+            y = _layer_norm(h, lp["ln1s"], lp["ln1b"])
+            q = (y @ lp["q"] + lp["qb"]).reshape(B, H, Dh)
+            k_new = (y @ lp["k"] + lp["kb"]).reshape(B, H, Dh)
+            v_new = (y @ lp["v"] + lp["vb"]).reshape(B, H, Dh)
+            kc = jax.lax.dynamic_update_slice(kc, k_new[:, None],
+                                              (0, t, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v_new[:, None],
+                                              (0, t, 0, 0))
+            att = jnp.einsum("bhd,bthd->bht", q, kc) / math.sqrt(Dh)
+            att = jnp.where(jnp.arange(T)[None, None, :] <= t, att, -1e9)
+            sa = jnp.einsum("bht,bthd->bhd", jax.nn.softmax(att, -1),
+                            vc).reshape(B, D)
+            h = h + sa @ lp["o"] + lp["ob"]
+            y = _layer_norm(h, lp["ln2s"], lp["ln2b"])
+            q2 = (y @ lp["cq"] + lp["cqb"]).reshape(B, H, Dh)
+            ca = jnp.einsum("bhd,bshd->bhs", q2,
+                            lp["mem_k"]) / math.sqrt(Dh)
+            cv = jnp.einsum("bhs,bshd->bhd", jax.nn.softmax(ca, -1),
+                            lp["mem_v"]).reshape(B, D)
+            h = h + cv @ lp["co"] + lp["cob"]
+            y = _layer_norm(h, lp["ln3s"], lp["ln3b"])
+            h = h + (jax.nn.relu(y @ lp["ff1"] + lp["ff1b"])
+                     @ lp["ff2"] + lp["ff2b"])
+            return h, kc, vc
+
+        teach = (jnp.concatenate(
+            [jnp.full((B, 1), vocab_sos, jnp.int32),
+             teacher_tokens[:, :-1].astype(jnp.int32)], axis=1)
+            if teacher_tokens is not None else None)
 
         def step(carry, t):
             tok, caches = carry
-            h = embed_tbl[tok] + pos_tbl[t]            # (B, D)
+            tok_in = teach[:, t] if teach is not None else tok
+            h = jnp.take(embed_tbl, tok_in, axis=0) * scale + pos_tbl[t]
             new_caches = []
-            for li, lp in enumerate(layer_params):
-                kc, vc = caches[li]                    # (B, T, H, Dh)
-                y = ln(h, lp["ln1s"], lp["ln1b"])
-                q = (y @ lp["q1"]).reshape(B, H, Dh)
-                k_new = (y @ lp["k1"]).reshape(B, H, Dh)
-                v_new = (y @ lp["v1"]).reshape(B, H, Dh)
-                kc = jax.lax.dynamic_update_slice(kc, k_new[:, None],
-                                                  (0, t, 0, 0))
-                vc = jax.lax.dynamic_update_slice(vc, v_new[:, None],
-                                                  (0, t, 0, 0))
-                # self-attn over filled prefix [0, t]
-                logits_att = jnp.einsum("bhd,bthd->bht", q, kc) / jnp.sqrt(Dh)
-                pos_mask = (jnp.arange(T)[None, None, :] <= t)
-                logits_att = jnp.where(pos_mask, logits_att, -1e9)
-                a = jax.nn.softmax(logits_att, axis=-1)
-                sa = jnp.einsum("bht,bthd->bhd", a, vc).reshape(B, D)
-                h = h + sa @ lp["o1"]
-                # cross-attn over memory
-                y = ln(h, lp["ln2s"], lp["ln2b"])
-                q2 = (y @ lp["q2"]).reshape(B, H, Dh)
-                ca_logits = jnp.einsum("bhd,bshd->bhs", q2,
-                                       lp["mem_k"]) / jnp.sqrt(Dh)
-                ca = jax.nn.softmax(ca_logits, axis=-1)
-                cv = jnp.einsum("bhs,bshd->bhd", ca,
-                                lp["mem_v"]).reshape(B, D)
-                h = h + cv @ lp["o2"]
-                # ff
-                y = ln(h, lp["ln3s"], lp["ln3b"])
-                h = h + jax.nn.relu(y @ lp["ff1"] + lp["ff1b"]) \
-                    @ lp["ff2"] + lp["ff2b"]
+            for li, lp in enumerate(shared):
+                kc, vc = caches[li]
+                h, kc, vc = layer_step(h, lp, kc, vc, t)
                 new_caches.append((kc, vc))
-            logits = h @ w_cls + b_cls
-            loc = jax.nn.sigmoid(h @ w_loc + b_loc)
+            ch, ckc, cvc = layer_step(h, cls_lp, *caches[n_shared], t)
+            new_caches.append((ckc, cvc))
+            bh, bkc, bvc = layer_step(h, bbox_lp, *caches[n_shared + 1], t)
+            new_caches.append((bkc, bvc))
+            logits = _layer_norm(ch, fns, fnb) @ w_cls + b_cls
+            loc = jax.nn.sigmoid(_layer_norm(bh, fns, fnb) @ w_loc + b_loc)
             next_tok = jnp.argmax(logits, axis=-1)
             return (next_tok, new_caches), (logits, loc)
 
         caches0 = [(jnp.zeros((B, T, H, Dh), jnp.float32),
                     jnp.zeros((B, T, H, Dh), jnp.float32))
-                   for _ in range(L)]
-        tok0 = jnp.zeros((B,), jnp.int32)
+                   for _ in range(n_shared + 2)]
+        tok0 = jnp.full((B,), vocab_sos, jnp.int32)
         (_, _), (logits, locs) = jax.lax.scan(
             step, (tok0, caches0), jnp.arange(T))
         return {"structure_probs":

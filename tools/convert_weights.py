@@ -117,8 +117,36 @@ def main() -> int:
         print("saved to", out_dir)
         return 0
 
+    if args.model in ("table_master", "mtl_tabnet"):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.convert.master_convert import convert_table_master
+        from pdf_table_tpu.models.table_master import (TableMaster,
+                                                       TableMasterConfig)
+
+        # PubTabNet structure alphabet + unknown/sos/eos/pad -> 43
+        # (mtl_tabnet_constants.STRUCTURE_ALPHABET_PUBTABNET)
+        cfg = TableMasterConfig(variant=args.model, vocab_size=43)
+        model = TableMaster(cfg)
+        variables = jax.tree.map(
+            np.asarray,
+            dict(init_params(model, jnp.zeros((1, *cfg.img_size, 3)))))
+        rep = convert_table_master(src, variables,
+                                   n_layers=cfg.decoder_layers)
+        print("conversion:", rep.summary())
+        if not rep.ok:
+            print("MISSING:", rep.missing[:10])
+            print("SHAPE:", rep.shape_errors[:10])
+            return 1
+        name = "MtlTabNet" if args.model == "mtl_tabnet" else "TableMaster"
+        out_dir = args.out or weights_dir("table_structure", name)
+        save_params(variables, out_dir)
+        print("saved to", out_dir)
+        return 0
+
     print(f"no converter for {args.model!r} yet; available: db_resnet18, "
-          f"db_resnet50, lore_wtw, lore_wireless, crnn")
+          f"db_resnet50, lore_wtw, lore_wireless, crnn, table_master, "
+          f"mtl_tabnet")
     return 2
 
 
