@@ -132,4 +132,20 @@ def convert_table_master(src: TorchTensorSource, variables: Dict[str, Any],
                      t("bbox_fc.0"))
     rep.check_assign(params, ["fc_loc_b"], src.get(t("bbox_fc.0.bias")),
                      t("bbox_fc.0"))
+    if "cell_embed" in params:      # MtlTabNet cell-content branch
+        _assign_decoder_layer(src, params, "cell", t("cell_layer.0"), rep)
+        rep.check_assign(params, ["cell_embed"],
+                         src.get(t("embedding_cell.lut.weight")),
+                         t("embedding_cell.lut"))
+        rep.check_assign(params, ["cell_in"],
+                         convert_dense(src.get(t("cell_input_fc.weight"))),
+                         t("cell_input_fc"))
+        rep.check_assign(params, ["cell_in_b"],
+                         src.get(t("cell_input_fc.bias")),
+                         t("cell_input_fc"))
+        rep.check_assign(params, ["fc_cell"],
+                         convert_dense(src.get(t("cell_fc.weight"))),
+                         t("cell_fc"))
+        rep.check_assign(params, ["fc_cell_b"], src.get(t("cell_fc.bias")),
+                         t("cell_fc"))
     return rep

@@ -28,3 +28,8 @@ class TableMasterConfig:
     dict_path: str = ""
     loc_reg_num: int = 4             # xyxy normalized bbox per token
     dtype: str = "float32"
+    # MtlTabNet cell-content branch (master_decoder.py MtlTabNetDecoder:194)
+    cell_vocab_size: int = 0         # 281 for PubTabNet textline alphabet+4
+    max_cell_len: int = 150          # max_seq_len_cell (mtl_tabnet_config:18)
+    cell_slots: int = 0              # fixed K td-cell slots for TPU decode
+    td_token_ids: Tuple[int, ...] = ()  # ids of '<td></td>'/'<td' (2, 8)

@@ -156,7 +156,8 @@ class TableMaster(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 teacher_tokens: Optional[jax.Array] = None):
+                 teacher_tokens: Optional[jax.Array] = None,
+                 decode_cells: bool = False):
         cfg = self.config
         dt = jnp.dtype(cfg.dtype)
         V = cfg.vocab_size or len(StructureVocab())
@@ -249,14 +250,101 @@ class TableMaster(nn.Module):
             logits = _layer_norm(ch, fns, fnb) @ w_cls + b_cls
             loc = jax.nn.sigmoid(_layer_norm(bh, fns, fnb) @ w_loc + b_loc)
             next_tok = jnp.argmax(logits, axis=-1)
-            return (next_tok, new_caches), (logits, loc)
+            return (next_tok, new_caches), (logits, loc, h)
 
         caches0 = [(jnp.zeros((B, T, H, Dh), jnp.float32),
                     jnp.zeros((B, T, H, Dh), jnp.float32))
                    for _ in range(n_shared + 2)]
         tok0 = jnp.full((B,), vocab_sos, jnp.int32)
-        (_, _), (logits, locs) = jax.lax.scan(
+        (_, _), (logits, locs, hiddens) = jax.lax.scan(
             step, (tok0, caches0), jnp.arange(T))
-        return {"structure_probs":
-                jnp.transpose(jax.nn.softmax(logits, -1), (1, 0, 2)),
-                "loc_preds": jnp.transpose(locs, (1, 0, 2))}
+        out = {"structure_probs":
+               jnp.transpose(jax.nn.softmax(logits, -1), (1, 0, 2)),
+               "loc_preds": jnp.transpose(locs, (1, 0, 2))}
+
+        # -- MtlTabNet cell-content branch (MtlTabNetDecoder:194) ----------
+        if cfg.variant == "mtl_tabnet" and cfg.cell_vocab_size:
+            Vc = cfg.cell_vocab_size
+            cell_lp = self._decoder_layer_params("cell", D, cfg.ff_dim)
+            cell_lp["mem_k"] = (mem @ cell_lp["ck"]
+                                + cell_lp["ckb"]).reshape(B, -1, H, Dh)
+            cell_lp["mem_v"] = (mem @ cell_lp["cv"]
+                                + cell_lp["cvb"]).reshape(B, -1, H, Dh)
+            cell_embed = p("cell_embed", nn.initializers.normal(0.02),
+                           (Vc, D))
+            cin_w = p("cell_in", init, (2 * D, D))
+            cin_b = p("cell_in_b", zeros, (D,))
+            w_cell = p("fc_cell", init, (D, Vc))
+            b_cell = p("fc_cell_b", zeros, (Vc,))
+            if decode_cells and cfg.cell_slots:
+                out.update(self._decode_cells(
+                    jnp.transpose(hiddens, (1, 0, 2)),   # (B, T, D)
+                    jnp.argmax(logits, -1).T,            # (B, T) emitted ids
+                    cell_lp, cell_embed, cin_w, cin_b, w_cell, b_cell,
+                    fns, fnb))
+        return out
+
+    def _decode_cells(self, hs, ids, lp, embed, cin_w, cin_b,
+                      w_cell, b_cell, fns, fnb):
+        """Greedy cell-content decode for K fixed td slots
+        (MtlTabNetDecoder.decode_test:356-470, reference loops over cells
+        eagerly; here all B*K cells decode in one KV-cache scan)."""
+        cfg = self.config
+        D, H = cfg.d_model, cfg.heads
+        Dh = D // H
+        K, Tc = cfg.cell_slots, cfg.max_cell_len
+        B, T = ids.shape
+        Vc = cfg.cell_vocab_size
+        td = cfg.td_token_ids or (2, 8)
+        sos_c, eos_c = Vc - 3, Vc - 2
+
+        is_td = jnp.zeros((B, T), bool)
+        for t in td:
+            is_td |= ids == t
+        order = jnp.argsort(jnp.where(is_td, jnp.arange(T)[None], T + 1),
+                            axis=1)[:, :K]                      # (B, K)
+        valid = jnp.take_along_axis(is_td, order, axis=1)
+        x_i = jnp.take_along_axis(hs, order[..., None], axis=1)  # (B,K,D)
+
+        pe = interleaved_positions(Tc, D)
+        scale = math.sqrt(D)
+
+        def step(carry, t):
+            tok, kc, vc = carry                      # (B,K), (B,K,Tc,H,Dh)
+            emb = jnp.take(embed, tok, axis=0) * scale + pe[t]
+            h = jnp.concatenate([emb, x_i], -1) @ cin_w + cin_b
+            y = _layer_norm(h, lp["ln1s"], lp["ln1b"])
+            q = (y @ lp["q"] + lp["qb"]).reshape(B, K, H, Dh)
+            k_new = (y @ lp["k"] + lp["kb"]).reshape(B, K, H, Dh)
+            v_new = (y @ lp["v"] + lp["vb"]).reshape(B, K, H, Dh)
+            kc = jax.lax.dynamic_update_slice(kc, k_new[:, :, None],
+                                              (0, 0, t, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v_new[:, :, None],
+                                              (0, 0, t, 0, 0))
+            att = jnp.einsum("bkhd,bkthd->bkht", q, kc) / math.sqrt(Dh)
+            att = jnp.where(jnp.arange(Tc)[None, None, None] <= t, att,
+                            -1e9)
+            sa = jnp.einsum("bkht,bkthd->bkhd", jax.nn.softmax(att, -1),
+                            vc).reshape(B, K, D)
+            h = h + sa @ lp["o"] + lp["ob"]
+            y = _layer_norm(h, lp["ln2s"], lp["ln2b"])
+            q2 = (y @ lp["cq"] + lp["cqb"]).reshape(B, K, H, Dh)
+            ca = jnp.einsum("bkhd,bshd->bkhs", q2,
+                            lp["mem_k"]) / math.sqrt(Dh)
+            cv = jnp.einsum("bkhs,bshd->bkhd", jax.nn.softmax(ca, -1),
+                            lp["mem_v"]).reshape(B, K, D)
+            h = h + cv @ lp["co"] + lp["cob"]
+            y = _layer_norm(h, lp["ln3s"], lp["ln3b"])
+            h = h + (jax.nn.relu(y @ lp["ff1"] + lp["ff1b"])
+                     @ lp["ff2"] + lp["ff2b"])
+            logits = _layer_norm(h, fns, fnb) @ w_cell + b_cell
+            return (jnp.argmax(logits, -1), kc, vc), logits
+
+        tok0 = jnp.full((B, K), sos_c, jnp.int32)
+        kc0 = jnp.zeros((B, K, Tc, H, Dh), jnp.float32)
+        (_, _, _), cell_logits = jax.lax.scan(
+            step, (tok0, kc0, kc0), jnp.arange(Tc))
+        cell_ids = jnp.transpose(jnp.argmax(cell_logits, -1),
+                                 (1, 2, 0))          # (B, K, Tc)
+        return {"cell_ids": cell_ids, "cell_valid": valid,
+                "cell_eos_id": eos_c}

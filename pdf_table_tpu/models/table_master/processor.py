@@ -34,11 +34,13 @@ class TableMasterPreProcessor:
 
 class TableMasterPostProcessor:
     def __init__(self, config: TableMasterConfig,
-                 vocab: Optional[StructureVocab] = None):
+                 vocab: Optional[StructureVocab] = None,
+                 cell_charset: Optional[List[str]] = None):
         self.config = config
         if vocab is None and config.dict_path:
             vocab = StructureVocab.from_dict_file(config.dict_path)
         self.vocab = vocab or StructureVocab()
+        self.cell_charset = cell_charset  # MtlTabNet textline alphabet
 
     def __call__(self, raw: Dict[str, Any], meta: Dict[str, Any]) -> Dict[str, Any]:
         probs = np.asarray(raw["structure_probs"][0])
@@ -62,6 +64,27 @@ class TableMasterPostProcessor:
                 cells.append({"bbox": b[:4].tolist()})
             tokens.append(tok)
             scores.append(float(confs[t]))
-        return {"structure_tokens": tokens, "cells": cells,
-                "score": float(np.mean(scores)) if scores else 0.0,
-                "type": "master"}
+        result = {"structure_tokens": tokens, "cells": cells,
+                  "score": float(np.mean(scores)) if scores else 0.0,
+                  "type": "master"}
+        # MtlTabNet cell-content branch output (decode_cells=True): greedy
+        # ids per td slot -> text (master_convertor idx2str_cell:570)
+        if "cell_ids" in raw:
+            eos_c = int(raw.get("cell_eos_id", 0))
+            cids = np.asarray(raw["cell_ids"][0])
+            cvalid = np.asarray(raw["cell_valid"][0])
+            texts: List[str] = []
+            for k in range(len(cids)):
+                if not cvalid[k]:
+                    break
+                chars = []
+                for cid in cids[k]:
+                    if cid == eos_c:
+                        break
+                    if self.cell_charset and cid < len(self.cell_charset):
+                        chars.append(self.cell_charset[cid])
+                texts.append("".join(chars))
+            result["cell_texts"] = texts
+            for cell, text in zip(result["cells"], texts):
+                cell["text"] = text
+        return result

@@ -240,3 +240,94 @@ class TestMasterConvert:
         assert np.allclose(jbbox, tbbox[0].numpy(), atol=2e-3), \
             np.abs(jbbox - tbbox[0].numpy()).max()
         assert jprobs.argmax(-1).tolist() == tids[0].tolist()
+
+    def test_mtl_cell_branch_parity(self):
+        """Cell-content branch: torch mirror of MtlTabNetDecoder's per-cell
+        greedy loop vs the flax fixed-slot KV-cache scan."""
+        from pdf_table_tpu.convert.master_convert import convert_table_master
+        from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.table_master import (TableMaster,
+                                                       TableMasterConfig)
+
+        VC, TC, K = 15, 3, 2
+        td_ids = (1, 2)
+
+        torch.manual_seed(3)
+        tmodel = TTableMaster().eval()
+        _randomize_bn(tmodel)
+        tdec = tmodel.decoder
+        tdec.cell_layer = tnn.ModuleList([TDecLayer()])
+        tdec.cell_fc = tnn.Linear(D, VC)
+        tdec.embedding_cell = tnn.Sequential()
+        tdec.embedding_cell.lut = tnn.Embedding(VC, D)
+        tdec.cell_input_fc = tnn.Linear(2 * D, D)
+        with torch.no_grad():   # force td-token emissions for the branch
+            tdec.cls_fc.bias[td_ids[0]] = 5.0
+        state = dict(tmodel.state_dict())
+
+        cfg = TableMasterConfig(variant="mtl_tabnet", img_size=(32, 32),
+                                d_model=D, decoder_layers=N, heads=HEADS,
+                                ff_dim=FF, max_structure_len=T,
+                                vocab_size=V, cell_vocab_size=VC,
+                                max_cell_len=TC, cell_slots=K,
+                                td_token_ids=td_ids)
+        model = TableMaster(cfg)
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = jax.tree_util.tree_map(np.asarray,
+                                           dict(init_params(model, x)))
+        rep = convert_table_master(src := TorchTensorSource(state),
+                                   variables, n_layers=N)
+        assert rep.ok, (rep.missing[:8], rep.shape_errors[:8])
+
+        img = np.random.default_rng(7).normal(
+            0, 1, (1, 32, 32, 3)).astype(np.float32)
+        out = model.apply(variables, jnp.asarray(img), train=False,
+                          decode_cells=True)
+        assert out["cell_ids"].shape == (1, K, TC)
+
+        # torch mirror of decode_test(decode_cell=True): shared-layer x at
+        # td positions -> cell_input_fc(cat(emb*sqrt(D)+pe, x_i)) ->
+        # cell_layer -> norm -> cell_fc, greedy
+        with torch.no_grad():
+            feat = tmodel.backbone(
+                torch.from_numpy(img.transpose(0, 3, 1, 2)))
+            b, c, h, w = feat.shape
+            mem = feat.view(b, c, h * w).permute(0, 2, 1)
+            mem = mem + pe_table(h * w).to(mem)
+            ids = torch.full((1, 1), SOS, dtype=torch.long)
+            for _ in range(T):
+                logits, _ = tdec.decode(ids, mem)
+                ids = torch.cat([ids, logits[:, -1:].argmax(-1)], dim=1)
+            emitted = ids[0, 1:]
+            # shared-layer hidden states over the final prefix
+            xx = tdec.embedding.lut(ids[:, :-1]) * math.sqrt(D)
+            xx = xx + pe_table(T).to(xx)
+            mask = torch.tril(torch.ones(T, T)).view(1, 1, T, T)
+            for layer in tdec.layers:
+                xx = layer(xx, mem, mask)
+            pos = [t for t in range(T) if int(emitted[t]) in td_ids][:K]
+            sos_c = VC - 3
+            t_cells = []
+            for pidx in pos:
+                x_i = xx[:, pidx:pidx + 1]
+                cid = torch.full((1, 1), sos_c, dtype=torch.long)
+                step_logits = []
+                for s in range(TC):
+                    e = tdec.embedding_cell.lut(cid) * math.sqrt(D)
+                    e = e + pe_table(s + 1).to(e)
+                    xi = x_i.expand(-1, s + 1, -1)
+                    xc = tdec.cell_input_fc(torch.cat((e, xi), -1))
+                    m = torch.tril(torch.ones(s + 1, s + 1)).view(
+                        1, 1, s + 1, s + 1)
+                    y = tdec.cell_layer[0](xc, mem, m)
+                    lg = tdec.cell_fc(tdec.norm(y))
+                    step_logits.append(lg[0, -1])
+                    cid = torch.cat([cid, lg[:, -1:].argmax(-1)], dim=1)
+                t_cells.append(torch.stack(step_logits).argmax(-1))
+
+        jids = np.asarray(out["cell_ids"][0])
+        jvalid = np.asarray(out["cell_valid"][0])
+        assert int(jvalid.sum()) == len(pos)
+        for k, tc in enumerate(t_cells):
+            assert jids[k].tolist() == tc.tolist()

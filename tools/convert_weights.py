@@ -124,9 +124,12 @@ def main() -> int:
         from pdf_table_tpu.models.table_master import (TableMaster,
                                                        TableMasterConfig)
 
-        # PubTabNet structure alphabet + unknown/sos/eos/pad -> 43
-        # (mtl_tabnet_constants.STRUCTURE_ALPHABET_PUBTABNET)
-        cfg = TableMasterConfig(variant=args.model, vocab_size=43)
+        # PubTabNet structure alphabet + unknown/sos/eos/pad -> 43; cell
+        # textline alphabet -> 281 (mtl_tabnet_constants.py); td tag ids
+        # 2='<td></td>', 8='<td' (master_convertor.idx_tag_cell:547)
+        kw = dict(cell_vocab_size=281, td_token_ids=(2, 8)) \
+            if args.model == "mtl_tabnet" else {}
+        cfg = TableMasterConfig(variant=args.model, vocab_size=43, **kw)
         model = TableMaster(cfg)
         variables = jax.tree.map(
             np.asarray,
