@@ -25,6 +25,9 @@ class LoreConfig:
                                      # but >99% filtered at vis_thresh)
     max_corners: int = 600           # MK corner slots (reference MK=5000)
     vis_thresh: float = 0.15
+    vis_thresh_corner: float = 0.3   # corner-channel threshold (wiz_rev)
+    wiz_rev: bool = False            # snap cell vertices to corner dets
+                                     # (wtw config, configuration_lore.py:97)
     upper_left: bool = True          # corner-anchored affine (wtw/wireless)
     # processor
     hidden_size: int = 256
@@ -42,7 +45,8 @@ class LoreConfig:
 
     @classmethod
     def wtw(cls, **kw) -> "LoreConfig":
-        base = dict(task_type="wtw", resolution=(1024, 1024))
+        base = dict(task_type="wtw", resolution=(1024, 1024),
+                    wiz_rev=True)
         base.update(kw)
         return cls(**base)
 

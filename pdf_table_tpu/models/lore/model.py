@@ -58,6 +58,23 @@ class LoreModel(nn.Module):
         # cell-center channel decode (reference ctdet_4ps_decode)
         dets, scores, _clses, centers, inds = decode_boxes_4ps(
             hm[..., 0:1], out["wh"], out["reg"], K)
+
+        if cfg.wiz_rev:
+            # corner channel decode (corner_decode:97: gbox = corner - st)
+            # + vectorized vertex snap (lineless_table_process.py:178-236)
+            from .corner_refine import refine_vertices_by_corners
+
+            gboxes, gscores, _gc, gcenters, _gi = decode_boxes_4ps(
+                hm[..., 1:2], out["st"], out["reg"], cfg.max_corners)
+            dets, scores = refine_vertices_by_corners(
+                dets, scores, gboxes, gcenters, gscores,
+                cfg.vis_thresh, cfg.vis_thresh_corner)
+            order = jnp.argsort(-scores, axis=1)
+            dets = jnp.take_along_axis(dets, order[..., None], axis=1)
+            scores = jnp.take_along_axis(scores, order, axis=1)
+            inds = jnp.take_along_axis(inds, order, axis=1)
+            centers = jnp.take_along_axis(centers, order[..., None], axis=1)
+
         valid = scores >= cfg.vis_thresh
 
         B, H, W, _ = hm.shape
