@@ -76,10 +76,18 @@ def make_lore_targets(quads: np.ndarray, logic: np.ndarray,
 
     Returns fixed-size targets: hm (H, W, 2), hm_ind/hm_mask (M,), wh (M, 8),
     reg (M, 2), logic (M, 4), gt_dets (M, 8). With ``with_corners`` also the
-    cycle-pairing targets mk_ind/mk_mask (4M,), st (4M, 8), ctr_cro_ind (4M,)
-    — corner slot (4i+j) holds cell i's corner j with the corner->center
-    vector in pair 0 (identity slot mapping; the reference dedupes shared
-    vertices, a refinement that changes targets only where cells touch)."""
+    cycle-pairing targets, following the reference's vertex DEDUP
+    (lore_coco_utils.py:434-457): corner slots are allocated per unique
+    integer vertex position shared across touching cells —
+      mk_ind/mk_mask (4M,) flat fmap index per unique corner;
+      st (4M, 8): slot row holds corner->center vectors, written at column
+        pair i for each cell that owns this corner as vertex i;
+      ctr_cro_ind (4M,): cell-corner (4k+i) -> slot*4+i into the (16M, 2)
+        flattened st view;
+      cc_match (M, 4): flat int fmap position of each cell's 4 (deduped)
+        corners, the training-time corner-feature gather indices;
+      corner_reg/corner_reg_ind/corner_reg_mask (4M,·): sub-pixel corner
+        offsets abs(Cor - int(Cor)) (the reference's reg[max_objs+...])."""
     H, W = fmap_hw
     M = max_objs
     hm = np.zeros((H, W, 2), np.float32)
@@ -94,6 +102,11 @@ def make_lore_targets(quads: np.ndarray, logic: np.ndarray,
     mk_mask = np.zeros((4 * M,), np.float32)
     st = np.zeros((4 * M, 8), np.float32)
     ctr_cro_ind = np.zeros((4 * M,), np.int64)
+    cc_match = np.zeros((M, 4), np.int64)
+    corner_reg = np.zeros((4 * M, 2), np.float32)
+    corner_reg_ind = np.zeros((4 * M,), np.int64)
+    corner_reg_mask = np.zeros((4 * M,), np.float32)
+    cor_slots: Dict[Tuple[int, int], int] = {}
 
     n = min(len(quads), M)
     for i in range(n):
@@ -108,10 +121,6 @@ def make_lore_targets(quads: np.ndarray, logic: np.ndarray,
         radius = max(0, int(gaussian_radius((math.ceil(h_box),
                                              math.ceil(w_box)))))
         draw_gaussian(hm[:, :, 0], (cx, cy), radius)
-        # corner channel: gaussians at the 4 corners (reference corner hm)
-        corner_r = max(1, radius // 2)
-        for k in range(4):
-            draw_gaussian(hm[:, :, 1], (q[2 * k], q[2 * k + 1]), corner_r)
         ci, cj = int(cx), int(cy)
         hm_ind[i] = cj * W + ci
         hm_mask[i] = 1.0
@@ -123,20 +132,33 @@ def make_lore_targets(quads: np.ndarray, logic: np.ndarray,
         gt_dets[i] = q
         if with_corners:
             for j in range(4):
-                slot = 4 * i + j
-                qx, qy = int(q[2 * j]), int(q[2 * j + 1])
-                mk_ind[slot] = np.clip(qy, 0, H - 1) * W + np.clip(qx, 0,
-                                                                   W - 1)
-                mk_mask[slot] = 1.0
-                st[slot, 0] = q[2 * j] - cx
-                st[slot, 1] = q[2 * j + 1] - cy
-                # flattened (4M, 2)-view index of (slot, pair 0)
-                ctr_cro_ind[slot] = 4 * slot
+                qx, qy = float(q[2 * j]), float(q[2 * j + 1])
+                key = (int(qx), int(qy))
+                flat = key[1] * W + key[0]
+                slot = cor_slots.get(key)
+                if slot is None and len(cor_slots) < 4 * M:
+                    slot = len(cor_slots)
+                    cor_slots[key] = slot
+                    mk_ind[slot] = flat
+                    mk_mask[slot] = 1.0
+                    corner_reg[slot] = (abs(qx - key[0]), abs(qy - key[1]))
+                    corner_reg_ind[slot] = flat
+                    corner_reg_mask[slot] = 1.0
+                    # corner-channel gaussian only for NEW corners, fixed
+                    # radius 2 (lore_coco_utils.py:449)
+                    draw_gaussian(hm[:, :, 1], key, 2)
+                if slot is None:
+                    continue
+                cc_match[i, j] = flat
+                st[slot, 2 * j:2 * j + 2] = (qx - cx, qy - cy)
+                ctr_cro_ind[4 * i + j] = slot * 4 + j
     out = {"hm": hm, "hm_ind": hm_ind, "hm_mask": hm_mask, "wh": wh,
            "reg": reg, "logic": logic_t, "gt_dets": gt_dets}
     if with_corners:
         out.update(mk_ind=mk_ind, mk_mask=mk_mask, st=st,
-                   ctr_cro_ind=ctr_cro_ind)
+                   ctr_cro_ind=ctr_cro_ind, cc_match=cc_match,
+                   corner_reg=corner_reg, corner_reg_ind=corner_reg_ind,
+                   corner_reg_mask=corner_reg_mask)
     return out
 
 

@@ -107,8 +107,19 @@ def lore_loss(outputs: Dict[str, Any], batch: Dict[str, jax.Array],
         wh_l = reg_l1(heads["wh"], batch["hm_ind"], batch["hm_mask"],
                       batch["wh"])
         st_l = None
-    off_l = reg_l1(heads["reg"], batch["hm_ind"], batch["hm_mask"],
-                   batch["reg"])
+    if "corner_reg_ind" in batch:
+        # reference packs centers+corners into one reg vector of 5M slots
+        # normalized together (lore_coco_utils.py:377-446)
+        pc = gather_map_at(heads["reg"], batch["hm_ind"])
+        pk = gather_map_at(heads["reg"], batch["corner_reg_ind"])
+        mc = batch["hm_mask"][:, :, None]
+        mk = batch["corner_reg_mask"][:, :, None]
+        num = jnp.sum(jnp.abs(pc - batch["reg"]) * mc) \
+            + jnp.sum(jnp.abs(pk - batch["corner_reg"]) * mk)
+        off_l = num / (jnp.sum(mc) * 2 + jnp.sum(mk) * 2 + 1e-4)
+    else:
+        off_l = reg_l1(heads["reg"], batch["hm_ind"], batch["hm_mask"],
+                       batch["reg"])
     ax_l = axis_loss(outputs["logi"], batch["hm_mask"], batch["logic"])
     total = hm_weight * hm_l + wh_weight * wh_l + off_weight * off_l \
         + 2.0 * ax_l

@@ -210,7 +210,37 @@ class TestPairLoss:
                               with_corners=True)
         assert t["mk_mask"].sum() == 4.0
         assert t["st"].shape == (16, 8)
-        assert t["ctr_cro_ind"][1] == 4  # slot 1 pair 0
+        assert t["ctr_cro_ind"][1] == 5  # slot 1, column pair 1
+
+    def test_vertex_dedup(self):
+        """Two adjacent cells sharing an edge: shared corners get ONE slot
+        (reference corList dedup, lore_coco_utils.py:434-457)."""
+        from pdf_table_tpu.data import make_lore_targets
+
+        quads = np.array([[2, 2, 8, 2, 8, 6, 2, 6],      # cell 0
+                          [8, 2, 14, 2, 14, 6, 8, 6]],   # cell 1, shares
+                         np.float32)                     # (8,2) and (8,6)
+        logic = np.array([[0, 0, 0, 0], [0, 0, 1, 1]], np.float32)
+        t = make_lore_targets(quads, logic, (16, 16), max_objs=4,
+                              with_corners=True)
+        # 8 vertices, 2 shared -> 6 unique corner slots
+        assert t["mk_mask"].sum() == 6.0
+        # cell 1 vertex 0 is (8,2) == cell 0 vertex 1 -> same slot (1)
+        assert t["ctr_cro_ind"][4 * 1 + 0] == 1 * 4 + 0
+        assert t["cc_match"][0, 1] == t["cc_match"][1, 0]
+        # the shared slot's st row carries vectors for BOTH cells at their
+        # own column pairs: pair 1 -> cell 0's center, pair 0 -> cell 1's
+        c0 = quads[0].reshape(4, 2).mean(0)
+        c1 = quads[1].reshape(4, 2).mean(0)
+        np.testing.assert_allclose(t["st"][1, 2:4], [8 - c0[0], 2 - c0[1]])
+        np.testing.assert_allclose(t["st"][1, 0:2], [8 - c1[0], 2 - c1[1]])
+        # corner sub-pixel reg populated once per unique corner
+        assert t["corner_reg_mask"].sum() == 6.0
+
+        # the full loss consumes the dedup targets (incl. corner reg)
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.train.lore_loss import lore_loss
 
         B, H, W, M = 1, 16, 16, 4
         batch = {k: jnp.asarray(v)[None] for k, v in t.items()
