@@ -118,13 +118,18 @@ class RecPostProcessor:
                                                   config.use_space_char)
 
     def __call__(self, logits, indices, n_total: int,
-                 texts: List[str], scores: List[float]) -> None:
+                 texts: List[str], scores: List[float],
+                 decoded=None) -> None:
         """Decode one bucket group's logits into the (pre-sized) output
-        lists at their original positions."""
-        from ...ops.ctc import ctc_greedy_decode
+        lists at their original positions. ``decoded`` takes pre-computed
+        (ids, keep, conf) when CTC greedy decode ran fused on device."""
+        if decoded is not None:
+            ids, keep, conf = decoded
+        else:
+            from ...ops.ctc import ctc_greedy_decode
 
-        ids, keep, conf = ctc_greedy_decode(logits,
-                                            blank_id=self.config.blank_id)
+            ids, keep, conf = ctc_greedy_decode(
+                logits, blank_id=self.config.blank_id)
         ids = np.asarray(ids)
         keep = np.asarray(keep)
         conf = np.asarray(conf)

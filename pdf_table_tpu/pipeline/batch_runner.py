@@ -308,13 +308,22 @@ class BatchPipeline:
                 nh, nw = shp[1], shp[2]
                 handles.append(self._detect_enqueue(dev, shp, (nh, nw),
                                                     pre_resized=True))
+            # two-stage software pipeline: a single rec worker thread runs
+            # chunk k's recognition (device + tunnel IO, GIL released) while
+            # the main thread does chunk k+1's host DB postprocess/crops
+            rec_pool = cf.ThreadPoolExecutor(max_workers=1)
+            staged = []
             for ci, chunk in enumerate(chunks):
                 shp = chunk["images"].shape
                 probs_u8 = np.asarray(handles[ci])[:shp[0]]
                 quads = self._det_post(probs_u8, chunk["shapes"],
                                        chunk["bucket"], (shp[1], shp[2]))
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
-                texts, scores = self._recognize_all(page_imgs, quads)
+                staged.append((chunk, quads,
+                               rec_pool.submit(self._recognize_all,
+                                               page_imgs, quads)))
+            for chunk, quads, fut in staged:
+                texts, scores = fut.result()
                 for k, gi in enumerate(chunk["indices"]):
                     i = raster[gi]
                     out = OcrSystemModelOutput(
@@ -329,6 +338,7 @@ class BatchPipeline:
                         out.text_cells,
                         page_width=float(images[i].shape[1]))
                     results[i] = out
+            rec_pool.shutdown(wait=True)
 
         dt = time.time() - t_start
         logger.info("batch pipeline: %d pages in %.2fs (%.2f pages/s)",

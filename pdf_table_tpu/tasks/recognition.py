@@ -47,13 +47,25 @@ class OcrRecognitionTask(InferTask):
         # normalization on device: crops upload as uint8
         # (PP rec: x/127.5-1; ConvNextViT: x/255 — processor refs)
         convnext = cfg.backbone == "convnext_vit"
+        blank_id = cfg.blank_id
 
         def apply_fn(variables, batch):
             import jax.numpy as jnp
 
+            from ..ops.ctc import ctc_greedy_decode
+
             x = batch["image"].astype(jnp.float32)
             x = x / 255.0 if convnext else x / 127.5 - 1.0
-            return module.apply(variables, x, train=False)
+            logits = module.apply(variables, x, train=False)
+            if convnext:
+                # chunk logits must concatenate along time on the host
+                # before CTC collapse — return raw
+                return {"logits": logits}
+            # fuse CTC greedy decode into the forward: ONE device program,
+            # and the downlink shrinks from (B,T,V) logit chatter to
+            # (B,T) ids + masks (tunnel-aware IO)
+            ids, keep, conf = ctc_greedy_decode(logits, blank_id=blank_id)
+            return {"ids": ids, "keep": keep, "conf": conf}
 
         return apply_fn, variables
 
@@ -63,22 +75,31 @@ class OcrRecognitionTask(InferTask):
 
     def _run_model(self, batch):
         self.ensure_built()
-        results = []
+        # enqueue every bucket group's program before touching any result:
+        # group k's downlink rides the tunnel while k+1 computes
+        pending = []
         for group in batch["groups"]:
             imgs, real_n = self.pad_batch({"image": group["images"]})
             fn = self._get_jitted(imgs["image"].shape)
-            logits = fn(self._params, imgs)[:real_n]
+            pending.append((fn(self._params, imgs), real_n, group))
+        results = []
+        for out, real_n, group in pending:
             chunks = group.get("chunked")
-            if chunks:
-                # (3N, T, V) -> (N, 3T, V): chunk logits concatenate along
-                # time before CTC collapse (ConvNextViT chunking)
-                import jax.numpy as jnp
-
-                n = real_n // chunks
-                T, V = logits.shape[1], logits.shape[2]
-                logits = logits.reshape(n, chunks * T, V)
-            results.append({"logits": logits,
-                            "indices": group["indices"]})
+            if "logits" in out:
+                logits = out["logits"][:real_n]
+                if chunks:
+                    # (3N, T, V) -> (N, 3T, V): chunk logits concatenate
+                    # along time before CTC collapse (ConvNextViT chunking)
+                    n = real_n // chunks
+                    T, V = logits.shape[1], logits.shape[2]
+                    logits = logits.reshape(n, chunks * T, V)
+                results.append({"logits": logits,
+                                "indices": group["indices"]})
+            else:
+                results.append({"decoded": (out["ids"][:real_n],
+                                            out["keep"][:real_n],
+                                            out["conf"][:real_n]),
+                                "indices": group["indices"]})
         return results
 
     def _get_jitted(self, shape):
@@ -94,5 +115,6 @@ class OcrRecognitionTask(InferTask):
         texts: List[str] = [""] * n
         scores: List[float] = [0.0] * n
         for group in raw:
-            self.post(group["logits"], group["indices"], n, texts, scores)
+            self.post(group.get("logits"), group["indices"], n, texts,
+                      scores, decoded=group.get("decoded"))
         return {"texts": texts, "scores": scores}
