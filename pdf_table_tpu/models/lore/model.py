@@ -10,7 +10,7 @@ instead of being filtered (no dynamic shapes, no device->host sync).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -97,14 +97,19 @@ class LoreModel(nn.Module):
         return result
 
     def train_forward(self, pixel_values: jax.Array, hm_ind: jax.Array,
-                      gt_dets: jax.Array, hm_mask: jax.Array):
+                      gt_dets: jax.Array, hm_mask: jax.Array,
+                      cc_match: Optional[jax.Array] = None):
         """Teacher-forced training path (reference
         LoreProcessModel.get_train_features, lore_processor.py:432-463):
         the processor consumes features gathered at GROUND-TRUTH center
         indices and GT corner positions, not the decoder's top-K.
 
         hm_ind (B, M) flat fmap indices of GT centers; gt_dets (B, M, 8) GT
-        corner coords in fmap space; hm_mask (B, M) validity.
+        corner coords in fmap space; hm_mask (B, M) validity. cc_match
+        (B, M, 4), when given, holds the DEDUPED integer fmap positions of
+        each cell's corners (data/wtw.py) — the reference gathers cr
+        features there (_get_4ps_feat on cc_match) rather than at rounded
+        float corners.
         Returns heads + logi/stacked_logi aligned with GT slots.
 
         BatchNorm runs on stored statistics (train=False) so the step needs
@@ -113,7 +118,14 @@ class LoreModel(nn.Module):
         B, H, W, _ = out["hm"].shape
         ax_flat = out["ax"].reshape(B, H * W, -1)
         ax_feat = gather_feat(ax_flat, hm_ind)
-        cr_feat = gather_corner_features(out["cr"], gt_dets)
+        if cc_match is not None:
+            cr_flat = out["cr"].reshape(B, H * W, -1)
+            M = cc_match.shape[1]
+            g = jnp.take_along_axis(
+                cr_flat, cc_match.reshape(B, M * 4)[:, :, None], axis=1)
+            cr_feat = g.reshape(B, M, 4, -1).sum(axis=2)
+        else:
+            cr_feat = gather_corner_features(out["cr"], gt_dets)
         feat = ax_feat + cr_feat
         logi, stacked = self.processor(feat, dets=gt_dets, mask=hm_mask)
         return {"heads": out, "hm": jax.nn.sigmoid(out["hm"]),

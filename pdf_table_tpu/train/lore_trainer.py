@@ -89,6 +89,7 @@ class LoreTrainer:
             out = self.model.apply(
                 variables, batch["image"], batch["hm_ind"].astype(jnp.int32),
                 batch["gt_dets"], batch["hm_mask"],
+                cc_match=batch.get("cc_match"),
                 method=LoreModel.train_forward)
             return out, variables.get("batch_stats", {})
 

@@ -71,3 +71,53 @@ class TestTableMaster:
             model="MtlTabNet", img_size=(64, 64), d_model=32,
             decoder_layers=1, heads=4, ff_dim=64, max_structure_len=4)
         assert task.model_config.variant == "mtl_tabnet"
+
+    def test_teacher_forced_training_learns(self):
+        """Teacher-forced CE through the scan decoder decreases — the
+        reference's forward_train analog (master_decoder.py:493). BN runs
+        in batch mode (train=True) like the reference trainer: the 20-conv
+        encoder is not stable under frozen init statistics."""
+        import optax
+
+        from pdf_table_tpu.engine.params import init_params
+        from pdf_table_tpu.models.slanet.vocab import StructureVocab
+        from pdf_table_tpu.models.table_master import TableMaster
+
+        cfg = tiny_cfg(decoder_layers=2)
+        model = TableMaster(cfg)
+        v = StructureVocab()
+        x = np.random.default_rng(0).normal(
+            0, 1, (2, 64, 64, 3)).astype(np.float32)
+        ids = np.tile(np.array([v.token_to_id["<tr>"],
+                                v.token_to_id["<td></td>"],
+                                v.token_to_id["</tr>"], v.eos_id,
+                                v.eos_id, v.eos_id], np.int32), (2, 1))
+        variables = dict(init_params(model, jnp.zeros((2, 64, 64, 3))))
+        params = variables.pop("params")
+        bstats = variables["batch_stats"]
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, bstats, opt):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": bstats},
+                    jnp.asarray(x), train=True,
+                    teacher_tokens=jnp.asarray(ids),
+                    mutable=["batch_stats"])
+                logp = jnp.log(out["structure_probs"] + 1e-9)
+                loss = -jnp.take_along_axis(
+                    logp, jnp.asarray(ids)[..., None], -1).mean()
+                return loss, mut["batch_stats"]
+            (loss, bs), g = jax.value_and_grad(loss_fn,
+                                               has_aux=True)(params)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(params, up), bs, opt, loss
+
+        losses = []
+        for _ in range(8):
+            params, bstats, opt, loss = step(params, bstats, opt)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all(), losses
+        assert losses[-1] < losses[0] * 0.8, losses
