@@ -33,6 +33,13 @@ class RecConfig:
     # ConvNextViT chunking (processor_convnext_vit.py:88-96)
     chunk_width: int = 300
     chunk_overlap: int = 48
+    # ConvNextViT architecture (modeling_convnext_vit.py:22-33 defaults)
+    convnext_depths: Tuple[int, ...] = (3, 3, 8, 3)
+    convnext_hidden: Tuple[int, ...] = (96, 192, 256, 512)
+    vit_dim: int = 192
+    vit_layers: int = 12
+    vit_heads: int = 3
+    vit_pos_len: int = 75
     dtype: str = "float32"
 
     @classmethod
@@ -44,7 +51,10 @@ class RecConfig:
 
     @classmethod
     def convnext_vit(cls, **kw) -> "RecConfig":
+        # the device program only ever sees chunk-width images (the
+        # processor splits 804 -> 3x300), so the single width bucket is the
+        # chunk width; the ViT position table is 75 = 300/4 (ckpt layout)
         base = dict(backbone="convnext_vit", img_channels=1, img_height=32,
-                    img_width=804, width_buckets=(804,))
+                    img_width=804, width_buckets=(300,))
         base.update(kw)
         return cls(**base)

@@ -15,7 +15,7 @@ ops.ctc.ctc_greedy_decode (vectorized XLA, no per-sequence Python loop).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -117,43 +117,102 @@ class SVTRLCNetBackbone(nn.Module):
         return x  # (B, T, dims)
 
 
+class ConvNextBlock(nn.Module):
+    """HF ConvNextLayer: dwconv7 -> LN -> pw 4x GELU pw -> layer_scale ->
+    residual (modeling_convnext.py imports transformers ConvNextStage)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.dim, (7, 7), feature_group_count=self.dim,
+                    use_bias=True, dtype=self.dtype, name="dwconv")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(y)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pw1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(y)
+        gamma = self.param("gamma",
+                           nn.initializers.constant(1e-6), (self.dim,))
+        return x + gamma * y
+
+
 class ConvNextViTBackbone(nn.Module):
-    """ConvNext downsampling stem + ViT encoder over width patches
-    (modeling_convnext.py:28 + modeling_vit.py:19)."""
+    """ConvNext encoder + ViT over width tokens, the reference's exact
+    structure (modeling_convnext_vit.py:20: ConvNextConfig depths [3,3,8,3]
+    hidden [96,192,256,512] with the MODIFIED (2,1)-stride stage
+    downsampling, then ViTForSTR hidden 192 / 3 heads / 12 layers over the
+    (1, W/4) feature map; cls position embedding sliced off,
+    modeling_vit.py:71). Luminance RGB->gray happens in-model
+    (modeling_convnext_vit.py:57)."""
 
     dtype: Any = jnp.float32
-    dims: int = 192
-    depth: int = 4
-    heads: int = 6
+    depths: Tuple[int, ...] = (3, 3, 8, 3)
+    hidden_sizes: Tuple[int, ...] = (96, 192, 256, 512)
+    dims: int = 192                 # ViT hidden
+    depth: int = 12                 # ViT layers
+    heads: int = 3
+    pos_len: int = 75               # ckpt position rows (300px/4 chunk)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (4, 4), strides=(4, 4), dtype=self.dtype,
-                    name="patchify")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln0")(x)
-        for i, c in enumerate((128, 256)):
-            # ConvNext block: dwconv7 + ln + mlp, then downsample H only
-            y = nn.Conv(x.shape[-1], (7, 7), feature_group_count=x.shape[-1],
-                        dtype=self.dtype, name=f"dw{i}")(x)
-            y = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}a")(y)
-            y = MLP(4 * x.shape[-1], x.shape[-1], dtype=self.dtype,
-                    name=f"mlp{i}")(y)
-            x = x + y
-            x = nn.Conv(c, (2, 2), strides=(2, 1), dtype=self.dtype,
-                        name=f"down{i}")(x)
-        x = jnp.mean(x, axis=1)
-        x = nn.Dense(self.dims, dtype=self.dtype, name="proj")(x)
-        T = x.shape[1]
-        # fixed-capacity positions sliced to T: the same params serve both
-        # the full 804-px pass and the 300-px chunked pass
-        max_len = max(T, 256)
+        d = self.dtype
+        if x.shape[-1] == 3:
+            x = (x[..., 0:1] * 0.2989 + x[..., 1:2] * 0.5870
+                 + x[..., 2:3] * 0.1140)
+        # ConvNextEmbeddings: patchify conv k4 s4 + channel LN
+        x = nn.Conv(self.hidden_sizes[0], (4, 4), strides=(4, 4),
+                    padding="VALID", dtype=d, name="patch_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=d, name="patch_ln")(x)
+        for si, (depth, c) in enumerate(zip(self.depths,
+                                            self.hidden_sizes)):
+            if si > 0:   # height-only downsample (2,1), width preserved
+                x = nn.LayerNorm(epsilon=1e-6, dtype=d,
+                                 name=f"s{si}_down_ln")(x)
+                x = nn.Conv(c, (2, 1), strides=(2, 1), padding="VALID",
+                            dtype=d, name=f"s{si}_down")(x)
+            for li in range(depth):
+                x = ConvNextBlock(c, dtype=d, name=f"s{si}_b{li}")(x)
+        B, fh, fw, C = x.shape
+        t = x.reshape(B, fh * fw, C)
+        # ViT patch_embeddings: 1x1 conv == dense (patch_size=1)
+        t = nn.Dense(self.dims, dtype=d, name="proj")(t)
+        T = t.shape[1]
+        # checkpoint positions after slicing off the cls row
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, max_len, self.dims))
-        x = x + pos[:, :T].astype(self.dtype)
+                         (1, max(T, self.pos_len), self.dims))
+        t = t + pos[:, :T].astype(d)
         for i in range(self.depth):
-            x = TransformerEncoderLayer(self.dims, self.heads, prenorm=True,
-                                        dtype=self.dtype, name=f"vit{i}")(x)
-        return x
+            t = ViTLayer(self.dims, self.heads, dtype=d,
+                         name=f"vit{i}")(t)
+        return nn.LayerNorm(epsilon=1e-12, dtype=d, name="vit_ln")(t)
+
+
+class ViTLayer(nn.Module):
+    """HF ViTLayer: pre-LN self-attention + pre-LN MLP, biased linears,
+    exact GELU, LN eps 1e-12."""
+
+    dim: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        B, T, D = x.shape
+        Dh = D // self.heads
+        y = nn.LayerNorm(epsilon=1e-12, dtype=d, name="ln1")(x)
+        q = nn.Dense(D, dtype=d, name="q")(y).reshape(B, T, self.heads, Dh)
+        k = nn.Dense(D, dtype=d, name="k")(y).reshape(B, T, self.heads, Dh)
+        v = nn.Dense(D, dtype=d, name="v")(y).reshape(B, T, self.heads, Dh)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(Dh).astype(d)
+        att = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, D)
+        x = x + nn.Dense(D, dtype=d, name="attn_out")(ctx)
+        y = nn.LayerNorm(epsilon=1e-12, dtype=d, name="ln2")(x)
+        y = nn.Dense(4 * D, dtype=d, name="fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        return x + nn.Dense(D, dtype=d, name="fc2")(y)
 
 
 class LightweightEdgeBackbone(nn.Module):
@@ -204,7 +263,11 @@ class CTCRecModel(nn.Module):
         elif cfg.backbone == "svtr_lcnet":
             feat = SVTRLCNetBackbone(dtype=dtype, name="backbone")(x, train)
         elif cfg.backbone == "convnext_vit":
-            feat = ConvNextViTBackbone(dtype=dtype, name="backbone")(x, train)
+            feat = ConvNextViTBackbone(
+                dtype=dtype, depths=tuple(cfg.convnext_depths),
+                hidden_sizes=tuple(cfg.convnext_hidden), dims=cfg.vit_dim,
+                depth=cfg.vit_layers, heads=cfg.vit_heads,
+                pos_len=cfg.vit_pos_len, name="backbone")(x, train)
         elif cfg.backbone == "lightweight_edge":
             feat = LightweightEdgeBackbone(dtype=dtype, name="backbone")(x, train)
         else:

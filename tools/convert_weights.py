@@ -117,6 +117,30 @@ def main() -> int:
         print("saved to", out_dir)
         return 0
 
+    if args.model == "convnext_vit":
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.convert.convnext_convert import \
+            convert_convnext_vit
+        from pdf_table_tpu.models.rec_ctc import CTCRecModel, RecConfig
+
+        # reference vocab: 7644 entries (modeling_convnext_vit.py:33)
+        cfg = RecConfig.convnext_vit(vocab_size=7644)
+        model = CTCRecModel(cfg)
+        variables = jax.tree.map(
+            np.asarray,
+            dict(init_params(model, jnp.zeros((1, 32, 300, 1)))))
+        rep = convert_convnext_vit(src, variables)
+        print("conversion:", rep.summary())
+        if not rep.ok:
+            print("MISSING:", rep.missing[:10])
+            print("SHAPE:", rep.shape_errors[:10])
+            return 1
+        out_dir = args.out or weights_dir("recognition", "ConvNextViT")
+        save_params(variables, out_dir)
+        print("saved to", out_dir)
+        return 0
+
     if args.model in ("table_master", "mtl_tabnet"):
         import jax.numpy as jnp
 
@@ -148,7 +172,7 @@ def main() -> int:
         return 0
 
     print(f"no converter for {args.model!r} yet; available: db_resnet18, "
-          f"db_resnet50, lore_wtw, lore_wireless, crnn, table_master, "
+          f"db_resnet50, lore_wtw, lore_wireless, crnn, convnext_vit, table_master, "
           f"mtl_tabnet")
     return 2
 
