@@ -26,8 +26,12 @@ class PicoDetConfig:
     img_width: int = 608
     strides: Tuple[int, ...] = (8, 16, 32, 64)
     reg_max: int = 7
-    neck_channels: int = 96
-    head_convs: int = 2
+    # picodet_lcnet_x1_0 layout family: LCNet 1.0, CSP-PAN 128, 4 shared
+    # head convs per level (PaddleDetection layout config; the reference
+    # downloads this graph as ONNX — ocr_table_model_config.py picodet rows)
+    lcnet_scale: float = 1.0
+    neck_channels: int = 128
+    head_convs: int = 4
     score_threshold: float = 0.5
     nms_threshold: float = 0.5
     nms_top_k: int = 1000

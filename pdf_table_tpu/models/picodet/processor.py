@@ -70,7 +70,11 @@ class PicoDetPostProcessor:
         ih, iw = cfg.img_height, cfg.img_width
         all_boxes, all_scores = [], []
         for stride, score, bd in zip(cfg.strides, scores, boxes):
-            fh, fw = ih // stride, iw // stride
+            # ceil grid: the reference builds np.arange(input/stride) over a
+            # possibly fractional bound (processor_picodet.py:207-209), and
+            # the SAME-padded stride-2 convs emit ceil-sized maps (e.g.
+            # 800/64 -> 13 rows, not 12).
+            fh, fw = -(-ih // stride), -(-iw // stride)
             centers = _level_centers(fh, fw, stride)
             dist = gfl_expected_distance(np.asarray(bd), cfg.reg_max) * stride
             k = min(cfg.nms_top_k, score.shape[0])

@@ -1,0 +1,272 @@
+"""PicoDet conversion: reference-shaped torch mirror -> flax, full coverage
++ forward parity.
+
+Mirror follows the reference torch network (model/picodet/): LCNet
+(lcnet.py:159), CSPPAN with Channel_T / CSPLayer / DarknetBottleneck /
+DPModule (csp_pan.py), PicoHead with shared PicoFeat convs + head_cls{i}
+(pico_head.py:966, share_cls_reg=True, export_post_process=False output
+contract).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from pdf_table_tpu.convert.picodet_convert import convert_picodet  # noqa: E402
+from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource  # noqa: E402
+from pdf_table_tpu.engine.params import init_params  # noqa: E402
+from pdf_table_tpu.models.picodet import PicoDet, PicoDetConfig  # noqa: E402
+from tests.test_pplcnet_convert import randomize_torch  # noqa: E402
+
+NET_CONFIG = {
+    2: [(3, 16, 32, 1, False)],
+    3: [(3, 32, 64, 2, False), (3, 64, 64, 1, False)],
+    4: [(3, 64, 128, 2, False), (3, 128, 128, 1, False)],
+    5: [(3, 128, 256, 2, False)] + [(5, 256, 256, 1, False)] * 5,
+    6: [(5, 256, 512, 2, True), (5, 512, 512, 1, True)],
+}
+
+
+def mdiv(v, d=8):
+    out = max(d, int(v + d / 2) // d * d)
+    return out + d if out < 0.9 * v else out
+
+
+class ConvBN(tnn.Module):
+    def __init__(self, cin, cout, k, s=1, groups=1, act=True):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, s, (k - 1) // 2, groups=groups,
+                               bias=False)
+        self.bn = tnn.BatchNorm2d(cout)
+        self.act = act
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return F.hardswish(x) if self.act else x
+
+
+class SE(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(c, c // 4, 1)
+        self.conv2 = tnn.Conv2d(c // 4, c, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = torch.relu(self.conv1(s))
+        return x * F.hardsigmoid(self.conv2(s))
+
+
+class DWSep(tnn.Module):
+    def __init__(self, cin, cout, k, s, use_se):
+        super().__init__()
+        self.dw_conv = ConvBN(cin, cin, k, s, groups=cin)
+        if use_se:
+            self.se = SE(cin)
+        self.use_se = use_se
+        self.pw_conv = ConvBN(cin, cout, 1)
+
+    def forward(self, x):
+        x = self.dw_conv(x)
+        if self.use_se:
+            x = self.se(x)
+        return self.pw_conv(x)
+
+
+class LCNet(tnn.Module):
+    def __init__(self, scale):
+        super().__init__()
+        self.conv1 = ConvBN(3, mdiv(16 * scale), 3, 2)
+        for stage, cfg in NET_CONFIG.items():
+            setattr(self, f"blocks{stage}", tnn.Sequential(
+                *[DWSep(mdiv(ic * scale), mdiv(oc * scale), k, s, se)
+                  for (k, ic, oc, s, se) in cfg]))
+
+    def forward(self, x):
+        x = self.conv1(x)
+        outs = []
+        for stage in range(2, 7):
+            x = getattr(self, f"blocks{stage}")(x)
+            if stage >= 4:
+                outs.append(x)
+        return outs
+
+
+class DPModule(tnn.Module):
+    def __init__(self, c, k=5, stride=1):
+        super().__init__()
+        self.dwconv = tnn.Conv2d(c, c, k, stride, (k - 1) // 2, groups=c,
+                                 bias=False)
+        self.bn1 = tnn.BatchNorm2d(c)
+        self.pwconv = tnn.Conv2d(c, c, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(c)
+
+    def forward(self, x):
+        x = F.hardswish(self.bn1(self.dwconv(x)))
+        return F.hardswish(self.bn2(self.pwconv(x)))
+
+
+class DarknetBottleneck(tnn.Module):
+    def __init__(self, c, k=5):
+        super().__init__()
+        self.conv1 = ConvBN(c, c, 1)
+        self.conv2 = DPModule(c, k)
+
+    def forward(self, x):
+        return self.conv2(self.conv1(x))  # add_identity=False in CSPPAN
+
+
+class CSPLayer(tnn.Module):
+    def __init__(self, cin, cout, k=5):
+        super().__init__()
+        mid = cout // 2
+        self.main_conv = ConvBN(cin, mid, 1)
+        self.short_conv = ConvBN(cin, mid, 1)
+        self.final_conv = ConvBN(2 * mid, cout, 1)
+        self.blocks = tnn.Sequential(DarknetBottleneck(mid, k))
+
+    def forward(self, x):
+        main = self.blocks(self.main_conv(x))
+        return self.final_conv(torch.cat((main, self.short_conv(x)), dim=1))
+
+
+class ChannelT(tnn.Module):
+    def __init__(self, cins, cout):
+        super().__init__()
+        self.convs = tnn.ModuleList([ConvBN(c, cout, 1) for c in cins])
+
+    def forward(self, xs):
+        return [conv(x) for conv, x in zip(self.convs, xs)]
+
+
+class CSPPAN(tnn.Module):
+    def __init__(self, cins, cout, k=5):
+        super().__init__()
+        self.conv_t = ChannelT(cins, cout)
+        self.top_down_blocks = tnn.ModuleList(
+            [CSPLayer(cout * 2, cout, k) for _ in range(2)])
+        self.downsamples = tnn.ModuleList(
+            [DPModule(cout, k, 2) for _ in range(2)])
+        self.bottom_up_blocks = tnn.ModuleList(
+            [CSPLayer(cout * 2, cout, k) for _ in range(2)])
+        self.first_top_conv = DPModule(cout, k, 2)
+        self.second_top_conv = DPModule(cout, k, 2)
+
+    def forward(self, xs):
+        ins = self.conv_t(xs)
+        inner = [ins[-1]]
+        for idx in range(2, 0, -1):
+            up = F.interpolate(inner[0], size=ins[idx - 1].shape[2:],
+                               mode="nearest")
+            inner.insert(0, self.top_down_blocks[2 - idx](
+                torch.cat([up, ins[idx - 1]], 1)))
+        outs = [inner[0]]
+        for idx in range(2):
+            down = self.downsamples[idx](outs[-1])
+            outs.append(self.bottom_up_blocks[idx](
+                torch.cat([down, inner[idx + 1]], 1)))
+        top = self.first_top_conv(ins[-1]) + self.second_top_conv(outs[-1])
+        outs.append(top)
+        return outs
+
+
+class ConvNorm(tnn.Module):
+    def __init__(self, cin, cout, k, groups=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, 1, (k - 1) // 2, groups=groups,
+                               bias=False)
+        self.norm = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return self.norm(self.conv(x))
+
+
+class PicoFeat(tnn.Module):
+    def __init__(self, feat, levels, num_convs):
+        super().__init__()
+        self.num_convs = num_convs
+        for s in range(levels):
+            for i in range(num_convs):
+                self.add_module(f"cls_conv_dw{s}_{i}",
+                                ConvNorm(feat, feat, 5, groups=feat))
+                self.add_module(f"cls_conv_pw{s}_{i}", ConvNorm(feat, feat, 1))
+
+    def forward(self, x, s):
+        for i in range(self.num_convs):
+            x = F.hardswish(getattr(self, f"cls_conv_dw{s}_{i}")(x))
+            x = F.hardswish(getattr(self, f"cls_conv_pw{s}_{i}")(x))
+        return x
+
+
+class Head(tnn.Module):
+    def __init__(self, feat, levels, num_convs, num_classes, reg_max):
+        super().__init__()
+        self.conv_feat = PicoFeat(feat, levels, num_convs)
+        self.num_classes = num_classes
+        self.reg_max = reg_max
+        for s in range(levels):
+            self.add_module(f"head_cls{s}", tnn.Conv2d(
+                feat, num_classes + 4 * (reg_max + 1), 1))
+
+    def forward(self, feats):
+        scores, boxes = [], []
+        for s, x in enumerate(feats):
+            y = getattr(self, f"head_cls{s}")(self.conv_feat(x, s))
+            cls, reg = torch.split(
+                y, [self.num_classes, 4 * (self.reg_max + 1)], dim=1)
+            b, c, h, w = cls.shape
+            scores.append(torch.sigmoid(cls.reshape(b, c, h * w))
+                          .permute(0, 2, 1))
+            boxes.append(reg.reshape(b, 4 * (self.reg_max + 1), h * w)
+                         .permute(0, 2, 1))
+        return scores, boxes
+
+
+class TorchPicoDet(tnn.Module):
+    def __init__(self, scale, neck, num_convs, num_classes, reg_max):
+        super().__init__()
+        self.backbone = LCNet(scale)
+        cins = [mdiv(c * scale) for c in (128, 256, 512)]
+        self.neck = CSPPAN(cins, neck)
+        self.head = Head(neck, 4, num_convs, num_classes, reg_max)
+
+    def forward(self, x):
+        return self.head(self.neck(self.backbone(x)))
+
+
+class TestPicoDetConvert:
+    def test_full_coverage_and_forward_parity(self):
+        scale, neck, num_convs = 0.5, 64, 2
+        tmodel = randomize_torch(
+            TorchPicoDet(scale, neck, num_convs, 5, 7)).eval()
+
+        cfg = PicoDetConfig(task_type="en", lcnet_scale=scale,
+                            neck_channels=neck, head_convs=num_convs)
+        model = PicoDet(cfg)
+        x = np.random.default_rng(1).normal(
+            size=(1, 64, 64, 3)).astype(np.float32)
+        variables = jax.tree.map(
+            np.asarray, dict(init_params(model, jnp.asarray(x))))
+
+        src = TorchTensorSource(tmodel.state_dict())
+        rep = convert_picodet(src, variables, num_levels=4,
+                              head_convs=num_convs)
+        assert rep.ok, (rep.missing[:8], rep.shape_errors[:8])
+        unused = [u for u in src.unused() if "num_batches" not in u]
+        assert unused == [], unused
+
+        with torch.no_grad():
+            tscores, tboxes = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(jax.tree.map(jnp.asarray, variables),
+                          jnp.asarray(x), train=False)
+        for lv in range(4):
+            np.testing.assert_allclose(np.asarray(out["scores"][lv]),
+                                       tscores[lv].numpy(), atol=3e-5)
+            np.testing.assert_allclose(np.asarray(out["boxes"][lv]),
+                                       tboxes[lv].numpy(), atol=3e-4)
