@@ -28,9 +28,13 @@ class MobileNetV3Det(nn.Module):
     """MobileNetV3-large(0.5) detection backbone (PP-OCR det student).
 
     Returns feature maps at strides 4/8/16/32, mirroring the Paddle det
-    backbone the reference runs via ONNX (db_pp)."""
+    backbone the reference runs via ONNX (db_pp). The PP-OCRv3 det student
+    checkpoint is trained with ``disable_se=True`` (all SE blocks dropped)
+    and ends with a 1x1 squeeze conv to make_divisible(960*scale) at
+    stride 32."""
 
     scale: float = 0.5
+    disable_se: bool = True
     dtype: Any = jnp.float32
 
     # (kernel, expand, out, use_se, act, stride)
@@ -65,7 +69,10 @@ class MobileNetV3Det(nn.Module):
             stride_now *= st
             x = InvertedResidual(
                 make_divisible(c * s), make_divisible(e * s), (k, k), (st, st),
-                use_se=se, act=act, dtype=self.dtype, name=f"block{i}")(x, train)
+                use_se=se and not self.disable_se, act=act, dtype=self.dtype,
+                name=f"block{i}")(x, train)
+        x = ConvBNAct(make_divisible(960 * s), (1, 1), act="hardswish",
+                      dtype=self.dtype, name="last_conv")(x, train)
         feats.append(x)
         return tuple(feats)  # C2..C5
 
@@ -134,14 +141,15 @@ class RSEFPN(nn.Module):
         o4 = RSELayer(q, 3, dtype=self.dtype, name="out4")(p4)
         o3 = RSELayer(q, 3, dtype=self.dtype, name="out3")(p3)
         o2 = RSELayer(q, 3, dtype=self.dtype, name="out2")(p2)
-        hw = o2.shape[1:3]
 
         def up(t, r):
             b, h, w, c = t.shape
             t = jnp.broadcast_to(t[:, :, None, :, None, :], (b, h, r, w, r, c))
             return t.reshape(b, h * r, w * r, c)
 
-        return jnp.concatenate([o2, up(o3, 2), up(o4, 4), up(o5, 8)], axis=-1)
+        # concat high->low (p5..p2): the PaddleOCR DB FPN fuse order, which
+        # fixes the channel layout the head's first conv was trained on.
+        return jnp.concatenate([up(o5, 8), up(o4, 4), up(o3, 2), o2], axis=-1)
 
 
 class BinarizeHead(nn.Module):
