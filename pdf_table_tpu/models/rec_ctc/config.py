@@ -30,6 +30,14 @@ class RecConfig:
     charset_name: str = "en"       # en | dict file path
     use_space_char: bool = True
     blank_id: int = 0
+    # SVTR-LCNet (PP-OCRv3 rec): MobileNetV1Enhance scale + EncoderWithSVTR
+    # dims/depth/hidden/heads (PaddleOCR rec config; the reference runs the
+    # exported ONNX, model/ocr_rec_pp/)
+    svtr_scale: float = 0.5
+    svtr_dims: int = 64
+    svtr_depth: int = 2
+    svtr_hidden: int = 120
+    svtr_heads: int = 8
     # ConvNextViT chunking (processor_convnext_vit.py:88-96)
     chunk_width: int = 300
     chunk_overlap: int = 48

@@ -21,8 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import (ConvBNAct, DepthwiseSeparable, MLP,
-                      TransformerEncoderLayer, sinusoid_positions)
+from ..layers import ConvBNAct, DepthwiseSeparable
 from .config import RecConfig
 
 
@@ -79,42 +78,103 @@ class CRNNBackbone(nn.Module):
         return x[:, 0]  # (B, T, 512)
 
 
-class SVTRLCNetBackbone(nn.Module):
-    """PP-LCNet stages (H strides collapse to 1/16 -> avgpool) + SVTR
-    global-mixer blocks over the width sequence."""
+# MobileNetV1Enhance block list: (filters1, filters2, stride_hw, dw_k, se).
+# Channels scale by int(c*scale); the PP-OCRv3 rec backbone uses (2,1)
+# strides to collapse height while keeping width, then a (1,2)-strided
+# SE block and an avg pool (PaddleOCR rec_mv1_enhance, exported as the
+# ONNX graph the reference downloads — model/ocr_rec_pp/).
+MV1_ENHANCE_CFG = [
+    (32, 64, (1, 1), 3, False),
+    (64, 128, (1, 1), 3, False),
+    (128, 128, (1, 1), 3, False),
+    (128, 256, (2, 1), 3, False),
+    (256, 256, (1, 1), 3, False),
+    (256, 512, (2, 1), 3, False),
+    (512, 512, (1, 1), 3, False),
+    (512, 512, (1, 1), 3, False),
+    (512, 512, (1, 1), 3, False),
+    (512, 512, (1, 1), 3, False),
+    (512, 512, (1, 1), 3, False),
+    (512, 1024, (2, 1), 5, False),
+    (1024, 1024, (1, 2), 5, True),
+]
 
+
+class SVTRBlock(nn.Module):
+    """SVTR global-mixer block: pre-LN MHA (qkv fused, biased) + pre-LN
+    2x-MLP with swish; LN eps 1e-5."""
+
+    dim: int
+    heads: int
     dtype: Any = jnp.float32
-    dims: int = 120
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        B, T, D = x.shape
+        Dh = D // self.heads
+        y = nn.LayerNorm(epsilon=1e-5, dtype=d, name="norm1")(x)
+        qkv = nn.Dense(3 * D, dtype=d, name="qkv")(y)
+        q, k, v = [t.reshape(B, T, self.heads, Dh)
+                   for t in jnp.split(qkv, 3, axis=-1)]
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh ** -0.5)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(att.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, D)
+        x = x + nn.Dense(D, dtype=d, name="proj")(ctx)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=d, name="norm2")(x)
+        y = nn.Dense(2 * D, dtype=d, name="fc1")(y)
+        y = jax.nn.silu(y)
+        return x + nn.Dense(D, dtype=d, name="fc2")(y)
+
+
+class SVTRLCNetBackbone(nn.Module):
+    """PP-OCRv3 rec backbone+neck: MobileNetV1Enhance (scale 0.5,
+    last_conv_stride (1,2), avg last pool) then EncoderWithSVTR (conv1 3x3
+    -> conv2 1x1 -> 2 global SVTR blocks -> LN -> conv3 1x1, concat with
+    the shortcut, conv4 3x3 -> conv1x1 to ``dims``; all convs bn+swish)."""
+
+    scale: float = 0.5
+    dims: int = 64
+    hidden: int = 120
     depth: int = 2
     heads: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # stem: stride 2 both dims
-        x = ConvBNAct(32, (3, 3), (2, 2), act="hardswish",
-                      dtype=self.dtype, name="stem")(x, train)
-        cfg = [  # (out, k, stride_hw, se)
-            (64, 3, (1, 1), False),
-            (128, 3, (2, 1), False),   # H/4, W/2
-            (128, 3, (1, 1), False),
-            (256, 3, (2, 1), False),   # H/8
-            (256, 5, (1, 1), False),
-            (512, 5, (2, 1), True),    # H/16
-            (512, 5, (1, 1), True),
-        ]
-        for i, (c, k, st, se) in enumerate(cfg):
-            x = DepthwiseSeparable(c, (k, k), st, use_se=se, act="hardswish",
-                                   dtype=self.dtype, name=f"stage{i}")(x, train)
-        # collapse H: (B, H', W', C) -> (B, W', C)
-        x = jnp.mean(x, axis=1)
-        x = nn.Dense(self.dims, dtype=self.dtype, name="proj")(x)
-        T = x.shape[1]
-        x = x + sinusoid_positions(T, self.dims, self.dtype)[None]
+        d = self.dtype
+        x = ConvBNAct(int(32 * self.scale), (3, 3), (2, 2), act="hardswish",
+                      dtype=d, name="conv1")(x, train)
+        for i, (_, f2, st, k, se) in enumerate(MV1_ENHANCE_CFG):
+            x = DepthwiseSeparable(int(f2 * self.scale), (k, k), st,
+                                   use_se=se, act="hardswish", dtype=d,
+                                   name=f"block{i}")(x, train)
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+        # EncoderWithSVTR (use_guide=False): shortcut = pooled feature
+        h = x
+        cin = x.shape[-1]
+        z = ConvBNAct(cin // 8, (3, 3), act="swish", dtype=d,
+                      name="svtr_conv1")(x, train)
+        z = ConvBNAct(self.hidden, (1, 1), act="swish", dtype=d,
+                      name="svtr_conv2")(z, train)
+        B, H, W, C = z.shape
+        z = z.reshape(B, H * W, C)
         for i in range(self.depth):
-            x = TransformerEncoderLayer(self.dims, self.heads, mlp_ratio=2.0,
-                                        prenorm=True, dtype=self.dtype,
-                                        name=f"mixer{i}")(x)
-        return x  # (B, T, dims)
+            z = SVTRBlock(self.hidden, self.heads, dtype=d,
+                          name=f"svtr_block{i}")(z)
+        z = nn.LayerNorm(epsilon=1e-6, dtype=d, name="svtr_norm")(z)
+        z = z.reshape(B, H, W, C)
+        z = ConvBNAct(cin, (1, 1), act="swish", dtype=d,
+                      name="svtr_conv3")(z, train)
+        z = jnp.concatenate([h, z], axis=-1)
+        z = ConvBNAct(cin // 8, (3, 3), act="swish", dtype=d,
+                      name="svtr_conv4")(z, train)
+        z = ConvBNAct(self.dims, (1, 1), act="swish", dtype=d,
+                      name="svtr_conv1x1")(z, train)
+        # Im2Seq: H is 1 for the 48-px rec geometry; mean is exact there
+        # and keeps other heights usable.
+        return jnp.mean(z, axis=1)  # (B, W', dims)
 
 
 class ConvNextBlock(nn.Module):
@@ -261,7 +321,10 @@ class CTCRecModel(nn.Module):
             feat = BiLSTM(cfg.hidden_size, 512, dtype=dtype,
                           name="rnn2")(feat)
         elif cfg.backbone == "svtr_lcnet":
-            feat = SVTRLCNetBackbone(dtype=dtype, name="backbone")(x, train)
+            feat = SVTRLCNetBackbone(
+                scale=cfg.svtr_scale, dims=cfg.svtr_dims,
+                hidden=cfg.svtr_hidden, depth=cfg.svtr_depth,
+                heads=cfg.svtr_heads, dtype=dtype, name="backbone")(x, train)
         elif cfg.backbone == "convnext_vit":
             feat = ConvNextViTBackbone(
                 dtype=dtype, depths=tuple(cfg.convnext_depths),
