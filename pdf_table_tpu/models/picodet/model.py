@@ -70,9 +70,12 @@ class LCNetDWSep(nn.Module):
 
 
 class LCNetBackbone(nn.Module):
-    """PPLCNet trunk returning blocks4/5/6 outputs (strides 8/16/32)."""
+    """PPLCNet trunk. Default returns blocks4/5/6 outputs (strides
+    8/16/32, PicoDet feature_maps=[3,4,5]); SLANet uses blocks3..6
+    (strides 4/8/16/32)."""
 
     scale: float = 1.0
+    out_stages: Sequence[int] = (4, 5, 6)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,9 +88,9 @@ class LCNetBackbone(nn.Module):
             for i, (k, _, out_c, st, se) in enumerate(LCNET_CONFIG[stage]):
                 x = LCNetDWSep(make_divisible(out_c * s), k, st, use_se=se,
                                dtype=d, name=f"blocks{stage}_{i}")(x, train)
-            if stage >= 4:
+            if stage in self.out_stages:
                 outs.append(x)
-        return tuple(outs)  # (c3@s8, c4@s16, c5@s32)
+        return tuple(outs)
 
 
 class DPModule(nn.Module):
@@ -154,11 +157,13 @@ class CSPLayer(nn.Module):
 
 
 class CSPPAN(nn.Module):
-    """3-level PAN + extra stride-64 top feature (csp_pan.py:233-346)."""
+    """n-level PAN, optionally adding one extra stride-2x top feature
+    (csp_pan.py:233-346). PicoDet: 3 inputs + extra level; SLANet (the
+    PaddleOCR table neck): 4 inputs, no extra level."""
 
     out_channels: int = 128
     kernel: int = 5
-    num_features: int = 4
+    extra_level: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -184,7 +189,7 @@ class CSPPAN(nn.Module):
             outs.append(CSPLayer(
                 f, self.kernel, dtype=d, name=f"bottom_up{idx}")(
                     jnp.concatenate([down, inner[idx + 1]], axis=-1), train))
-        if self.num_features == 4:
+        if self.extra_level:
             top = DPModule(f, self.kernel, stride=2, dtype=d,
                            name="first_top_conv")(ins[-1], train)
             top = top + DPModule(f, self.kernel, stride=2, dtype=d,
@@ -236,7 +241,8 @@ class PicoDet(nn.Module):
         d = jnp.dtype(cfg.dtype)
         feats = LCNetBackbone(cfg.lcnet_scale, dtype=d,
                               name="backbone")(x, train)
-        levels = CSPPAN(cfg.neck_channels, num_features=len(cfg.strides),
+        levels = CSPPAN(cfg.neck_channels,
+                        extra_level=len(cfg.strides) == 4,
                         dtype=d, name="neck")(feats, train)
         scores, boxes = PicoHead(cfg.num_classes, cfg.reg_max, cfg.head_convs,
                                  dtype=d, name="head")(levels, train)

@@ -16,5 +16,6 @@ class SLANetConfig:
     vocab_size: int = 0           # 0 -> derived from StructureVocab
     dict_path: str = ""           # optional structure dict file
     merge_no_span_structure: bool = True
-    backbone_scale: float = 1.0
+    lcnet_scale: float = 1.0      # PPLCNet backbone width
+    neck_channels: int = 96       # CSPPAN out channels (PaddleOCR SLANet)
     dtype: str = "float32"

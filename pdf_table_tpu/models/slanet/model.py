@@ -1,12 +1,22 @@
-"""SLANet in flax: PP-LCNet backbone + CSP fuse + attention-GRU SLA head.
+"""SLANet in flax: PP-LCNet backbone + CSP-PAN neck + attention-GRU SLAHead.
 
-Reference runs this as a PaddleOCR ONNX graph (model/slanet/
-configuration_slanet.py:64-65). TPU-native design: the autoregressive
-structure decoder is a single ``lax.scan`` over ``max_structure_len`` steps
-(static shape) — per step: additive attention of the GRU hidden over visual
-features -> GRU update -> structure logits + 8-dim location regression.
-Greedy argmax feeds the next step's token embedding; everything stays in one
-compiled program.
+Structure-exact re-expression of the PaddleOCR SLANet graph the reference
+downloads as ONNX (model/slanet/configuration_slanet.py:64-65
+``model_provider="PaddleOCR", predictor_type="onnx"``):
+
+  backbone  PPLCNet scale 1.0 returning blocks3..6 (strides 4/8/16/32)
+  neck      CSPPAN out 96 over the 4 levels (no extra level)
+  head      SLAHead: attention-GRU decoder over the stride-32 feature,
+            one-hot char encoding, 2-layer structure/loc generators
+            (PaddleOCR table_att_head.py SLAHead + rec_att_head.py
+            AttentionGRUCell).
+
+TPU-native design: the autoregressive decode is one ``lax.scan`` over
+``max_structure_len`` static steps — per step: additive attention of the
+GRU hidden over the flattened visual memory, GRU update, structure logits
++ loc regression, greedy argmax feeding the next step. The whole model is
+a single compiled program; weight conversion is
+convert/slanet_convert.py.
 """
 
 from __future__ import annotations
@@ -17,35 +27,20 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import ConvBNAct, DepthwiseSeparable
+from ..picodet.model import CSPPAN, LCNetBackbone
 from .config import SLANetConfig
 from .vocab import StructureVocab
 
 
-class SLABackbone(nn.Module):
-    """PP-LCNet-style feature extractor to stride 16 + global fuse."""
-
-    hidden: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        d = self.dtype
-        x = ConvBNAct(16, (3, 3), (2, 2), act="hardswish", dtype=d,
-                      name="stem")(x, train)
-        cfg = [(32, 3, 1, False), (64, 3, 2, False), (64, 3, 1, False),
-               (128, 3, 2, False), (128, 3, 1, False),
-               (256, 5, 2, True), (256, 5, 1, True)]
-        for i, (c, k, s, se) in enumerate(cfg):
-            x = DepthwiseSeparable(c, (k, k), (s, s), use_se=se,
-                                   act="hardswish", dtype=d,
-                                   name=f"b{i}")(x, train)
-        x = nn.Conv(self.hidden, (1, 1), dtype=d, name="proj")(x)
-        return x  # (B, H/16, W/16, hidden)
-
-
 class SLAHead(nn.Module):
-    """Attention-GRU structure decoder (PP-StructureV2 SLAHead)."""
+    """Attention-GRU structure decoder (PaddleOCR SLAHead).
+
+    Parameters mirror the paddle modules 1:1 for conversion:
+      attention cell: i2h (C->H, no bias), h2h (H->H, bias),
+                      score (H->1, no bias), GRUCell in=(C+V) gates (r,z,c)
+      structure_generator: Linear(H,H) -> Linear(H,V)        (no act)
+      loc_generator:       Linear(H,H) -> Linear(H,L) -> sigmoid
+    """
 
     vocab_size: int
     hidden: int
@@ -60,48 +55,51 @@ class SLAHead(nn.Module):
         hd, V, L = self.hidden, self.vocab_size, self.loc_reg_num
 
         # Explicit parameters: the scan body must stay module-free (flax
-        # submodule calls inside lax.scan leak tracers), and flat param
-        # names make torch/paddle weight conversion direct.
+        # submodule calls inside lax.scan leak tracers), and flat names
+        # make paddle/torch weight conversion direct.
         init = nn.initializers.xavier_uniform()
         zeros = nn.initializers.zeros
         p = self.param
-        embed_tbl = p("token_embed", nn.initializers.normal(0.02), (V, hd))
-        w_q = p("attn_q", init, (hd, hd))
-        w_k = p("attn_k", init, (C, hd))
-        w_v = p("attn_v", init, (hd, 1))
-        in_dim = hd + C
-        w_ir = p("gru_ir", init, (in_dim, hd)); b_ir = p("gru_bir", zeros, (hd,))
-        w_iz = p("gru_iz", init, (in_dim, hd)); b_iz = p("gru_biz", zeros, (hd,))
-        w_in = p("gru_in", init, (in_dim, hd)); b_in = p("gru_bin", zeros, (hd,))
-        w_hr = p("gru_hr", init, (hd, hd)); b_hr = p("gru_bhr", zeros, (hd,))
-        w_hz = p("gru_hz", init, (hd, hd)); b_hz = p("gru_bhz", zeros, (hd,))
-        w_hn = p("gru_hn", init, (hd, hd)); b_hn = p("gru_bhn", zeros, (hd,))
-        w_struct = p("fc_struct", init, (hd, V))
-        b_struct = p("fc_struct_b", zeros, (V,))
-        w_loc1 = p("fc_loc1", init, (hd + C, hd))
-        b_loc1 = p("fc_loc1_b", zeros, (hd,))
-        w_loc2 = p("fc_loc2", init, (hd, L))
-        b_loc2 = p("fc_loc2_b", zeros, (L,))
+        w_i2h = p("attn_i2h", init, (C, hd))
+        w_h2h = p("attn_h2h", init, (hd, hd))
+        b_h2h = p("attn_h2h_b", zeros, (hd,))
+        w_score = p("attn_score", init, (hd, 1))
+        in_dim = C + V
+        w_ih = p("gru_w_ih", init, (in_dim, 3 * hd))
+        b_ih = p("gru_b_ih", zeros, (3 * hd,))
+        w_hh = p("gru_w_hh", init, (hd, 3 * hd))
+        b_hh = p("gru_b_hh", zeros, (3 * hd,))
+        w_s0 = p("fc_struct0", init, (hd, hd))
+        b_s0 = p("fc_struct0_b", zeros, (hd,))
+        w_s1 = p("fc_struct1", init, (hd, V))
+        b_s1 = p("fc_struct1_b", zeros, (V,))
+        w_l0 = p("fc_loc0", init, (hd, hd))
+        b_l0 = p("fc_loc0_b", zeros, (hd,))
+        w_l1 = p("fc_loc1", init, (hd, L))
+        b_l1 = p("fc_loc1_b", zeros, (L,))
 
-        keys = mem @ w_k                          # (B, HW, hd) — precompute
+        keys = mem @ w_i2h                       # (B, HW, hd) — precompute
 
         def step(carry, teacher_tok):
             hidden, tok = carry
             if teacher_tok is not None:
-                tok = teacher_tok                 # teacher forcing (training)
-            q = (hidden @ w_q)[:, None, :]        # (B, 1, hd)
-            e = (jnp.tanh(q + keys) @ w_v)[..., 0]    # (B, HW)
+                tok = teacher_tok                # teacher forcing (training)
+            q = (hidden @ w_h2h + b_h2h)[:, None, :]
+            e = (jnp.tanh(keys + q) @ w_score)[..., 0]     # (B, HW)
             a = jax.nn.softmax(e, axis=-1)
             ctx = jnp.einsum("bl,blc->bc", a, mem)
-            x = jnp.concatenate([embed_tbl[tok], ctx], axis=-1)
-            r = jax.nn.sigmoid(x @ w_ir + b_ir + hidden @ w_hr + b_hr)
-            z = jax.nn.sigmoid(x @ w_iz + b_iz + hidden @ w_hz + b_hz)
-            n = jnp.tanh(x @ w_in + b_in + r * (hidden @ w_hn + b_hn))
-            new_hidden = (1 - z) * n + z * hidden
-            logits = new_hidden @ w_struct + b_struct
-            hc = jnp.concatenate([new_hidden, ctx], axis=-1)
-            loc = jax.nn.sigmoid(jax.nn.relu(hc @ w_loc1 + b_loc1)
-                                 @ w_loc2 + b_loc2)
+            x = jnp.concatenate(
+                [ctx, jax.nn.one_hot(tok, V, dtype=ctx.dtype)], axis=-1)
+            gx = x @ w_ih + b_ih
+            gh = hidden @ w_hh + b_hh
+            xr, xz, xc = jnp.split(gx, 3, axis=-1)
+            hr, hz, hc = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            c = jnp.tanh(xc + r * hc)
+            new_hidden = z * hidden + (1 - z) * c
+            logits = (new_hidden @ w_s0 + b_s0) @ w_s1 + b_s1
+            loc = jax.nn.sigmoid((new_hidden @ w_l0 + b_l0) @ w_l1 + b_l1)
             next_tok = jnp.argmax(logits, axis=-1)
             return (new_hidden, next_tok), (logits, loc)
 
@@ -136,9 +134,12 @@ class SLANet(nn.Module):
         cfg = self.config
         d = jnp.dtype(cfg.dtype)
         vocab = cfg.vocab_size or len(StructureVocab())
-        feat = SLABackbone(cfg.hidden_size, dtype=d, name="backbone")(x, train)
+        feats = LCNetBackbone(cfg.lcnet_scale, out_stages=(3, 4, 5, 6),
+                              dtype=d, name="backbone")(x, train)
+        levels = CSPPAN(cfg.neck_channels, extra_level=False, dtype=d,
+                        name="neck")(feats, train)
         probs, locs = SLAHead(vocab, cfg.hidden_size, cfg.loc_reg_num,
                               cfg.max_structure_len, dtype=d,
-                              name="head")(feat, train,
+                              name="head")(levels[-1], train,
                                            teacher_tokens=teacher_tokens)
         return {"structure_probs": probs, "loc_preds": locs}

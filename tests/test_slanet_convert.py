@@ -1,0 +1,161 @@
+"""SLANet conversion: PaddleOCR-shaped torch mirror -> flax, full coverage
++ forward parity (backbone+neck+attention-GRU head, greedy decode).
+
+Mirror follows the PaddleOCR SLANet graph the reference downloads as ONNX:
+PPLCNet (4 feature stages) + 4-level CSPPAN + SLAHead (AttentionGRUCell
+with one-hot chars, 2-layer structure/loc generators).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from pdf_table_tpu.convert.slanet_convert import convert_slanet  # noqa: E402
+from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource  # noqa: E402
+from pdf_table_tpu.engine.params import init_params  # noqa: E402
+from pdf_table_tpu.models.slanet import SLANet, SLANetConfig  # noqa: E402
+from tests.test_picodet_convert import (  # noqa: E402
+    CSPLayer, ChannelT, DPModule, DWSep, LCNet, mdiv)
+from tests.test_pplcnet_convert import randomize_torch  # noqa: E402
+
+
+class LCNet4(LCNet):
+    """PPLCNet returning blocks3..6 (SLANet feature set)."""
+
+    def forward(self, x):
+        x = self.conv1(x)
+        outs = []
+        for stage in range(2, 7):
+            x = getattr(self, f"blocks{stage}")(x)
+            if stage >= 3:
+                outs.append(x)
+        return outs
+
+
+class CSPPAN4(tnn.Module):
+    """4-input CSPPAN without the extra top level (PaddleOCR table neck)."""
+
+    def __init__(self, cins, cout, k=5):
+        super().__init__()
+        self.conv_t = ChannelT(cins, cout)
+        self.top_down_blocks = tnn.ModuleList(
+            [CSPLayer(cout * 2, cout, k) for _ in range(3)])
+        self.downsamples = tnn.ModuleList(
+            [DPModule(cout, k, 2) for _ in range(3)])
+        self.bottom_up_blocks = tnn.ModuleList(
+            [CSPLayer(cout * 2, cout, k) for _ in range(3)])
+
+    def forward(self, xs):
+        ins = self.conv_t(xs)
+        inner = [ins[-1]]
+        for idx in range(3, 0, -1):
+            up = F.interpolate(inner[0], size=ins[idx - 1].shape[2:],
+                               mode="nearest")
+            inner.insert(0, self.top_down_blocks[3 - idx](
+                torch.cat([up, ins[idx - 1]], 1)))
+        outs = [inner[0]]
+        for idx in range(3):
+            down = self.downsamples[idx](outs[-1])
+            outs.append(self.bottom_up_blocks[idx](
+                torch.cat([down, inner[idx + 1]], 1)))
+        return outs
+
+
+class AttentionGRUCell(tnn.Module):
+    def __init__(self, input_size, hidden, vocab):
+        super().__init__()
+        self.i2h = tnn.Linear(input_size, hidden, bias=False)
+        self.h2h = tnn.Linear(hidden, hidden)
+        self.score = tnn.Linear(hidden, 1, bias=False)
+        self.rnn = tnn.GRUCell(input_size + vocab, hidden)
+
+    def forward(self, prev_hidden, batch_H, char_onehots):
+        e = self.score(torch.tanh(
+            self.i2h(batch_H) + self.h2h(prev_hidden).unsqueeze(1)))
+        alpha = torch.softmax(e, dim=1).transpose(1, 2)
+        context = (alpha @ batch_H).squeeze(1)
+        concat = torch.cat([context, char_onehots], 1)
+        return self.rnn(concat, prev_hidden)
+
+
+class TorchSLAHead(tnn.Module):
+    def __init__(self, in_c, hidden, vocab, loc_reg, max_len):
+        super().__init__()
+        self.vocab = vocab
+        self.max_len = max_len
+        self.structure_attention_cell = AttentionGRUCell(in_c, hidden, vocab)
+        self.structure_generator = tnn.Sequential(
+            tnn.Linear(hidden, hidden), tnn.Linear(hidden, vocab))
+        self.loc_generator = tnn.Sequential(
+            tnn.Linear(hidden, hidden), tnn.Linear(hidden, loc_reg),
+            tnn.Sigmoid())
+
+    def forward(self, fea):
+        B, C, H, W = fea.shape
+        fea = fea.reshape(B, C, H * W).transpose(1, 2)
+        hidden = torch.zeros(B, self.structure_generator[0].in_features)
+        pre_chars = torch.zeros(B, dtype=torch.long)
+        s_list, l_list = [], []
+        for _ in range(self.max_len):
+            onehots = F.one_hot(pre_chars, self.vocab).float()
+            hidden = self.structure_attention_cell(hidden, fea, onehots)
+            s = self.structure_generator(hidden)
+            l = self.loc_generator(hidden)
+            pre_chars = s.argmax(-1)
+            s_list.append(s)
+            l_list.append(l)
+        return (torch.softmax(torch.stack(s_list, 1), -1),
+                torch.stack(l_list, 1))
+
+
+class TorchSLANet(tnn.Module):
+    def __init__(self, scale, neck, hidden, vocab, loc_reg, max_len):
+        super().__init__()
+        self.backbone = LCNet4(scale)
+        cins = [mdiv(c * scale) for c in (64, 128, 256, 512)]
+        self.neck = CSPPAN4(cins, neck)
+        self.head = TorchSLAHead(neck, hidden, vocab, loc_reg, max_len)
+
+    def forward(self, x):
+        return self.head(self.neck(self.backbone(x))[-1])
+
+
+class TestSLANetConvert:
+    def test_full_coverage_and_forward_parity(self):
+        from pdf_table_tpu.models.slanet.vocab import StructureVocab
+
+        vocab = len(StructureVocab())
+        scale, neck, hidden, max_len = 0.25, 32, 32, 6
+        tmodel = randomize_torch(
+            TorchSLANet(scale, neck, hidden, vocab, 8, max_len)).eval()
+
+        cfg = SLANetConfig(table_max_len=64, hidden_size=hidden,
+                           max_structure_len=max_len, lcnet_scale=scale,
+                           neck_channels=neck)
+        model = SLANet(cfg)
+        x = np.random.default_rng(4).normal(
+            size=(2, 64, 64, 3)).astype(np.float32)
+        variables = jax.tree.map(
+            np.asarray, dict(init_params(model, jnp.asarray(x))))
+
+        src = TorchTensorSource(tmodel.state_dict())
+        rep = convert_slanet(src, variables)
+        assert rep.ok, (rep.missing[:8], rep.shape_errors[:8])
+        unused = [u for u in src.unused() if "num_batches" not in u]
+        assert unused == [], unused
+
+        with torch.no_grad():
+            tprobs, tlocs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(jax.tree.map(jnp.asarray, variables),
+                          jnp.asarray(x), train=False)
+        # greedy decode can only match if every step matches: compare both
+        np.testing.assert_allclose(np.asarray(out["structure_probs"]),
+                                   tprobs.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["loc_preds"]),
+                                   tlocs.numpy(), atol=1e-4)
