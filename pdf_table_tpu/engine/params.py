@@ -46,8 +46,16 @@ def load_params(ckpt_dir: str):
 
 
 def load_or_init(module, sample_inputs, ckpt_dir: Optional[str] = None,
-                 seed: int = 0):
-    """Restore converted weights if present, else deterministic init."""
+                 seed: int = 0, task_name: str = ""):
+    """Restore converted weights if present, else deterministic init.
+
+    Random init is correct for hermetic tests/training-from-scratch but
+    produces confident garbage in production inference, so the fallback
+    WARNS loudly (one line per task) naming the converter entry point —
+    the reference never runs un-initialized models (it always downloads,
+    base_infer_task.py:146-169). Set PDF_TABLE_TPU_ALLOW_RANDOM_INIT=quiet
+    to silence (the test suite does).
+    """
     if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
         try:
             variables = load_params(ckpt_dir)
@@ -55,4 +63,10 @@ def load_or_init(module, sample_inputs, ckpt_dir: Optional[str] = None,
             return variables
         except Exception as e:  # corrupted / layout drift -> re-init
             logger.warning("restore failed (%s); falling back to init", e)
+    if os.environ.get("PDF_TABLE_TPU_ALLOW_RANDOM_INIT", "") != "quiet":
+        logger.warning(
+            "[%s] no converted weights at %r — running with RANDOM weights "
+            "(outputs will be garbage); convert a checkpoint with "
+            "tools/convert_weights.py", task_name or module.__class__.__name__,
+            ckpt_dir)
     return init_params(module, sample_inputs, seed=seed)

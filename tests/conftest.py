@@ -9,6 +9,8 @@ import os
 # (JAX_PLATFORMS=axon): tests must never occupy the tunneled chip, and
 # eager dispatch over the tunnel is ~1000x slower than local CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests intentionally exercise structure/flow on random weights.
+os.environ["PDF_TABLE_TPU_ALLOW_RANDOM_INIT"] = "quiet"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

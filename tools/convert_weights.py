@@ -1,14 +1,29 @@
-"""Convert reference (torch) checkpoints to flax orbax params.
+"""Convert reference checkpoints (torch .pt/.pth or Paddle-exported .onnx)
+to flax orbax params.
 
 Usage:
-  python tools/convert_weights.py --model db_resnet18 \
-      --checkpoint /path/pytorch_model.pt [--out <dir>]
+  python tools/convert_weights.py --model <name> --checkpoint <file> [--out d]
 
 Converted weights land in the model cache (models/registry.weights_dir) so
-tasks pick them up automatically; absent --out overrides that.
-Supported: db_resnet18 / db_resnet50 (more converters land per model as
-name maps are validated against real checkpoints; the layer-parity harness
-is tests/test_convert.py).
+tasks pick them up automatically; --out overrides the destination.
+
+Models (torch state-dict name maps, each validated by a forward-parity
+test in tests/test_*_convert.py):
+  db_resnet18 db_resnet50     ModelScope DBNet         (dbnet_convert)
+  pp_det                      PP-OCR db_pp detector    (db_pp_convert)
+  pp_rec                      PP-OCRv3 SVTR-LCNet rec  (svtr_convert)
+  crnn convnext_vit           ModelScope recognizers
+  slanet                      PP-Structure SLANet TSR  (slanet_convert)
+  picodet                     PP layout detector       (picodet_convert)
+  pplcnet_<task_type>         PULC classifiers         (pplcnet_convert)
+  lore_wtw lore_wireless      LORE TSR
+  table_master mtl_tabnet     Master-family TSR
+  docx_layout                 DocXLayout (DLA CenterNet)
+  cycle_centernet             Cycle-CenterNet TSR
+
+A ``.onnx`` checkpoint goes through the ordered shape matcher
+(convert/onnx_shape_matcher.py) instead of the name map — Paddle exports
+carry anonymous initializer names; review the printed report.
 """
 
 from __future__ import annotations
@@ -20,130 +35,120 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", required=True)
-    p.add_argument("--checkpoint", required=True)
-    p.add_argument("--out", default=None)
-    args = p.parse_args()
-
+def _variables(model, sample_shape):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_platforms", "cpu")
+    from pdf_table_tpu.engine.params import init_params
 
-    from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
-    from pdf_table_tpu.engine.params import init_params, save_params
-    from pdf_table_tpu.models.registry import get_config, weights_dir
+    return jax.tree.map(
+        np.asarray, dict(init_params(model, jnp.zeros(sample_shape))))
 
-    src = TorchTensorSource(args.checkpoint)
 
-    if args.model in ("db_resnet18", "db_resnet50"):
-        import jax.numpy as jnp
+def _spec(name: str):
+    """-> (task, registry_name, build(model, variables), convert(src, vars))
+    for every supported model name."""
+    from pdf_table_tpu.models.registry import get_config
 
+    if name in ("db_resnet18", "db_resnet50"):
         from pdf_table_tpu.convert.dbnet_convert import convert_dbnet
         from pdf_table_tpu.models.dbnet import DBNet
 
-        depth = int(args.model[-2:])
-        cfg = get_config("detection", args.model)
-        model = DBNet(cfg)
-        variables = jax.tree.map(
-            np.asarray,
-            dict(init_params(model, jnp.zeros((1, 64, 64, 3)))))
-        rep = convert_dbnet(src, variables, depth=depth)
-        out_dir = args.out or weights_dir("detection", args.model)
-        print("conversion:", rep.summary())
-        if not rep.ok:
-            print("MISSING:", rep.missing[:10])
-            print("SHAPE:", rep.shape_errors[:10])
-            return 1
-        save_params(variables, out_dir)
-        print("saved to", out_dir)
-        return 0
+        cfg = get_config("detection", name)
+        return ("detection", name, DBNet(cfg), (1, 64, 64, 3),
+                lambda s, v: convert_dbnet(s, v, depth=int(name[-2:])))
 
-    if args.model.startswith("lore"):
-        import jax.numpy as jnp
+    if name == "pp_det":
+        from pdf_table_tpu.convert.db_pp_convert import convert_db_pp
+        from pdf_table_tpu.models.dbnet import DBNet
 
-        from pdf_table_tpu.convert.lore_convert import (
-            convert_lore_detector, convert_lore_processor)
-        from pdf_table_tpu.models.lore import LoreModel
+        cfg = get_config("detection", "PP-OCRv4_det")
+        return ("detection", "PP-OCRv4_det", DBNet(cfg), (1, 64, 64, 3),
+                convert_db_pp)
 
-        task_type = args.model.split("_", 1)[1] if "_" in args.model \
-            else "wtw"
-        cfg = get_config("table_structure", "Lore", task_type=task_type)
-        model = LoreModel(cfg)
-        variables = jax.tree.map(
-            np.asarray,
-            dict(init_params(model, jnp.zeros((1, *cfg.resolution, 3)))))
-        rep1 = convert_lore_detector(src, variables, cfg.hidden_size)
-        # processor may live in the same checkpoint under 'processor', or in
-        # a sibling processor_best.pth
-        proc_path = args.checkpoint.replace("model_best", "processor_best")
-        proc_src = src if any("tsfm_axis" in k for k in src.keys()) \
-            else TorchTensorSource(proc_path)
-        rep2 = convert_lore_processor(proc_src, variables,
-                                      cfg.tsfm_layers, cfg.stacking_layers)
-        print("detector:", rep1.summary())
-        print("processor:", rep2.summary())
-        if not (rep1.ok and rep2.ok):
-            print("MISSING:", (rep1.missing + rep2.missing)[:10])
-            print("SHAPE:", (rep1.shape_errors + rep2.shape_errors)[:10])
-            return 1
-        out_dir = args.out or weights_dir("table_structure", "Lore",
-                                          task_type)
-        save_params(variables, out_dir)
-        print("saved to", out_dir)
-        return 0
+    if name == "pp_rec":
+        from pdf_table_tpu.convert.svtr_convert import convert_svtr_lcnet
+        from pdf_table_tpu.models.rec_ctc import CTCRecModel
 
-    if args.model == "crnn":
-        import jax.numpy as jnp
+        cfg = get_config("recognition", "PP-OCRv4_rec")
+        return ("recognition", "PP-OCRv4_rec", CTCRecModel(cfg),
+                (1, 48, 320, 3), convert_svtr_lcnet)
 
+    if name == "crnn":
         from pdf_table_tpu.convert.crnn_convert import convert_crnn
         from pdf_table_tpu.models.rec_ctc import CTCRecModel, RecConfig
 
         # reference vocab: 7644 entries (modeling_crnn.py:90)
         cfg = RecConfig.crnn(vocab_size=7644, hidden_size=256)
-        model = CTCRecModel(cfg)
-        variables = jax.tree.map(
-            np.asarray,
-            dict(init_params(model, jnp.zeros((1, 32, 48, 3)))))
-        rep = convert_crnn(src, variables)
-        print("conversion:", rep.summary())
-        if not rep.ok:
-            print("MISSING:", rep.missing[:10])
-            return 1
-        out_dir = args.out or weights_dir("recognition", "CRNN")
-        save_params(variables, out_dir)
-        print("saved to", out_dir)
-        return 0
+        return ("recognition", "CRNN", CTCRecModel(cfg), (1, 32, 48, 3),
+                convert_crnn)
 
-    if args.model == "convnext_vit":
-        import jax.numpy as jnp
-
-        from pdf_table_tpu.convert.convnext_convert import \
-            convert_convnext_vit
+    if name == "convnext_vit":
+        from pdf_table_tpu.convert.convnext_convert import convert_convnext_vit
         from pdf_table_tpu.models.rec_ctc import CTCRecModel, RecConfig
 
-        # reference vocab: 7644 entries (modeling_convnext_vit.py:33)
         cfg = RecConfig.convnext_vit(vocab_size=7644)
-        model = CTCRecModel(cfg)
-        variables = jax.tree.map(
-            np.asarray,
-            dict(init_params(model, jnp.zeros((1, 32, 300, 1)))))
-        rep = convert_convnext_vit(src, variables)
-        print("conversion:", rep.summary())
-        if not rep.ok:
-            print("MISSING:", rep.missing[:10])
-            print("SHAPE:", rep.shape_errors[:10])
-            return 1
-        out_dir = args.out or weights_dir("recognition", "ConvNextViT")
-        save_params(variables, out_dir)
-        print("saved to", out_dir)
-        return 0
+        return ("recognition", "ConvNextViT", CTCRecModel(cfg),
+                (1, 32, 300, 1), convert_convnext_vit)
 
-    if args.model in ("table_master", "mtl_tabnet"):
-        import jax.numpy as jnp
+    if name == "slanet":
+        from pdf_table_tpu.convert.slanet_convert import convert_slanet
+        from pdf_table_tpu.models.slanet import SLANet
 
+        cfg = get_config("table_structure", "SLANet")
+        return ("table_structure", "SLANet", SLANet(cfg),
+                (1, cfg.table_max_len, cfg.table_max_len, 3), convert_slanet)
+
+    if name == "picodet":
+        from pdf_table_tpu.convert.picodet_convert import convert_picodet
+        from pdf_table_tpu.models.picodet import PicoDet
+
+        cfg = get_config("layout", "picodet")
+        return ("layout", "picodet", PicoDet(cfg), (1, 128, 128, 3),
+                lambda s, v: convert_picodet(
+                    s, v, num_levels=len(cfg.strides),
+                    head_convs=cfg.head_convs))
+
+    if name.startswith("pplcnet"):
+        from pdf_table_tpu.convert.pplcnet_convert import convert_pplcnet
+        from pdf_table_tpu.models.cls import PPLCNetClassifier
+
+        task_type = name.split("_", 1)[1] if "_" in name \
+            else "text_image_orientation"
+        cfg = get_config("cls", "PPLCNet", task_type=task_type)
+        return ("cls", f"PPLCNet_{task_type}", PPLCNetClassifier(cfg),
+                (1, *cfg.img_size, 3), convert_pplcnet)
+
+    if name.startswith("lore"):
+        from pdf_table_tpu.convert.lore_convert import (
+            convert_lore_detector, convert_lore_processor)
+        from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
+        from pdf_table_tpu.models.lore import LoreModel
+
+        task_type = name.split("_", 1)[1] if "_" in name else "wtw"
+        cfg = get_config("table_structure", "Lore", task_type=task_type)
+
+        def conv(src, variables, _cfg=cfg):
+            rep = convert_lore_detector(src, variables, _cfg.hidden_size)
+            # processor may live in the same checkpoint, or in a sibling
+            # processor_best.pth
+            proc_src = src
+            if not any("tsfm_axis" in k for k in src.keys()):
+                proc_src = TorchTensorSource(
+                    conv.checkpoint.replace("model_best", "processor_best"))
+            rep2 = convert_lore_processor(proc_src, variables,
+                                          _cfg.tsfm_layers,
+                                          _cfg.stacking_layers)
+            rep.mapped += rep2.mapped
+            rep.missing += rep2.missing
+            rep.shape_errors += rep2.shape_errors
+            return rep
+
+        return ("table_structure", f"Lore_{task_type}", LoreModel(cfg),
+                (1, *cfg.resolution, 3), conv)
+
+    if name in ("table_master", "mtl_tabnet"):
         from pdf_table_tpu.convert.master_convert import convert_table_master
         from pdf_table_tpu.models.table_master import (TableMaster,
                                                        TableMasterConfig)
@@ -152,29 +157,84 @@ def main() -> int:
         # textline alphabet -> 281 (mtl_tabnet_constants.py); td tag ids
         # 2='<td></td>', 8='<td' (master_convertor.idx_tag_cell:547)
         kw = dict(cell_vocab_size=281, td_token_ids=(2, 8)) \
-            if args.model == "mtl_tabnet" else {}
-        cfg = TableMasterConfig(variant=args.model, vocab_size=43, **kw)
-        model = TableMaster(cfg)
-        variables = jax.tree.map(
-            np.asarray,
-            dict(init_params(model, jnp.zeros((1, *cfg.img_size, 3)))))
-        rep = convert_table_master(src, variables,
-                                   n_layers=cfg.decoder_layers)
-        print("conversion:", rep.summary())
-        if not rep.ok:
-            print("MISSING:", rep.missing[:10])
-            print("SHAPE:", rep.shape_errors[:10])
-            return 1
-        name = "MtlTabNet" if args.model == "mtl_tabnet" else "TableMaster"
-        out_dir = args.out or weights_dir("table_structure", name)
-        save_params(variables, out_dir)
-        print("saved to", out_dir)
-        return 0
+            if name == "mtl_tabnet" else {}
+        cfg = TableMasterConfig(variant=name, vocab_size=43, **kw)
+        reg = "MtlTabNet" if name == "mtl_tabnet" else "TableMaster"
+        return ("table_structure", reg, TableMaster(cfg),
+                (1, *cfg.img_size, 3),
+                lambda s, v: convert_table_master(
+                    s, v, n_layers=cfg.decoder_layers))
 
-    print(f"no converter for {args.model!r} yet; available: db_resnet18, "
-          f"db_resnet50, lore_wtw, lore_wireless, crnn, convnext_vit, table_master, "
-          f"mtl_tabnet")
-    return 2
+    if name == "docx_layout":
+        from pdf_table_tpu.convert.centernet_convert import convert_docx_layout
+        from pdf_table_tpu.models.docx_layout import (DocXLayoutConfig,
+                                                      DocXLayoutModel)
+
+        cfg = DocXLayoutConfig()
+        return ("layout", "DocXLayout", DocXLayoutModel(cfg),
+                (1, 768, 768, 3), convert_docx_layout)
+
+    if name == "cycle_centernet":
+        from pdf_table_tpu.convert.centernet_convert import \
+            convert_cycle_centernet
+        from pdf_table_tpu.models.center_net import (CenterNetConfig,
+                                                     CycleCenterNet)
+
+        cfg = CenterNetConfig()
+        return ("table_structure", "CenterNet", CycleCenterNet(cfg),
+                (1, 1024, 1024, 3), convert_cycle_centernet)
+
+    raise SystemExit(f"no converter for {name!r}; see module docstring")
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from pdf_table_tpu.engine.params import save_params
+    from pdf_table_tpu.models.registry import weights_dir
+
+    task, reg_name, model, sample_shape, convert = _spec(args.model)
+    variables = _variables(model, sample_shape)
+
+    if args.checkpoint.endswith(".onnx"):
+        from pdf_table_tpu.convert.onnx_reader import read_onnx_initializers
+        from pdf_table_tpu.convert.onnx_shape_matcher import match_by_shape
+
+        tensors = read_onnx_initializers(args.checkpoint)
+        rep = match_by_shape(tensors, variables["params"])
+        print(f"onnx ordered-shape match: {rep.summary()} "
+              f"({len(tensors)} initializers)")
+    else:
+        from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
+
+        src = TorchTensorSource(args.checkpoint)
+        convert.checkpoint = args.checkpoint  # for multi-file checkpoints
+        rep = convert(src, variables)
+        print("conversion:", rep.summary())
+        unused = [u for u in src.unused() if "num_batches" not in u]
+        if unused:
+            print(f"UNUSED source tensors ({len(unused)}):", unused[:10])
+
+    if not rep.ok:
+        print("MISSING:", rep.missing[:10])
+        print("SHAPE:", rep.shape_errors[:10])
+        return 1
+
+    lang = ""
+    if reg_name.startswith(("PPLCNet_", "Lore_")):
+        reg_name, lang = reg_name.split("_", 1)
+    out_dir = args.out or weights_dir(task, reg_name, lang)
+    save_params(variables, out_dir)
+    print("saved to", out_dir)
+    return 0
 
 
 if __name__ == "__main__":
