@@ -1,10 +1,13 @@
 """Benchmark: end-to-end batched page pipeline on the real chip.
 
-Measures the production path (pipeline/batch_runner.py): 8 synthetic
+Measures the FULL production path (pipeline/batch_runner.py): 16 synthetic
 1224x950 pages -> device resize+normalize -> ONE batched DBNet detection
-forward -> host DB postprocess -> rotated-crop + width-bucketed CTC
-recognition sweep -> page HTML. This is the reference's serial per-page
-loop (ocr_system_task.py:549-734) re-shaped for TPU batching.
+forward per chunk -> ONE batched PicoDet layout forward per chunk -> pooled
+LORE TSR over every table crop of the chunk -> host DB postprocess ->
+rotated-crop + width-bucketed CTC recognition sweep -> table + page HTML.
+This is the reference's serial per-page loop (ocr_system_task.py:549-734)
+re-shaped for TPU batching, covering the same stages BASELINE.json's
+metric names (det+rec+layout+TSR e2e).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the ratio against the BASELINE.json north star of 50
@@ -42,16 +45,22 @@ def bench() -> dict:
     from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
     from pdf_table_tpu.pipeline.system import OcrSystemConfig
 
-    cfg = OcrSystemConfig(use_layout=False, use_table=False,
+    cfg = OcrSystemConfig(use_layout=True, use_table=True,
                           use_orientation_cls=False)
     bp = BatchPipeline(cfg, batch_pages=8)
     # random weights find no text: drop thresholds so ~dozens of candidate
     # boxes per page flow through crop + recognition, making the measured
     # path representative of converted-weight workloads
     from pdf_table_tpu.tasks.detection import OcrDetectionTask
+    from pdf_table_tpu.tasks.layout import OcrLayoutTask
 
     bp.system._det = OcrDetectionTask(model="PP-OCRv4_det", thresh=0.45,
                                       box_thresh=0.0, max_candidates=48)
+    # single-class picodet table detector with a floor threshold: random
+    # weights emit up to 2 "table" regions/page, so LORE TSR + table HTML
+    # run at a converted-weight-like load through the honest code path
+    bp.system._layout = OcrLayoutTask(model="picodet", task_type="table",
+                                      score_threshold=0.05, keep_top_k=2)
     pages = [{"image": make_page(i)} for i in range(16)]
 
     # warmup (compile det batch program + rec buckets)
@@ -64,8 +73,10 @@ def bench() -> dict:
     dt = (time.perf_counter() - t0) / n_iters
     pages_per_sec = len(pages) / dt
     assert len(results) == len(pages)
+    n_tables = sum(len(r.table_structures) for r in results)
+    assert n_tables > 0, "bench must exercise the TSR stage"
     return {
-        "metric": "e2e_pages_per_sec_per_chip(batched det+rec+html)",
+        "metric": "e2e_pages_per_sec_per_chip(batched det+rec+layout+TSR+html)",
         "value": round(pages_per_sec, 3),
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / 50.0, 3),
@@ -76,7 +87,8 @@ def main() -> int:
     try:
         result = bench()
     except Exception as e:  # never crash the driver
-        result = {"metric": "e2e_pages_per_sec_per_chip(batched det+rec+html)",
+        result = {"metric":
+                  "e2e_pages_per_sec_per_chip(batched det+rec+layout+TSR+html)",
                   "value": 0.0, "unit": "pages/s", "vs_baseline": 0.0,
                   "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))

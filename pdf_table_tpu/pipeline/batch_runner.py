@@ -245,6 +245,51 @@ class BatchPipeline:
             scores[pi][bi] = s
         return texts, scores
 
+    # -- batched layout + TSR ------------------------------------------------
+
+    def _layout_enqueue(self, page_imgs: Sequence[np.ndarray]):
+        """One PicoDet forward for the chunk's pages (async handle)."""
+        if not self.system.config.use_layout:
+            return None
+        task = self.system.layout_task
+        if task is None:
+            return None
+        return task.batch_enqueue(page_imgs)
+
+    def _tables_for_chunk(self, page_imgs: Sequence[np.ndarray],
+                          layout_handle):
+        """Finish layout, then run ONE TSR forward over every table crop of
+        the chunk (the reference loops per page and per crop,
+        ocr_system_task.py:168-226). Returns (layout_cells, table_results)
+        per page; table_results entries are (bbox, tsr_result)."""
+        from ..entity.enums import HtmlContentType
+
+        n = len(page_imgs)
+        if layout_handle is None:
+            return [[] for _ in range(n)], [[] for _ in range(n)]
+        task = self.system.layout_task
+        cells_per_page = task.batch_finish(*layout_handle)
+        table_results: List[List] = [[] for _ in range(n)]
+        tsr = self.system.tsr_task if self.system.config.use_table else None
+        if tsr is None:
+            return cells_per_page, table_results
+        crops, owners = [], []
+        for pi, (img, cells) in enumerate(zip(page_imgs, cells_per_page)):
+            for c in cells:
+                if c.cell_type != HtmlContentType.TABLE:
+                    continue
+                x1, y1, x2, y2 = [int(round(v)) for v in c.bbox]
+                x1, y1 = max(0, x1), max(0, y1)
+                crop = img[y1:y2, x1:x2]
+                if crop.size:
+                    crops.append(crop)
+                    owners.append((pi, c.bbox, (x1, y1)))
+        if crops:
+            for (pi, bbox, offset), r in zip(owners, tsr.batch_infer(crops)):
+                r["offset"] = offset
+                table_results[pi].append((bbox, r))
+        return cells_per_page, table_results
+
     # -- run -----------------------------------------------------------------
 
     def run(self, pages: Sequence[Dict[str, Any]]) -> List[OcrSystemModelOutput]:
@@ -301,16 +346,19 @@ class BatchPipeline:
             # enqueue every chunk's upload + det program up front (async):
             # chunk k's D2H then overlaps chunk k+1's H2D/compute on the
             # device stream while the host posts/recognizes chunk k
-            handles = []
+            handles, layout_handles = [], []
             for chunk in chunks:
                 shp = chunk["images"].shape
                 dev = jax.device_put(chunk["images"])
                 nh, nw = shp[1], shp[2]
                 handles.append(self._detect_enqueue(dev, shp, (nh, nw),
                                                     pre_resized=True))
+                layout_handles.append(self._layout_enqueue(
+                    [images[raster[k]] for k in chunk["indices"]]))
             # two-stage software pipeline: a single rec worker thread runs
             # chunk k's recognition (device + tunnel IO, GIL released) while
-            # the main thread does chunk k+1's host DB postprocess/crops
+            # the main thread does chunk k+1's host DB postprocess + the
+            # batched layout/TSR device programs
             rec_pool = cf.ThreadPoolExecutor(max_workers=1)
             staged = []
             for ci, chunk in enumerate(chunks):
@@ -319,10 +367,13 @@ class BatchPipeline:
                 quads = self._det_post(probs_u8, chunk["shapes"],
                                        chunk["bucket"], (shp[1], shp[2]))
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
-                staged.append((chunk, quads,
-                               rec_pool.submit(self._recognize_all,
-                                               page_imgs, quads)))
-            for chunk, quads, fut in staged:
+                rec_fut = rec_pool.submit(self._recognize_all,
+                                          page_imgs, quads)
+                layout_cells, table_results = self._tables_for_chunk(
+                    page_imgs, layout_handles[ci])
+                staged.append((chunk, quads, layout_cells, table_results,
+                               rec_fut))
+            for chunk, quads, layout_cells, table_results, fut in staged:
                 texts, scores = fut.result()
                 for k, gi in enumerate(chunk["indices"]):
                     i = raster[gi]
@@ -334,8 +385,15 @@ class BatchPipeline:
                     out.text_cells = [
                         OcrCell.from_poly(q, text=t, score=s)
                         for q, t, s in zip(quads[k], texts[k], scores[k])]
+                    out.layout_cells = layout_cells[k]
+                    out.table_structures = [r for _, r in table_results[k]]
+                    table_regions = []
+                    for tb, r in table_results[k]:
+                        html = self.system.table_html_task(r, out.text_cells)
+                        out.table_html.append(html)
+                        table_regions.append((tb, html))
                     out.page_html = self.system.to_html_task(
-                        out.text_cells,
+                        out.text_cells, table_regions,
                         page_width=float(images[i].shape[1]))
                     results[i] = out
             rec_pool.shutdown(wait=True)

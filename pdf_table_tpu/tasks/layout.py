@@ -82,3 +82,36 @@ class OcrLayoutTask(InferTask):
             result = self.post(scores, boxes, meta["org_shape"])
         result["layout_cells"] = self.post.to_layout_cells(result)
         return result
+
+    # -- page-batched path (batch_runner) -----------------------------------
+
+    def batch_enqueue(self, images):
+        """Stack N pages into ONE layout forward (PicoDet resizes every page
+        to a fixed canvas, so the batch is static-shape). Returns the async
+        device handle + per-page metas; pair with :meth:`batch_finish`.
+        The reference runs layout strictly per page
+        (ocr_system_task.py:214-224)."""
+        if self.model_name == "DocXLayout":
+            return None, list(images)  # per-page fallback in batch_finish
+        prepped = [self._preprocess(img) for img in images]
+        batch = {"image": np.concatenate([p[0]["image"] for p in prepped],
+                                         axis=0)}
+        self.ensure_built()
+        return self._run_model(batch), [p[1] for p in prepped]
+
+    def batch_finish(self, raw, metas):
+        """Per-page postprocess of a :meth:`batch_enqueue` result ->
+        [layout_cells] per page."""
+        if self.model_name == "DocXLayout":
+            return [self(img)["layout_cells"] for img in metas]
+        out = []
+        for i, meta in enumerate(metas):
+            scores = [np.asarray(s[i]) for s in raw["scores"]]
+            boxes = [np.asarray(b[i]) for b in raw["boxes"]]
+            result = self.post(scores, boxes, meta["org_shape"])
+            out.append(self.post.to_layout_cells(result))
+        return out
+
+    def batch_infer(self, images):
+        raw, metas = self.batch_enqueue(images)
+        return self.batch_finish(raw, metas)

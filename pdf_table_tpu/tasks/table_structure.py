@@ -176,11 +176,16 @@ class OcrTableStructureTask(InferTask):
             return [self(c) for c in crops]
         import numpy as np
 
+        from ..engine.infer_task import bucket_batch_size
+
         prepped = [self._preprocess(c) for c in crops]
         pres = [p[0] for p in prepped]
         metas = [p[1] for p in prepped]
         self.ensure_built()
+        # pad the crop batch up to a bucket size: pages carry varying table
+        # counts, and without padding every new count would recompile
         batch = {"image": np.concatenate([p["image"] for p in pres], axis=0)}
+        batch, _ = self.pad_batch(batch, bucket_batch_size(len(pres)))
         raw = self._run_model(batch)
         results = []
         for i, meta in enumerate(metas):

@@ -100,6 +100,73 @@ class TestBatchPipeline:
         assert "Digital text" in results[0].page_html
 
 
+class TestBatchPipelineFullStages:
+    """Full BASELINE metric path: batched det + batched layout + pooled TSR
+    + rec + table/page HTML in one run() (VERDICT round-1 item 3)."""
+
+    def _pipeline(self):
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.tasks.detection import OcrDetectionTask
+        from pdf_table_tpu.tasks.layout import OcrLayoutTask
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        cfg = OcrSystemConfig(use_layout=True, use_table=True,
+                              use_orientation_cls=False)
+        bp = BatchPipeline(cfg, batch_pages=2)
+        bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
+                                          inner_channels=48,
+                                          limit_side_len=96)
+        bp.system._rec = OcrRecognitionTask(
+            config=RecConfig(width_buckets=(80,)))
+        # single-class "table" picodet with a floor threshold: random
+        # weights still emit table regions, exercising the TSR pool
+        bp.system._layout = OcrLayoutTask(
+            model="picodet", task_type="table", img_height=64, img_width=64,
+            neck_channels=32, head_convs=1, score_threshold=0.01,
+            keep_top_k=1)
+        bp.system._tsr = OcrTableStructureTask(
+            model="Lore", config=LoreConfig(
+                backbone="resnet18", resolution=(64, 64), max_objs=4,
+                max_corners=8, hidden_size=32, tsfm_layers=1,
+                stacking_layers=1, num_heads=2, d_ff=32, head_conv=16,
+                vis_thresh=0.0))
+        return bp
+
+    def test_layout_and_tsr_in_batch_path(self):
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+
+        bp = self._pipeline()
+        img = np.full((120, 100, 3), 255, np.uint8)
+        img[30:42, 10:90] = 30
+        pages = [{"image": img.copy()} for _ in range(3)]
+        results = bp.run(pages)
+        assert len(results) == 3
+        for r in results:
+            assert r.page_html is not None
+            assert r.layout_cells, "batched layout must populate cells"
+        # at least one page sends a table crop through the pooled TSR
+        assert any(r.table_structures for r in results)
+
+    def test_layout_batch_matches_per_page(self):
+        """batch_infer == per-image __call__ for the layout task."""
+        bp = self._pipeline()
+        task = bp.system.layout_task
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (100, 80, 3), np.uint8)
+                for _ in range(3)]
+        batched = task.batch_infer(imgs)
+        for img, cells in zip(imgs, batched):
+            solo = task(img)["layout_cells"]
+            assert len(solo) == len(cells)
+            for a, b in zip(solo, cells):
+                assert np.allclose(a.bbox, b.bbox, atol=1e-3)
+                assert abs(a.score - b.score) < 1e-4
+
+
 class TestMeshBatchDetection:
     def test_dp_sharded_det(self, cpu_mesh):
         from pdf_table_tpu.models.rec_ctc import RecConfig
