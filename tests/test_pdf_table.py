@@ -131,3 +131,73 @@ class TestSpansFromPdf:
         html = tables[0].to_html()
         assert 'colspan="2"' in html
         assert "HEAD" in html and ">a</td>" in html
+
+
+class TestTextEdges:
+    """Stream's alignment-edge network (reference table_core.py:85-239)."""
+
+    def _aligned_table_pdf(self, tmp_path, n_rows=7, x_cols=(30, 120, 210),
+                           y_top=230, name="edges.pdf", para=True,
+                           second=None):
+        from pdf_table_tpu.pdfio.writer import PdfWriter
+
+        w = PdfWriter()
+        page = w.add_page(300, 400)
+        if para:
+            page.text(30, 370, "An introductory paragraph line", size=10)
+            page.text(30, 355, "continuing across the page width", size=10)
+        for r in range(n_rows):
+            y = y_top - 18 * r
+            for c, x in enumerate(x_cols):
+                page.text(x, y, f"r{r}c{c}", size=10)
+        if second is not None:
+            for r in range(second["rows"]):
+                y = second["y_top"] - 18 * r
+                for c, x in enumerate(second["x_cols"]):
+                    page.text(x, y, f"s{r}c{c}", size=10)
+        p = str(tmp_path / name)
+        w.save(p)
+        return p
+
+    def test_valid_edges_require_elements(self):
+        from pdf_table_tpu.pdf_table.stream import TextEdges
+
+        net = TextEdges()
+        # 3 aligned rows only -> 2 intersections -> not valid
+        bboxes = [(10, 100 - 12 * i, 40, 110 - 12 * i) for i in range(3)]
+        net.generate(bboxes, ["word"] * 3)
+        assert not any(e.is_valid for e in net.edges["left"])
+        # 7 aligned rows -> valid left edge
+        net2 = TextEdges()
+        bboxes = [(10, 100 - 12 * i, 40, 110 - 12 * i) for i in range(7)]
+        net2.generate(bboxes, ["word"] * 7)
+        assert any(e.is_valid for e in net2.edges["left"])
+
+    def test_area_inferred_without_bbox(self, tmp_path):
+        """A paragraph + a 7-row aligned block: the inferred area holds the
+        table rows; the extractor needs no table_areas input."""
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = self._aligned_table_pdf(tmp_path)
+        tables = read_pdf(p, flavor="stream")
+        assert tables.n >= 1
+        t = tables[0]
+        assert t.shape[1] == 3
+        flat = [c for row in t.data for c in row]
+        assert "r0c0" in flat and "r6c2" in flat
+        # the paragraph must stay out of the inferred table area
+        assert not any("introductory" in c for c in flat)
+
+    def test_two_separate_tables(self, tmp_path):
+        """Two vertically-separated aligned blocks -> two table areas."""
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = self._aligned_table_pdf(
+            tmp_path, n_rows=6, y_top=360, para=False,
+            second={"rows": 6, "y_top": 140, "x_cols": (50, 150, 250)})
+        tables = read_pdf(p, flavor="stream")
+        assert tables.n == 2
+        flat0 = [c for row in tables[0].data for c in row]
+        flat1 = [c for row in tables[1].data for c in row]
+        assert any(c.startswith("r") for c in flat0 if c)
+        assert any(c.startswith("s") for c in flat1 if c)
