@@ -41,6 +41,15 @@ def get_config(task: str, name: str, **kwargs):
     if key not in _REGISTRY:
         known = sorted(k[1] for k in _REGISTRY if k[0] == task)
         raise KeyError(f"no model {name!r} for task {task!r}; known: {known}")
+    if "dtype" not in kwargs:
+        # production default: bf16 compute on TPU (the MXU-native precision;
+        # reference runs fp16 ONNX by default, deploy_utils.py:243-264),
+        # f32 on CPU. Parity tests construct configs directly and stay f32.
+        from ..engine.device import compute_dtype
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = ("bfloat16" if compute_dtype() == jnp.bfloat16
+                           else "float32")
     return _REGISTRY[key](**kwargs)
 
 

@@ -182,14 +182,23 @@ class OcrTableStructureTask(InferTask):
         pres = [p[0] for p in prepped]
         metas = [p[1] for p in prepped]
         self.ensure_built()
-        # pad the crop batch up to a bucket size: pages carry varying table
-        # counts, and without padding every new count would recompile
-        batch = {"image": np.concatenate([p["image"] for p in pres], axis=0)}
-        batch, _ = self.pad_batch(batch, bucket_batch_size(len(pres)))
-        raw = self._run_model(batch)
+        # pad each crop batch up to a bucket size (pages carry varying table
+        # counts; without padding every new count would recompile) and cap
+        # the device batch so TSR never monopolizes HBM while det/rec/layout
+        # programs hold their own buffers
+        cap = max(1, self.config.batch_size)
         results = []
-        for i, meta in enumerate(metas):
-            one = {k: np.asarray(v)[i:i + 1] for k, v in raw.items()
-                   if hasattr(v, "shape") and np.asarray(v).ndim >= 1}
-            results.append(self._postprocess(one, meta))
+        for s in range(0, len(pres), cap):
+            chunk = pres[s:s + cap]
+            batch = {"image": np.concatenate([p["image"] for p in chunk],
+                                             axis=0)}
+            batch, _ = self.pad_batch(batch,
+                                      bucket_batch_size(len(chunk)))
+            raw = self._run_model(batch)
+            raw_np = {k: np.asarray(v) for k, v in raw.items()
+                      if hasattr(v, "shape")
+                      and getattr(v, "ndim", 0) >= 1}
+            for i, meta in enumerate(metas[s:s + cap]):
+                one = {k: v[i:i + 1] for k, v in raw_np.items()}
+                results.append(self._postprocess(one, meta))
         return results

@@ -201,3 +201,53 @@ class TestTextEdges:
         flat1 = [c for row in tables[1].data for c in row]
         assert any(c.startswith("r") for c in flat0 if c)
         assert any(c.startswith("s") for c in flat1 if c)
+
+
+class TestMultiTable:
+    """Two separate wired tables on one page -> two Table objects
+    (reference _generate_table_bbox region clustering,
+    table_extractor_pdf.py:127 + table_bbox_merge)."""
+
+    def _two_table_pdf(self, tmp_path, name="two.pdf"):
+        from pdf_table_tpu.pdfio.writer import PdfWriter
+
+        w = PdfWriter()
+        page = w.add_page(300, 400)
+        page.table(20, 380, [80, 80], 30,
+                   [["a1", "a2"], ["a3", "a4"]])
+        page.table(20, 160, [60, 60, 60], 25,
+                   [["b1", "b2", "b3"], ["b4", "b5", "b6"]])
+        p = str(tmp_path / name)
+        w.save(p)
+        return p
+
+    def test_pdf_flavor_two_tables(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = self._two_table_pdf(tmp_path)
+        tables = read_pdf(p, flavor="pdf")
+        assert tables.n == 2
+        assert tables[0].shape == (2, 2)
+        assert tables[1].shape == (2, 3)
+        assert tables[0].data == [["a1", "a2"], ["a3", "a4"]]
+        assert tables[1].data == [["b1", "b2", "b3"], ["b4", "b5", "b6"]]
+        # top-of-page table first
+        assert tables[0].bbox[1] > tables[1].bbox[3]
+
+    def test_lattice_flavor_two_tables(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = self._two_table_pdf(tmp_path)
+        tables = read_pdf(p, flavor="lattice")
+        assert tables.n == 2
+        assert tables[0].data == [["a1", "a2"], ["a3", "a4"]]
+        assert tables[1].data == [["b1", "b2", "b3"], ["b4", "b5", "b6"]]
+
+    def test_pdf_flavor_two_tables_html(self, tmp_path):
+        from pdf_table_tpu.pdf_table import read_pdf
+
+        p = self._two_table_pdf(tmp_path)
+        tables = read_pdf(p, flavor="pdf")
+        htmls = [t.to_html() for t in tables]
+        assert htmls[0].count("<tr>") == 2 and "a4" in htmls[0]
+        assert htmls[1].count("<tr>") == 2 and "b6" in htmls[1]
