@@ -33,3 +33,27 @@ def default_backend() -> str:
         return jax.default_backend()
     except RuntimeError:
         return "cpu"
+
+
+_compile_cache_on = False
+
+
+def enable_compile_cache() -> None:
+    """Turn on jax's persistent compilation cache under
+    Constants.COMPILE_CACHE_DIR (idempotent; respects an explicit user
+    jax_compilation_cache_dir, e.g. the test conftest's)."""
+    global _compile_cache_on
+    if _compile_cache_on:
+        return
+    _compile_cache_on = True
+    import os
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    try:
+        os.makedirs(Constants.COMPILE_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          Constants.COMPILE_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:   # cache is best-effort; never block inference
+        pass

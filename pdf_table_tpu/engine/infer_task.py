@@ -77,6 +77,8 @@ class InferTask:
 
     def ensure_built(self) -> None:
         if not self._built:
+            from .device import enable_compile_cache
+            enable_compile_cache()
             t0 = time.perf_counter()
             self._apply_fn, self._params = self._build_model()
             if self.mesh is not None and self._params is not None:

@@ -237,6 +237,14 @@ class BatchPipeline:
                 owners.append((pi, bi))
         if not crops:
             return [[] for _ in images], [[] for _ in images]
+        cls_task = self.system.textline_cls_task
+        if cls_task is not None:
+            # pooled 0/180 classification; flip upside-down crops before
+            # recognition (batched analog of the reference's per-box PULC
+            # loop, ocr_system_task.py:411-424)
+            for c, r in zip(crops, cls_task.batch_infer(crops)):
+                if r["label"] == "180_degree" and r["score"] > 0.75:
+                    c[:] = c[::-1, ::-1]
         out = rec(crops)
         texts: List[List[str]] = [[""] * len(q) for q in quads_per_page]
         scores: List[List[float]] = [[0.0] * len(q) for q in quads_per_page]

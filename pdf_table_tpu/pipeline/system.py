@@ -41,6 +41,7 @@ class OcrSystemConfig:
     use_table: bool = True
     pdf_text_prefer: bool = True            # digital PDFs: extract text, skip OCR
     use_orientation_cls: bool = True        # PULC 0/90/180/270 fix for images
+    use_textline_cls: bool = True           # per-box 0/180 majority page vote
     render_dpi: int = 144
     debug: bool = False
     output_dir: str = ""
@@ -112,6 +113,15 @@ class OcrSystemTask:
         return self._preprocess
 
     @property
+    def textline_cls_task(self):
+        if getattr(self, "_line_cls", None) is None \
+                and self.config.use_textline_cls:
+            from ..tasks.cls_pulc import ClsImagePulcTask
+            self._line_cls = ClsImagePulcTask(
+                task_type="textline_orientation", mesh=self.mesh)
+        return getattr(self, "_line_cls", None)
+
+    @property
     def pdf_text_task(self):
         if self._pdf_text is None:
             from ..tasks.pdf_text import OcrPdfTextTask
@@ -137,6 +147,41 @@ class OcrSystemTask:
     def text_detection(self, image: np.ndarray) -> List[np.ndarray]:
         out = self.det_task(image)
         return list(out["det_polygons"].reshape(-1, 4, 2))
+
+    def image_orientation_fix(self, image: np.ndarray,
+                              score_threshold: float = 0.9):
+        """Image pages: det-box aspect rotate90 check + batched per-box
+        0/180 PULC majority vote that rotates the WHOLE page (reference
+        image_pre_process, ocr_system_task.py:460-479, and
+        text_line_orientation :395-439 — which loops one PULC forward per
+        box; here all crops classify in one padded device batch).
+        Returns (image, quads or None, degrees_rotated)."""
+        quads = self.text_detection(image)
+        rotated = 0
+        if len(quads):
+            q = np.asarray(quads)
+            widths = np.abs(q[:, 0, 0] - q[:, 2, 0])
+            heights = np.abs(q[:, 0, 1] - q[:, 2, 1])
+            if heights.sum() > 0 and widths.sum() / heights.sum() < 1.0:
+                # most boxes taller than wide: page authored rotated
+                # (check_pdf_text_need_rotate90, table_common.py:1617-1640)
+                image = np.ascontiguousarray(np.rot90(image, k=1))
+                rotated = 90
+                quads = self.text_detection(image)
+        cls_task = self.textline_cls_task
+        if cls_task is not None and len(quads):
+            from ..ops.warp import crop_rotated_boxes
+            crops = crop_rotated_boxes(image, np.asarray(quads), None)
+            res = cls_task.batch_infer([np.asarray(c) for c in crops])
+            v0 = sum(1 for r in res if r["score"] > score_threshold
+                     and r["label"] == "0_degree")
+            v180 = sum(1 for r in res if r["score"] > score_threshold
+                       and r["label"] == "180_degree")
+            if v180 > v0:
+                image = np.ascontiguousarray(np.rot90(image, k=2))
+                rotated += 180
+                quads = None    # stale after the flip; re-detect lazily
+        return image, quads, rotated
 
     def text_recognition(self, image: np.ndarray,
                          quads: Sequence[np.ndarray]) -> List[OcrCell]:
@@ -200,6 +245,13 @@ class OcrSystemTask:
         pre = self.preprocess_task(image, is_pdf=pdf_page is not None)
         image = pre["image"]
         out.rotate_angle = pre["rotate_angle"]
+        cached_quads = None
+        if pdf_page is None and cfg.use_textline_cls:
+            t_cls = time.time()
+            image, cached_quads, deg = self.image_orientation_fix(image)
+            if deg:
+                out.rotate_angle = (out.rotate_angle or 0.0) + deg
+            metric["textline_orientation"] = time.time() - t_cls
         out.image = image
         out.image_shape = image.shape[:2]
         if pdf_page is not None and pdf_page.height > 0:
@@ -266,7 +318,8 @@ class OcrSystemTask:
             out.text_cells = self.pdf_text_task(pdf_page, out.pdf_scale)
             metric["pdf_text_extract"] = time.time() - t0
         else:
-            quads = self.text_detection(image)
+            quads = cached_quads if cached_quads is not None \
+                else self.text_detection(image)
             metric["detection"] = time.time() - t0
             t0 = time.time()
             cells = self.text_recognition(image, quads)

@@ -43,3 +43,17 @@ class ClsImagePulcTask(InferTask):
 
     def _postprocess(self, raw, meta):
         return self.post(np.asarray(raw[0]))
+
+    def batch_infer(self, images) -> list:
+        """All crops in ONE padded device forward (the reference loops one
+        PULC call per text box, ocr_system_task.py:411-424)."""
+        if not len(images):
+            return []
+        from ..engine.infer_task import bucket_batch_size
+
+        self.ensure_built()
+        batch = {"image": np.concatenate(
+            [self.pre(img)["image"] for img in images], axis=0)}
+        batch, n = self.pad_batch(batch, bucket_batch_size(len(images)))
+        raw = np.asarray(self._run_model(batch))
+        return [self.post(raw[i]) for i in range(n)]

@@ -56,6 +56,12 @@ class Constants:
     # Compute dtype policy for model forward passes.
     COMPUTE_DTYPE = _env("PDFTABLE_COMPUTE_DTYPE", "bfloat16")
 
+    # Persistent XLA executable cache (analog of the reference caching its
+    # converted fp16 ONNX artifacts once, deploy_utils.py:253-264): repeat
+    # process launches skip the 15-40s per-model compiles.
+    COMPILE_CACHE_DIR = _env("PDFTABLE_COMPILE_CACHE_DIR",
+                             os.path.join(BASE_DIR, "xla_cache"))
+
     # Debug switches.
     DEBUG = _env_bool("PDFTABLE_DEBUG", False)
 

@@ -50,7 +50,8 @@ class TestBatchPipeline:
         from pdf_table_tpu.models.rec_ctc import RecConfig
 
         cfg = OcrSystemConfig(use_layout=False, use_table=False,
-                              use_orientation_cls=False)
+                              use_orientation_cls=False,
+                              use_textline_cls=False)
         bp = BatchPipeline(cfg)
         # inject tiny models
         bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
@@ -83,7 +84,8 @@ class TestBatchPipeline:
         w.save(p)
 
         cfg = OcrSystemConfig(use_layout=False, use_table=False,
-                              use_orientation_cls=False, render_dpi=72)
+                              use_orientation_cls=False,
+                              use_textline_cls=False, render_dpi=72)
         bp = BatchPipeline(cfg)
         bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
                                           inner_channels=48,
@@ -115,7 +117,8 @@ class TestBatchPipelineFullStages:
         from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
 
         cfg = OcrSystemConfig(use_layout=True, use_table=True,
-                              use_orientation_cls=False)
+                              use_orientation_cls=False,
+                              use_textline_cls=False)
         bp = BatchPipeline(cfg, batch_pages=2)
         bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
                                           inner_channels=48,
@@ -176,7 +179,8 @@ class TestMeshBatchDetection:
         from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
 
         cfg = OcrSystemConfig(use_layout=False, use_table=False,
-                              use_orientation_cls=False)
+                              use_orientation_cls=False,
+                              use_textline_cls=False)
         bp = BatchPipeline(cfg, mesh=cpu_mesh, batch_pages=8)
         bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
                                           inner_channels=48,

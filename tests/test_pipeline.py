@@ -274,3 +274,100 @@ class TestOverlapMerge:
         cells = [OcrCell.from_bbox((i * 50, 0, i * 50 + 40, 10), text=str(i))
                  for i in range(4)]
         assert len(merge_overlapping_cells(cells)) == 4
+
+
+class TestTextlineOrientation:
+    """Per-box 0/180 handling in the system image path (reference
+    text_line_orientation + image_pre_process, ocr_system_task.py:395-479)."""
+
+    def test_cls_batch_infer_matches_single(self):
+        from pdf_table_tpu.models.cls import ClsPulcConfig
+        from pdf_table_tpu.tasks.cls_pulc import ClsImagePulcTask
+
+        cfg = ClsPulcConfig(task_type="textline_orientation", scale=0.25,
+                            img_size=(32, 64), resize_short=0,
+                            class_expand=32)
+        task = ClsImagePulcTask(config=cfg)
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (20, 80, 3), np.uint8)
+                for _ in range(3)]
+        batched = task.batch_infer(imgs)
+        assert len(batched) == 3
+        for img, b in zip(imgs, batched):
+            solo = task(img)
+            assert solo["label"] == b["label"]
+            assert abs(solo["score"] - b["score"]) < 1e-4
+
+    def test_majority_vote_flips_page(self):
+        """A forced 180 majority rotates the whole page and invalidates the
+        cached detections."""
+        from pdf_table_tpu.pipeline import OcrSystemConfig, OcrSystemTask
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False)
+        sys_task = OcrSystemTask(cfg)
+        img = np.full((100, 120, 3), 255, np.uint8)
+        img[70:80, 10:110] = 0   # one wide dark bar near the bottom
+        marker = img.copy()
+
+        quad = np.array([[10, 70], [110, 70], [110, 80], [10, 80]], float)
+        sys_task.text_detection = lambda image: [quad]
+
+        class Stub:
+            def batch_infer(self, crops):
+                return [{"label": "180_degree", "score": 0.99}
+                        for _ in crops]
+
+        sys_task._line_cls = Stub()
+        out_img, quads, deg = sys_task.image_orientation_fix(marker)
+        assert deg == 180
+        assert quads is None
+        assert np.array_equal(out_img, marker[::-1, ::-1])
+
+    def test_majority_vote_keeps_upright_page(self):
+        from pdf_table_tpu.pipeline import OcrSystemConfig, OcrSystemTask
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False)
+        sys_task = OcrSystemTask(cfg)
+        img = np.full((100, 120, 3), 255, np.uint8)
+        quad = np.array([[10, 70], [110, 70], [110, 80], [10, 80]], float)
+        sys_task.text_detection = lambda image: [quad]
+
+        class Stub:
+            def batch_infer(self, crops):
+                return [{"label": "0_degree", "score": 0.99}
+                        for _ in crops]
+
+        sys_task._line_cls = Stub()
+        out_img, quads, deg = sys_task.image_orientation_fix(img)
+        assert deg == 0
+        assert quads is not None and len(quads) == 1
+        assert np.array_equal(out_img, img)
+
+    def test_rotate90_from_tall_boxes(self):
+        """Portrait-dominant det boxes trigger the 90-degree fix
+        (check_pdf_text_need_rotate90, table_common.py:1617)."""
+        from pdf_table_tpu.pipeline import OcrSystemConfig, OcrSystemTask
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False,
+                              use_textline_cls=False)
+        sys_task = OcrSystemTask(cfg)
+        img = np.full((120, 100, 3), 255, np.uint8)
+
+        calls = []
+
+        def fake_det(image):
+            calls.append(image.shape)
+            if len(calls) == 1:     # tall boxes on the original image
+                return [np.array([[10, 10], [20, 10], [20, 90], [10, 90]],
+                                 float)]
+            return [np.array([[10, 10], [90, 10], [90, 20], [10, 20]],
+                             float)]
+
+        sys_task.text_detection = fake_det
+        out_img, quads, deg = sys_task.image_orientation_fix(img)
+        assert deg == 90
+        assert out_img.shape[:2] == (100, 120)
+        assert len(calls) == 2
