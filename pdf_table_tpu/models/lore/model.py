@@ -45,11 +45,11 @@ class LoreModel(nn.Module):
         self.detector = build_detector(self.config)
         self.processor = LoreProcessor(self.config)
 
-    def __call__(self, pixel_values: jax.Array, train: bool = False):
-        """pixel_values (B, H, W, 3) normalized. Returns dict with
-        dets (B, K, 8) fmap coords, scores (B, K), valid (B, K),
-        logi / stacked_logi (B, K, 4), plus raw head outputs when training.
-        """
+    def features(self, pixel_values: jax.Array, train: bool = False
+                 ) -> Dict[str, Any]:
+        """Detector + on-device decode + corner-feature aggregation:
+        everything before the logical-location regressor. Split out as its
+        own jittable program — see :meth:`__call__` notes."""
         cfg = self.config
         out = self.detector(pixel_values, train=train)
         hm = jax.nn.sigmoid(out["hm"])
@@ -81,19 +81,39 @@ class LoreModel(nn.Module):
         ax_flat = out["ax"].reshape(B, H * W, -1)
         ax_feat = gather_feat(ax_flat, inds)                 # (B, K, 256)
         cr_feat = gather_corner_features(out["cr"], dets)    # (B, K, 256)
-        feat = ax_feat + cr_feat
-
-        logi, stacked = self.processor(
-            feat, dets=dets, mask=valid if train else None)
-
         result: Dict[str, Any] = {
-            "dets": dets, "scores": scores, "valid": valid,
-            "centers": centers, "logi": logi,
-            "stacked_logi": stacked if stacked is not None else logi,
+            "feat": ax_feat + cr_feat, "dets": dets, "scores": scores,
+            "valid": valid, "centers": centers,
         }
         if train:
             result["heads"] = out
             result["hm"] = hm
+        return result
+
+    def logical(self, feat: jax.Array, dets: jax.Array,
+                mask: Optional[jax.Array] = None):
+        """Logical-location regressor program (transformer + stacking)."""
+        return self.processor(feat, dets=dets, mask=mask)
+
+    def __call__(self, pixel_values: jax.Array, train: bool = False):
+        """pixel_values (B, H, W, 3) normalized. Returns dict with
+        dets (B, K, 8) fmap coords, scores (B, K), valid (B, K),
+        logi / stacked_logi (B, K, 4), plus raw head outputs when training.
+
+        NOTE: on the remote-TPU backend the inference task runs
+        :meth:`features` and :meth:`logical` as TWO jitted programs —
+        the monolithic program trips an axon-runtime re-execution bug
+        (first call succeeds, later calls fail INVALID_ARGUMENT; splitting
+        the processor into its own executable sidesteps it, see
+        tasks/table_structure.py). This fused entry stays for CPU tests
+        and training.
+        """
+        result = self.features(pixel_values, train=train)
+        feat = result.pop("feat")
+        logi, stacked = self.logical(
+            feat, result["dets"], mask=result["valid"] if train else None)
+        result["logi"] = logi
+        result["stacked_logi"] = stacked if stacked is not None else logi
         return result
 
     def train_forward(self, pixel_values: jax.Array, hm_ind: jax.Array,

@@ -177,10 +177,15 @@ class CSPPAN(nn.Module):
         inner = [ins[-1]]
         for idx in range(n - 1, 0, -1):
             up = upsample2x(inner[0])
+            skip = ins[idx - 1]
+            # SAME-padded stride-2 levels have ceil sizes, so 2x the upper
+            # level can overshoot the skip by one row/col (e.g. SLANet 488:
+            # 31 -> 16 -> up 32); crop to the skip's grid
+            up = up[:, :skip.shape[1], :skip.shape[2]]
             inner.insert(0, CSPLayer(
                 f, self.kernel, dtype=d,
                 name=f"top_down{n - 1 - idx}")(
-                    jnp.concatenate([up, ins[idx - 1]], axis=-1), train))
+                    jnp.concatenate([up, skip], axis=-1), train))
         # bottom-up: concat order [downsampled_low, high] (:331-337)
         outs = [inner[0]]
         for idx in range(n - 1):

@@ -94,12 +94,39 @@ class OcrTableStructureTask(InferTask):
 
     def _build_model(self):
         if self.model_name == "Lore":
+            import jax
+
             from ..models.lore import LoreModel
 
             cfg = self.model_config
             module = LoreModel(cfg)
             sample = np.zeros((1, cfg.resolution[0], cfg.resolution[1], 3),
                               np.float32)
+            # TWO jitted programs, not one: the monolithic
+            # detector+decode+processor executable trips an axon-runtime
+            # re-execution bug (first exec OK, later execs
+            # INVALID_ARGUMENT). features/logical each re-execute cleanly,
+            # and the split costs one extra dispatch with feat staying on
+            # device.
+            feat_fn = jax.jit(lambda v, x: module.apply(
+                v, x, False, method=LoreModel.features))
+            proc_fn = jax.jit(lambda v, f, d: module.apply(
+                v, f, d, method=LoreModel.logical))
+
+            def apply_fn(variables, batch):
+                fo = dict(feat_fn(variables, batch["image"]))
+                feat = fo.pop("feat")
+                logi, stacked = proc_fn(variables, feat, fo["dets"])
+                fo["logi"] = logi
+                fo["stacked_logi"] = stacked if stacked is not None else logi
+                return fo
+
+            self._presplit_run = True
+            task_type = getattr(cfg, "task_type", "")
+            variables = load_or_init(
+                module, sample,
+                weights_dir("table_structure", self.model_name, task_type))
+            return apply_fn, variables
         elif self.model_name == "SLANet":
             from ..models.slanet import SLANet
 
@@ -154,6 +181,12 @@ class OcrTableStructureTask(InferTask):
     def _run_model(self, batch):
         if "host_result" in batch:
             return batch["host_result"]
+        if getattr(self, "_presplit_run", False):
+            # apply_fn already dispatches its own jitted programs; wrapping
+            # it in another jit would fuse them back into the monolithic
+            # executable (see _build_model note)
+            self.ensure_built()
+            return self._apply_fn(self._params, batch)
         return super()._run_model(batch)
 
     def _postprocess(self, raw, meta):
