@@ -61,6 +61,15 @@ def bench() -> dict:
     # run at a converted-weight-like load through the honest code path
     bp.system._layout = OcrLayoutTask(model="picodet", task_type="table",
                                       score_threshold=0.05, keep_top_k=2)
+    # LORE wireless config (768^2, no corner refine): the wtw corner-refine
+    # program trips an axon-runtime re-execution bug on this rig (first
+    # exec OK, re-exec INVALID_ARGUMENT; see models/lore/model.py notes) —
+    # wireless is the reference's other first-class LORE config and
+    # re-executes cleanly
+    from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+    bp.system._tsr = OcrTableStructureTask(model="Lore",
+                                           task_type="wireless")
     pages = [{"image": make_page(i)} for i in range(16)]
 
     # warmup (compile det batch program + rec buckets)

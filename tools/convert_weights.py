@@ -184,6 +184,14 @@ def _spec(name: str):
         return ("table_structure", "CenterNet", CycleCenterNet(cfg),
                 (1, 1024, 1024, 3), convert_cycle_centernet)
 
+    if name == "lgpma":
+        from pdf_table_tpu.convert.lgpma_convert import convert_lgpma
+        from pdf_table_tpu.models.lgpma import LGPMA, LgpmaConfig
+
+        cfg = LgpmaConfig()
+        return ("table_structure", "Lgpma", LGPMA(cfg), (1, 64, 64, 3),
+                convert_lgpma)
+
     raise SystemExit(f"no converter for {name!r}; see module docstring")
 
 
