@@ -52,6 +52,31 @@ class LorePreProcessor:
                          "out_h": inp_h // cfg.down_ratio,
                          "out_w": inp_w // cfg.down_ratio}}
 
+    def warp_u8(self, image: np.ndarray) -> Dict[str, Any]:
+        """Warp only, uint8 RGB out: the batched path uploads 4x fewer
+        bytes and runs BGR-flip + normalize on device."""
+        import cv2
+
+        cfg = self.config
+        h, w = image.shape[:2]
+        inp_h, inp_w = cfg.resolution
+        s = max(h, w) * 1.0
+        if cfg.upper_left:
+            scale = inp_w / s
+            mat = np.array([[scale, 0, 0], [0, scale, 0]], np.float32)
+            c = np.array([0.0, 0.0], np.float32)
+        else:
+            c = np.array([w / 2.0, h / 2.0], np.float32)
+            scale = inp_w / s
+            mat = np.array([[scale, 0, inp_w / 2 - scale * c[0]],
+                            [0, scale, inp_h / 2 - scale * c[1]]], np.float32)
+        warped = cv2.warpAffine(image, mat, (inp_w, inp_h),
+                                flags=cv2.INTER_LINEAR)
+        return {"image_u8": warped[None],
+                "meta": {"c": c, "s": s, "org_shape": (h, w),
+                         "out_h": inp_h // cfg.down_ratio,
+                         "out_w": inp_w // cfg.down_ratio}}
+
 
 def round_logits(logi: np.ndarray) -> np.ndarray:
     """floor + (frac >= 0.5) (reference process_logic_output,

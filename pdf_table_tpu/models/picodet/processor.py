@@ -38,6 +38,19 @@ class PicoDetPreProcessor:
                 "org_shape": (h, w),
                 "scale_factor": (cfg.img_height / h, cfg.img_width / w)}
 
+    def resize_u8(self, image: np.ndarray) -> Dict[str, Any]:
+        """Resize only, uint8 out: the batched path uploads raw bytes and
+        normalizes on device (the BGR round-trip in __call__ cancels out —
+        the net host op is an RGB resize)."""
+        import cv2
+
+        cfg = self.config
+        h, w = image.shape[:2]
+        resized = cv2.resize(image, (cfg.img_width, cfg.img_height))
+        return {"image_u8": resized[None],
+                "org_shape": (h, w),
+                "scale_factor": (cfg.img_height / h, cfg.img_width / w)}
+
 
 @functools.lru_cache(maxsize=32)
 def _level_centers(fh: int, fw: int, stride: int) -> np.ndarray:
@@ -55,6 +68,38 @@ def gfl_expected_distance(box_dist: np.ndarray, reg_max: int) -> np.ndarray:
     p = e / e.sum(axis=1, keepdims=True)
     exp = (p * np.arange(reg_max + 1)).sum(axis=1)
     return exp.reshape(-1, 4)
+
+
+def device_decode_topk(raw: Dict[str, Any], cfg: PicoDetConfig,
+                       k: int = 200):
+    """On-device GFL decode + global top-k: the per-level head maps never
+    leave the chip (their ~10 MB D2H dominated the tunnel wall clock;
+    downloading k boxes is ~25 KB). raw: {'scores': [(B, HW, C)],
+    'boxes': [(B, HW, 4*(reg_max+1))]} -> (boxes (B,k,4) input coords,
+    scores (B,k,C))."""
+    import jax
+    import jax.numpy as jnp
+
+    all_boxes, all_scores = [], []
+    for stride, score, bd in zip(cfg.strides, raw["scores"], raw["boxes"]):
+        fh = -(-cfg.img_height // stride)
+        fw = -(-cfg.img_width // stride)
+        centers = jnp.asarray(_level_centers(fh, fw, stride))
+        B, HW, _ = score.shape
+        d = bd.reshape(B, HW, 4, cfg.reg_max + 1).astype(jnp.float32)
+        p = jax.nn.softmax(d, axis=-1)
+        dist = (p * jnp.arange(cfg.reg_max + 1, dtype=jnp.float32)) \
+            .sum(-1) * stride
+        box = centers[None] + jnp.asarray([-1., -1., 1., 1.]) * dist
+        all_boxes.append(box)
+        all_scores.append(score.astype(jnp.float32))
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    scores = jnp.concatenate(all_scores, axis=1)
+    k = min(k, scores.shape[1])
+    _, top = jax.lax.top_k(scores.max(-1), k)               # (B, k)
+    b = jnp.take_along_axis(boxes, top[..., None], axis=1)
+    s = jnp.take_along_axis(scores, top[..., None], axis=1)
+    return b, s
 
 
 class PicoDetPostProcessor:
@@ -84,9 +129,16 @@ class PicoDetPostProcessor:
             all_scores.append(np.asarray(score)[top])
         bboxes = np.concatenate(all_boxes, axis=0)
         confid = np.concatenate(all_scores, axis=0)
+        return self.from_candidates(bboxes, confid, org_shape)
 
+    def from_candidates(self, bboxes: np.ndarray, confid: np.ndarray,
+                        org_shape: Tuple[int, int]) -> Dict[str, Any]:
+        """Threshold + per-class NMS + rescale over decoded candidates
+        (bboxes (N, 4) input coords, confid (N, C))."""
         from ...ops.nms import hard_nms
 
+        cfg = self.config
+        ih, iw = cfg.img_height, cfg.img_width
         results: List[Dict[str, Any]] = []
         oh, ow = org_shape
         sy, sx = ih / oh, iw / ow

@@ -69,8 +69,11 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
     sy = base_y[None] + off[..., 0]   # (B, Ho, Wo, K)
     sx = base_x[None] + off[..., 1]
 
-    x32 = x.astype(jnp.float32)
-    flat = x32.reshape(B, H * W, Cin)
+    # gathers move 36x Cin values per output pixel — HBM-bandwidth bound —
+    # so keep the gather operand in the model compute dtype (bf16 halves
+    # the bytes); bilinear blend + matmul accumulate in f32 either way
+    gdt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+    flat = x.astype(gdt).reshape(B, H * W, Cin)
     mask32 = mask.astype(jnp.float32)
     wmat = weight.astype(jnp.float32).reshape(K, Cin, Cout)
 
@@ -84,6 +87,7 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
         xc = jnp.clip(xi, 0, W - 1)
         idx = (yc * W + xc).reshape(B, Ho * Wo)
         g = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+        g = g.astype(jnp.float32)
         return g.reshape(B, Ho, Wo, Cin) * inb[..., None]
 
     # Accumulate over kernel taps: one (B,Ho,Wo,Cin) bilinear sample and one

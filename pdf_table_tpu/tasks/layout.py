@@ -86,30 +86,52 @@ class OcrLayoutTask(InferTask):
     # -- page-batched path (batch_runner) -----------------------------------
 
     def batch_enqueue(self, images):
-        """Stack N pages into ONE layout forward (PicoDet resizes every page
-        to a fixed canvas, so the batch is static-shape). Returns the async
-        device handle + per-page metas; pair with :meth:`batch_finish`.
-        The reference runs layout strictly per page
-        (ocr_system_task.py:214-224)."""
+        """Stack N pages into ONE layout forward + ON-DEVICE GFL decode
+        (PicoDet resizes every page to a fixed canvas, so the batch is
+        static-shape; the raw head maps stay on chip and only the top-k
+        candidates download — the ~10 MB/chunk head-map D2H dominated the
+        tunnel wall clock). Returns the async (boxes, scores) handle +
+        per-page metas; pair with :meth:`batch_finish`. The reference runs
+        layout strictly per page (ocr_system_task.py:214-224)."""
         if self.model_name == "DocXLayout":
             return None, list(images)  # per-page fallback in batch_finish
-        prepped = [self._preprocess(img) for img in images]
-        batch = {"image": np.concatenate([p[0]["image"] for p in prepped],
-                                         axis=0)}
+        prepped = [self.pre.resize_u8(img) for img in images]
+        batch = {"image_u8": np.concatenate(
+            [p.pop("image_u8") for p in prepped], axis=0)}
         self.ensure_built()
-        return self._run_model(batch), [p[1] for p in prepped]
+        import jax
+        import jax.numpy as jnp
 
-    def batch_finish(self, raw, metas):
+        from ..models.picodet.processor import device_decode_topk
+
+        key = ("batch_decode", batch["image_u8"].shape)
+        fn = self._jitted.get(key)
+        if fn is None:
+            cfg = self.model_config
+            mean = jnp.asarray(cfg.norm_mean)
+            std = jnp.asarray(cfg.norm_std)
+
+            def run(variables, b):
+                x = (b["image_u8"].astype(jnp.float32) / 255.0 - mean) / std
+                raw = self._apply_fn(variables, {"image": x})
+                return device_decode_topk(raw, cfg)
+
+            fn = jax.jit(run)
+            self._jitted[key] = fn
+        return fn(self._params, batch), prepped
+
+    def batch_finish(self, handle, metas):
         """Per-page postprocess of a :meth:`batch_enqueue` result ->
         [layout_cells] per page."""
         if self.model_name == "DocXLayout":
             return [self(img)["layout_cells"] for img in metas]
+        boxes, scores = (np.asarray(v) for v in handle)
         out = []
         for i, meta in enumerate(metas):
-            scores = [np.asarray(s[i]) for s in raw["scores"]]
-            boxes = [np.asarray(b[i]) for b in raw["boxes"]]
-            result = self.post(scores, boxes, meta["org_shape"])
-            out.append(self.post.to_layout_cells(result))
+            result = self.post.from_candidates(boxes[i], scores[i],
+                                               meta["org_shape"])
+            result["layout_cells"] = self.post.to_layout_cells(result)
+            out.append(result["layout_cells"])
         return out
 
     def batch_infer(self, images):

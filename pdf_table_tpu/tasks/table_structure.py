@@ -108,18 +108,41 @@ class OcrTableStructureTask(InferTask):
             # INVALID_ARGUMENT). features/logical each re-execute cleanly,
             # and the split costs one extra dispatch with feat staying on
             # device.
+            import jax.numpy as jnp
+
+            from ..models.lore.processor import LorePreProcessor
+
+            mean = jnp.asarray(LorePreProcessor.MEAN)
+            std = jnp.asarray(LorePreProcessor.STD)
             feat_fn = jax.jit(lambda v, x: module.apply(
                 v, x, False, method=LoreModel.features))
-            proc_fn = jax.jit(lambda v, f, d: module.apply(
-                v, f, d, method=LoreModel.logical))
+            # uint8 variant: BGR flip + normalize fused into the program so
+            # the batched path uploads raw bytes (4x less tunnel H2D)
+            feat_u8_fn = jax.jit(lambda v, u: module.apply(
+                v,
+                (u.astype(jnp.float32)[..., ::-1] / 255.0 - mean) / std,
+                False, method=LoreModel.features))
+            def proc_pack(v, fo):
+                # logical regressor + pack into ONE D2H array instead of
+                # six: each device->host round trip costs ~40 ms of tunnel
+                # latency on this rig
+                logi, stacked = module.apply(v, fo["feat"], fo["dets"],
+                                             method=LoreModel.logical)
+                if stacked is None:
+                    stacked = logi
+                return jnp.concatenate(
+                    [fo["dets"], fo["scores"][..., None],
+                     fo["valid"].astype(jnp.float32)[..., None],
+                     fo["centers"], logi, stacked], axis=-1)
+
+            proc_fn = jax.jit(proc_pack)
 
             def apply_fn(variables, batch):
-                fo = dict(feat_fn(variables, batch["image"]))
-                feat = fo.pop("feat")
-                logi, stacked = proc_fn(variables, feat, fo["dets"])
-                fo["logi"] = logi
-                fo["stacked_logi"] = stacked if stacked is not None else logi
-                return fo
+                if "image_u8" in batch:
+                    fo = feat_u8_fn(variables, batch["image_u8"])
+                else:
+                    fo = feat_fn(variables, batch["image"])
+                return {"packed": proc_fn(variables, fo)}
 
             self._presplit_run = True
             task_type = getattr(cfg, "task_type", "")
@@ -178,6 +201,21 @@ class OcrTableStructureTask(InferTask):
             meta["line_cells"] = extract_cells_from_image(inputs)
         return out, meta
 
+    # packed LORE output layout (see pack() in _build_model)
+    _LORE_PACK = (("dets", 8), ("scores", 1), ("valid", 1),
+                  ("centers", 2), ("logi", 4), ("stacked_logi", 4))
+
+    @classmethod
+    def _unpack_lore(cls, arr):
+        import numpy as np
+        out, o = {}, 0
+        for k, n in cls._LORE_PACK:
+            sl = arr[..., o:o + n]
+            o += n
+            out[k] = sl[..., 0] if n == 1 else sl
+        out["valid"] = out["valid"] > 0.5
+        return out
+
     def _run_model(self, batch):
         if "host_result" in batch:
             return batch["host_result"]
@@ -192,6 +230,9 @@ class OcrTableStructureTask(InferTask):
     def _postprocess(self, raw, meta):
         if self.model_name == "LineCell":
             return raw
+        if "packed" in raw:
+            import numpy as np
+            raw = self._unpack_lore(np.asarray(raw["packed"]))
         if self.model_name == "SLANet":
             return self.post(raw, meta["shape_list"])
         result = self.post(raw, meta)
@@ -211,27 +252,40 @@ class OcrTableStructureTask(InferTask):
 
         from ..engine.infer_task import bucket_batch_size
 
-        prepped = [self._preprocess(c) for c in crops]
-        pres = [p[0] for p in prepped]
-        metas = [p[1] for p in prepped]
+        if self.model_name == "Lore":
+            # uint8 upload + on-device BGR flip/normalize: 4x less tunnel
+            # H2D and 4x less host concat than stacking f32 warps
+            prepped = [self.pre.warp_u8(c) for c in crops]
+            pres = [{"image_u8": p["image_u8"]} for p in prepped]
+            metas = [p["meta"] for p in prepped]
+            stack_key = "image_u8"
+        else:
+            prepped = [self._preprocess(c) for c in crops]
+            pres = [p[0] for p in prepped]
+            metas = [p[1] for p in prepped]
+            stack_key = "image"
         self.ensure_built()
         # pad each crop batch up to a bucket size (pages carry varying table
         # counts; without padding every new count would recompile) and cap
         # the device batch so TSR never monopolizes HBM while det/rec/layout
         # programs hold their own buffers
         cap = max(1, self.config.batch_size)
-        results = []
+        # dispatch every sub-batch before blocking on any download, so
+        # sub-batch k's D2H overlaps k+1's device compute
+        handles = []
         for s in range(0, len(pres), cap):
             chunk = pres[s:s + cap]
-            batch = {"image": np.concatenate([p["image"] for p in chunk],
-                                             axis=0)}
+            batch = {stack_key: np.concatenate(
+                [p[stack_key] for p in chunk], axis=0)}
             batch, _ = self.pad_batch(batch,
                                       bucket_batch_size(len(chunk)))
-            raw = self._run_model(batch)
+            handles.append(self._run_model(batch))
+        results = []
+        for h, raw in enumerate(handles):
             raw_np = {k: np.asarray(v) for k, v in raw.items()
                       if hasattr(v, "shape")
                       and getattr(v, "ndim", 0) >= 1}
-            for i, meta in enumerate(metas[s:s + cap]):
+            for i, meta in enumerate(metas[h * cap:(h + 1) * cap]):
                 one = {k: v[i:i + 1] for k, v in raw_np.items()}
                 results.append(self._postprocess(one, meta))
         return results
