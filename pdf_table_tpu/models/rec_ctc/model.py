@@ -275,36 +275,228 @@ class ViTLayer(nn.Module):
         return x + nn.Dense(D, dtype=d, name="fc2")(y)
 
 
+def _pad(k):
+    return ((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2))
+
+
+class _ConvBNPReLU(nn.Module):
+    """conv(+bn)(+PReLU) triplet with torch-matching sub-names; optional
+    depthwise groups and explicit torch-style padding."""
+
+    features: int
+    kernel: Any
+    stride: Any = (1, 1)
+    groups: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, tuple(self.kernel), tuple(self.stride),
+                    padding=_pad(self.kernel), feature_group_count=self.groups,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        if self.act:
+            x = nn.PReLU(negative_slope_init=0.25, name="act")(x)
+        return x
+
+
+def _split_channels(total: int, n: int):
+    """ceil split; last chunk absorbs the remainder (reference
+    nas_block/layers.py split_layer)."""
+    import math
+    split = [math.ceil(total / n) for _ in range(n)]
+    split[-1] += total - sum(split)
+    return split
+
+
+class _MBConv(nn.Module):
+    """MBInvertedConvLayer (nas_block/layers.py:94): optional 1x1 expand +
+    depthwise k + 1x1 project (PReLU after expand/depthwise only)."""
+
+    out: int
+    kernel: Any
+    expand: int
+    stride: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = round(x.shape[-1] * self.expand)
+        if self.expand != 1:
+            x = _ConvBNPReLU(mid, (1, 1), dtype=self.dtype,
+                             name="inverted_bottleneck")(x, train)
+        x = _ConvBNPReLU(mid, self.kernel, self.stride, groups=mid,
+                         dtype=self.dtype, name="depth_conv")(x, train)
+        return _ConvBNPReLU(self.out, (1, 1), act=False, dtype=self.dtype,
+                            name="point_conv")(x, train)
+
+
+class _MixConv(nn.Module):
+    """MBInvertedMixConvLayer (:265): expand, split channels over per-kernel
+    depthwise branches, concat, project."""
+
+    out: int
+    kernels: Any
+    expand: int
+    stride: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = round(x.shape[-1] * self.expand)
+        x = _ConvBNPReLU(mid, (1, 1), dtype=self.dtype,
+                         name="inverted_bottleneck")(x, train)
+        splits = _split_channels(mid, len(self.kernels))
+        outs, o = [], 0
+        for j, (k, c) in enumerate(zip(self.kernels, splits)):
+            part = x[..., o:o + c]
+            o += c
+            outs.append(_ConvBNPReLU(c, k, self.stride, groups=c,
+                                     dtype=self.dtype,
+                                     name=f"mix_conv_{j}")(part, train))
+        x = jnp.concatenate(outs, axis=-1)
+        return _ConvBNPReLU(self.out, (1, 1), act=False, dtype=self.dtype,
+                            name="point_conv")(x, train)
+
+
+class _LinMixConv(nn.Module):
+    """LinearMixConvLayer (:401): NO expansion; every branch sees the full
+    input; concat multiplies the channel count before the projection."""
+
+    out: int
+    kernels: Any
+    stride: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        outs = [_ConvBNPReLU(cin, k, self.stride, groups=cin,
+                             dtype=self.dtype, name=f"mix_conv_{j}")(x, train)
+                for j, k in enumerate(self.kernels)]
+        x = jnp.concatenate(outs, axis=-1)
+        x = nn.PReLU(negative_slope_init=0.25, name="act")(x)
+        return _ConvBNPReLU(self.out, (1, 1), act=False, dtype=self.dtype,
+                            name="point_conv")(x, train)
+
+
+class _RepConv(nn.Module):
+    """MBInvertedRepConvLayer (:575): expand, parallel depthwise branches
+    (conv+bn, no act) SUMMED, shared PReLU, project."""
+
+    out: int
+    kernels: Any
+    expand: int
+    stride: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = round(x.shape[-1] * self.expand)
+        x = _ConvBNPReLU(mid, (1, 1), dtype=self.dtype,
+                         name="inverted_bottleneck")(x, train)
+        acc = None
+        for j, k in enumerate(self.kernels):
+            y = _ConvBNPReLU(mid, k, self.stride, groups=mid, act=False,
+                             dtype=self.dtype,
+                             name=f"rep_conv_{j}")(x, train)
+            acc = y if acc is None else acc + y
+        acc = nn.PReLU(negative_slope_init=0.25, name="act")(acc)
+        return _ConvBNPReLU(self.out, (1, 1), act=False, dtype=self.dtype,
+                            name="point_conv")(acc, train)
+
+
+class _SE(nn.Module):
+    """SELayer (:517): mean-pool -> fc1 relu -> fc2 sigmoid -> scale."""
+
+    squeeze: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(c // self.squeeze, (1, 1), dtype=self.dtype,
+                    name="fc1")(s)
+        s = jax.nn.relu(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, name="fc2")(s)
+        return x * jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+
+
+# The searched plnas_linear_mix_se architecture (reference nas_block/
+# proxyless.py:116-137: conv_op_ids decoded against conv/se_candidates,
+# with the img_height/height_flag kernel clamping traced through the four
+# (5 cells + SE) stages). Zero ops pass through; entries:
+# (kind, kernels, expand, stride, out, residual)
+LWE_PLAN = (
+    ("mb",  ((5, 5),), 6, (2, 2), 32, False),               # 5x5_MBConv6
+    ("rep", ((3, 3), (5, 5)), 6, (1, 1), 32, True),         # 35_RepConv6
+    ("rep", ((1, 1), (3, 3), (5, 5)), 2, (1, 1), 32, True), # 135_RepConv2
+    ("rep", ((1, 1), (3, 3), (5, 5)), 6, (1, 1), 32, True), # 135_RepConv6
+    ("mb",  ((5, 5),), 6, (1, 1), 32, True),                # 5x5_MBConv6
+    ("se", 8),                                              # SE_8
+    ("mix", ((3, 3), (5, 5)), 6, (2, 1), 64, False),        # 35_MixConv6
+    ("zero",), ("zero",), ("zero",), ("zero",),
+    ("se", 8),
+    ("mb",  ((5, 5),), 2, (2, 1), 96, False),               # 5x5_MBConv2
+    ("mb",  ((3, 5),), 6, (1, 1), 96, True),                # 5x5_MBConv6 h3
+    ("linmix", ((3, 3), (3, 5)), None, (1, 1), 96, True),   # 35_LinMixConv
+    ("mix", ((3, 3), (3, 5)), 4, (1, 1), 96, True),         # 35_MixConv4
+    ("zero",),
+    ("se", 8),
+    ("mb",  ((3, 5),), 6, (2, 1), 128, False),              # 5x5_MBConv6 h3
+    ("mb",  ((1, 5),), 6, (1, 1), 128, True),               # 5x5_MBConv6 h1
+    ("rep", ((1, 3), (1, 5)), 4, (1, 1), 128, True),        # 35_RepConv4 h1
+    ("mix", ((1, 3), (1, 5)), 4, (1, 1), 128, True),        # 35_MixConv4 h1
+    ("zero",),
+    # final SE slot decodes to Zero (conv_op_ids[23]=3)
+)
+
+
 class LightweightEdgeBackbone(nn.Module):
-    """Mobile NAS-style recognizer backbone: depthwise-separable stages with
-    mixed kernel sizes collapsing H (reference
-    model/ocr_rec_lightweightedge/modeling_rec_lightweightedge.py:19 +
-    nas_block/ — the searched architecture reduces to a sequence of
-    inverted-residual blocks; this is the TPU re-expression, not a NAS
-    run)."""
+    """The reference's searched NAS recognizer backbone, rebuilt exactly
+    (model/ocr_rec_lightweightedge/modeling_rec_lightweightedge.py:19 +
+    nas_block/proxyless.py plnas_linear_mix_se): RGB->gray luma, 3x3/2
+    stem to 24ch, then the LWE_PLAN block sequence; H collapses to 1 at
+    input height 32 and the (B, W/4, 128) sequence feeds the CTC head
+    (torch: Linear(128, 7644))."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from ..layers import InvertedResidual
-
         d = self.dtype
-        x = ConvBNAct(16, (3, 3), (2, 2), act="hardswish", dtype=d,
-                      name="stem")(x, train)
-        cfg = [  # (out, expand, kernel, stride_hw, se)
-            (24, 48, 3, (2, 1), False),
-            (24, 72, 3, (1, 1), False),
-            (40, 96, 5, (2, 1), True),
-            (40, 120, 5, (1, 1), True),
-            (80, 240, 5, (2, 1), True),
-            (96, 288, 5, (1, 1), True),
-        ]
-        for i, (c, e, k, st, se) in enumerate(cfg):
-            x = InvertedResidual(c, e, (k, k), st, use_se=se, act="hardswish",
-                                 dtype=d, name=f"block{i}")(x, train)
-        x = jnp.mean(x, axis=1)               # collapse H
-        return nn.Dense(192, dtype=d, name="proj")(x)
+        # RGB2GRAY (modeling_rec_lightweightedge.py:34-36)
+        x = (x[..., 0:1] * 0.2989 + x[..., 1:2] * 0.5870
+             + x[..., 2:3] * 0.1140)
+        x = _ConvBNPReLU(24, (3, 3), (2, 2), dtype=d,
+                         name="first_conv")(x, train)
+        for i, spec in enumerate(LWE_PLAN):
+            kind = spec[0]
+            name = f"block{i}"
+            if kind == "zero":
+                continue
+            if kind == "se":
+                x = _SE(spec[1], dtype=d, name=name)(x)
+                continue
+            kind, kernels, expand, stride, out, residual = spec
+            if kind == "mb":
+                y = _MBConv(out, kernels[0], expand, stride, dtype=d,
+                            name=name)(x, train)
+            elif kind == "mix":
+                y = _MixConv(out, kernels, expand, stride, dtype=d,
+                             name=name)(x, train)
+            elif kind == "linmix":
+                y = _LinMixConv(out, kernels, stride, dtype=d,
+                                name=name)(x, train)
+            else:
+                y = _RepConv(out, kernels, expand, stride, dtype=d,
+                             name=name)(x, train)
+            x = x + y if residual else y
+        # (B, H=1, W', C) -> (B, W', C)
+        return jnp.mean(x, axis=1)
 
 
 class CTCRecModel(nn.Module):

@@ -69,48 +69,64 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
     sy = base_y[None] + off[..., 0]   # (B, Ho, Wo, K)
     sx = base_x[None] + off[..., 1]
 
-    # gathers move 36x Cin values per output pixel — HBM-bandwidth bound —
-    # so keep the gather operand in the model compute dtype (bf16 halves
-    # the bytes); bilinear blend + matmul accumulate in f32 either way
+    # Gather strategy (TPU): gathers are the bottleneck — they move
+    # 4 corners x K taps x Cin values per output pixel and run far below
+    # HBM bandwidth when rows are narrow. Three measures (each measured on
+    # v5e; see git history):
+    #   1. channel-stack the 2x2 pixel neighborhood so ONE gather row
+    #      (4*Cin wide) fetches all four bilinear corners of a tap —
+    #      2.6x faster than four separate corner gathers;
+    #   2. gather in the model compute dtype (bf16 halves the bytes);
+    #   3. chunk taps (TAP_CHUNK) so peak temp memory stays bounded —
+    #      the one-shot all-tap im2col needed >10 GB at LORE's shapes and
+    #      OOMed a 16 GB chip.
+    # Out-of-bounds corners: the quad index wraps modulo H/W and each
+    # corner carries its own in-bounds mask, reproducing the reference's
+    # zero padding exactly (corner (y0+1, x) stays valid when (y0, x) sits
+    # above the image: the wrapped row is the true row 0).
     gdt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
-    flat = x.astype(gdt).reshape(B, H * W, Cin)
+    xg = x.astype(gdt)
+    xq = jnp.concatenate(
+        [xg,
+         jnp.roll(xg, -1, axis=2),                    # (y,   x+1)
+         jnp.roll(xg, -1, axis=1),                    # (y+1, x)
+         jnp.roll(jnp.roll(xg, -1, axis=2), -1, axis=1)],  # (y+1, x+1)
+        axis=-1).reshape(B, H * W, 4 * Cin)
     mask32 = mask.astype(jnp.float32)
     wmat = weight.astype(jnp.float32).reshape(K, Cin, Cout)
 
-    def gather(yy, xx):
-        """Bilinear corner gather for ONE kernel tap: (B,Ho,Wo) coords ->
-        (B,Ho,Wo,Cin) with zeros outside the image."""
-        yi = yy.astype(jnp.int32)
-        xi = xx.astype(jnp.int32)
-        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        idx = (yc * W + xc).reshape(B, Ho * Wo)
-        g = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
-        g = g.astype(jnp.float32)
-        return g.reshape(B, Ho, Wo, Cin) * inb[..., None]
-
-    # Accumulate over kernel taps: one (B,Ho,Wo,Cin) bilinear sample and one
-    # (B*Ho*Wo,Cin)x(Cin,Cout) MXU matmul per tap. Peak temp memory is K x
-    # smaller than materializing the full (B,Ho,Wo,K,Cin) im2col tensor —
-    # at LORE's DLA shapes (256^2 maps, Cin 64-256, batch 8+) the one-shot
-    # im2col needs >10 GB of HLO temps and OOMs a 16 GB chip, while this
-    # loop stays under ~1 GB with identical numerics (taps sum in f32).
+    TAP_CHUNK = 3
     out = jnp.zeros((B * Ho * Wo, Cout), jnp.float32)
-    for k in range(K):
-        syk, sxk = sy[..., k], sx[..., k]
+    for t0 in range(0, K, TAP_CHUNK):
+        t1 = min(t0 + TAP_CHUNK, K)
+        T = t1 - t0
+        syk, sxk = sy[..., t0:t1], sx[..., t0:t1]     # (B, Ho, Wo, T)
         y0 = jnp.floor(syk)
         x0 = jnp.floor(sxk)
         wy = syk - y0
         wx = sxk - x0
-        samp = (gather(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
-                + gather(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
-                + gather(y0 + 1, x0) * (wy * (1 - wx))[..., None]
-                + gather(y0 + 1, x0 + 1) * (wy * wx)[..., None])
-        samp = samp * mask32[..., k:k + 1]
-        out = out + jnp.dot(samp.reshape(B * Ho * Wo, Cin), wmat[k],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        yi = y0.astype(jnp.int32)
+        xi = x0.astype(jnp.int32)
+        base = ((yi % H) * W + (xi % W)).reshape(B, Ho * Wo * T)
+        g = jnp.take_along_axis(xq, base[:, :, None], axis=1)
+        g = g.reshape(B, Ho, Wo, T, 4, Cin)
+        in_y0 = (yi >= 0) & (yi < H)
+        in_y1 = (yi + 1 >= 0) & (yi + 1 < H)
+        in_x0 = (xi >= 0) & (xi < W)
+        in_x1 = (xi + 1 >= 0) & (xi + 1 < W)
+        w4 = jnp.stack(
+            [(1 - wy) * (1 - wx) * (in_y0 & in_x0),
+             (1 - wy) * wx * (in_y0 & in_x1),
+             wy * (1 - wx) * (in_y1 & in_x0),
+             wy * wx * (in_y1 & in_x1)], axis=-1)      # (B, Ho, Wo, T, 4)
+        w4 = w4 * mask32[..., t0:t1, None]
+        for j in range(T):
+            samp = (g[..., j, :, :].astype(jnp.float32)
+                    * w4[..., j, :, None]).sum(axis=-2)  # (B, Ho, Wo, Cin)
+            out = out + jnp.dot(samp.reshape(B * Ho * Wo, Cin),
+                                wmat[t0 + j],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
     out = out.reshape(B, Ho, Wo, Cout)
     if bias is not None:
         out = out + bias.astype(jnp.float32)

@@ -363,11 +363,12 @@ class BatchPipeline:
                                                     pre_resized=True))
                 layout_handles.append(self._layout_enqueue(
                     [images[raster[k]] for k in chunk["indices"]]))
-            # two-stage software pipeline: a single rec worker thread runs
-            # chunk k's recognition (device + tunnel IO, GIL released) while
-            # the main thread does chunk k+1's host DB postprocess + the
-            # batched layout/TSR device programs
+            # three-lane software pipeline: a rec worker runs chunk k's
+            # recognition and a TSR worker runs chunk k's layout+TSR (both
+            # device + tunnel IO, GIL released) while the main thread does
+            # chunk k+1's host DB postprocess
             rec_pool = cf.ThreadPoolExecutor(max_workers=1)
+            tsr_pool = cf.ThreadPoolExecutor(max_workers=1)
             staged = []
             for ci, chunk in enumerate(chunks):
                 shp = chunk["images"].shape
@@ -377,11 +378,11 @@ class BatchPipeline:
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
                 rec_fut = rec_pool.submit(self._recognize_all,
                                           page_imgs, quads)
-                layout_cells, table_results = self._tables_for_chunk(
-                    page_imgs, layout_handles[ci])
-                staged.append((chunk, quads, layout_cells, table_results,
-                               rec_fut))
-            for chunk, quads, layout_cells, table_results, fut in staged:
+                tsr_fut = tsr_pool.submit(self._tables_for_chunk,
+                                          page_imgs, layout_handles[ci])
+                staged.append((chunk, quads, tsr_fut, rec_fut))
+            for chunk, quads, tsr_fut, fut in staged:
+                layout_cells, table_results = tsr_fut.result()
                 texts, scores = fut.result()
                 for k, gi in enumerate(chunk["indices"]):
                     i = raster[gi]
@@ -405,6 +406,7 @@ class BatchPipeline:
                         page_width=float(images[i].shape[1]))
                     results[i] = out
             rec_pool.shutdown(wait=True)
+            tsr_pool.shutdown(wait=True)
 
         dt = time.time() - t_start
         logger.info("batch pipeline: %d pages in %.2fs (%.2f pages/s)",

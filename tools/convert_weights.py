@@ -184,6 +184,14 @@ def _spec(name: str):
         return ("table_structure", "CenterNet", CycleCenterNet(cfg),
                 (1, 1024, 1024, 3), convert_cycle_centernet)
 
+    if name == "lightweight_edge":
+        from pdf_table_tpu.convert.lwe_convert import convert_lightweight_edge
+        from pdf_table_tpu.models.rec_ctc import CTCRecModel
+
+        cfg = get_config("recognition", "LightweightEdge", vocab_size=7644)
+        return ("recognition", "LightweightEdge", CTCRecModel(cfg),
+                (1, 32, 64, 3), convert_lightweight_edge)
+
     if name == "lgpma":
         from pdf_table_tpu.convert.lgpma_convert import convert_lgpma
         from pdf_table_tpu.models.lgpma import LGPMA, LgpmaConfig
