@@ -51,9 +51,71 @@ def default_en_charset(use_space_char: bool = True) -> Charset:
     return Charset(chars, use_space_char)
 
 
+# lang -> dict filename convention (the reference resolves lang-keyed
+# checkpoints whose snapshots ship these files — ocr_table_model_config.py
+# :275-303 + rec_postprocess.py BaseRecLabelDecode:17)
+LANG_DICT_FILES = {
+    "ch": "ppocr_keys_v1.txt",
+    "japan": "japan_dict.txt",
+    "korean": "korean_dict.txt",
+    "chinese_cht": "chinese_cht_dict.txt",
+    "latin": "latin_dict.txt",
+    "arabic": "arabic_dict.txt",
+    "cyrillic": "cyrillic_dict.txt",
+    "devanagari": "devanagari_dict.txt",
+    "ta": "ta_dict.txt",
+    "te": "te_dict.txt",
+    "ka": "ka_dict.txt",
+}
+
+
+def dict_search_dirs() -> List[str]:
+    from ...utils.constants import Constants
+
+    dirs = []
+    env = os.environ.get("PDFTABLE_DICT_DIR", "")
+    if env:
+        dirs.append(env)
+    dirs.append(os.path.join(Constants.MODEL_CACHE_DIR, "dicts"))
+    return dirs
+
+
+def generic_cjk_charset(use_space_char: bool = True) -> Charset:
+    """Codepoint-ordered fallback for Chinese: ASCII + CJK Unified
+    Ideographs (U+4E00..U+9FA5) + common CJK punctuation. NOT the PaddleOCR
+    ppocr_keys_v1 id order — converted ch checkpoints need the real dict
+    file; this charset only supports training from scratch."""
+    chars = list(string.digits) + list(string.ascii_letters) + \
+        list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~") + \
+        [chr(c) for c in range(0x4E00, 0x9FA6)] + \
+        list("，。、；：？！“”"
+             "‘’（）《》【】"
+             "—…·￥")
+    return Charset(chars, use_space_char)
+
+
 def resolve_charset(name_or_path: str, use_space_char: bool = True) -> Charset:
     if name_or_path == "en" or not name_or_path:
         return default_en_charset(use_space_char)
     if os.path.exists(name_or_path):
         return Charset.from_dict_file(name_or_path, use_space_char)
+    if name_or_path in LANG_DICT_FILES:
+        fname = LANG_DICT_FILES[name_or_path]
+        for d in dict_search_dirs():
+            p = os.path.join(d, fname)
+            if os.path.exists(p):
+                return Charset.from_dict_file(p, use_space_char)
+        if name_or_path == "ch":
+            from ...utils.logging_utils import logger
+            logger.warning(
+                "no %s found under %s — using the generic codepoint-ordered "
+                "CJK charset (ids do NOT match converted PaddleOCR ch "
+                "checkpoints; place the checkpoint's dict file in one of "
+                "those directories for correct decoding)",
+                fname, dict_search_dirs())
+            return generic_cjk_charset(use_space_char)
+        raise ValueError(
+            f"charset {name_or_path!r} needs its dict file {fname!r} in one "
+            f"of {dict_search_dirs()} (ship it alongside the converted "
+            f"checkpoint, like the reference's snapshot)")
     raise ValueError(f"unknown charset {name_or_path!r}")

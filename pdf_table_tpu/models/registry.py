@@ -92,25 +92,38 @@ def _db_pp(**kw):
 
 @register("recognition", "PP-OCRv4_rec")
 def _rec_pp(**kw):
+    """lang-keyed like the reference's PP-OCRv4 rows
+    (ocr_table_model_config.py:165-199: ch/en/korean/japan/chinese_cht/
+    latin/arabic/...): the charset comes from the lang's dict file and the
+    vocab sizes follow it."""
+    from .rec_ctc.charset import resolve_charset
     from .rec_ctc.config import RecConfig
+
+    lang = kw.pop("lang", "en")
+    if lang != "en" and "charset_name" not in kw:
+        kw["charset_name"] = lang
+        kw.setdefault("vocab_size", len(resolve_charset(lang)))
     return RecConfig(backbone="svtr_lcnet", **kw)
 
 
 @register("recognition", "CRNN")
 def _rec_crnn(**kw):
     from .rec_ctc.config import RecConfig
+    kw.pop("lang", None)   # ModelScope CRNN ships its own vocab
     return RecConfig.crnn(**kw)
 
 
 @register("recognition", "ConvNextViT")
 def _rec_cnv(**kw):
     from .rec_ctc.config import RecConfig
+    kw.pop("lang", None)   # ModelScope ConvNextViT ships its own vocab
     return RecConfig.convnext_vit(**kw)
 
 
 @register("recognition", "LightweightEdge")
 def _rec_lwe(**kw):
     from .rec_ctc.config import RecConfig
+    kw.pop("lang", None)   # ModelScope LightweightEdge ships its own vocab
     base = dict(backbone="lightweight_edge", img_channels=3, img_height=32,
                 img_width=320)
     base.update(kw)

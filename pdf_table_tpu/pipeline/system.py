@@ -77,6 +77,7 @@ class OcrSystemTask:
         if self._rec is None:
             from ..tasks.recognition import OcrRecognitionTask
             self._rec = OcrRecognitionTask(model=self.config.recognizer_model,
+                                           lang=self.config.lang,
                                            mesh=self.mesh)
         return self._rec
 

@@ -9,6 +9,7 @@ handful of device programs regardless of box count.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -42,8 +43,12 @@ class OcrRecognitionTask(InferTask):
         module = CTCRecModel(cfg)
         sample = np.zeros((1, cfg.img_height, cfg.width_buckets[0],
                            cfg.img_channels), np.float32)
-        variables = load_or_init(module, sample,
-                                 weights_dir("recognition", self.model_name))
+        # lang-keyed weight dirs, reference-style (PP-OCRv4_rec_ch etc.)
+        lang = "" if cfg.charset_name in ("en", "") \
+            or os.path.sep in str(cfg.charset_name) else cfg.charset_name
+        variables = load_or_init(
+            module, sample,
+            weights_dir("recognition", self.model_name, lang))
         # normalization on device: crops upload as uint8
         # (PP rec: x/127.5-1; ConvNextViT: x/255 — processor refs)
         convnext = cfg.backbone == "convnext_vit"

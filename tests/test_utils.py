@@ -78,3 +78,49 @@ class TestFileUtils:
         p = str(tmp_path / "lines.txt")
         FileUtils.write_lines(p, ["a", "b"])
         assert FileUtils.read_lines(p) == ["a", "b"]
+
+
+class TestLangCharsets:
+    """Lang-keyed charset resolution (reference lang rows,
+    ocr_table_model_config.py:275-303 + rec_postprocess.py dict loading)."""
+
+    def test_dict_file_resolution(self, tmp_path, monkeypatch):
+        from pdf_table_tpu.models.rec_ctc.charset import resolve_charset
+
+        d = tmp_path / "dicts"
+        d.mkdir()
+        (d / "japan_dict.txt").write_text("あ\nい\nう\n", encoding="utf-8")
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(d))
+        cs = resolve_charset("japan")
+        assert cs.decode_ids([1, 2, 3]) == "あいう"
+        # blank + 3 chars + space
+        assert len(cs) == 5
+
+    def test_ch_generic_fallback(self, monkeypatch, tmp_path):
+        from pdf_table_tpu.models.rec_ctc.charset import resolve_charset
+
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(tmp_path / "none"))
+        cs = resolve_charset("ch")
+        assert "中" in cs.char_to_id and "表" in cs.char_to_id
+        assert len(cs) > 20000
+
+    def test_unknown_lang_needs_dict(self, monkeypatch, tmp_path):
+        import pytest
+
+        from pdf_table_tpu.models.rec_ctc.charset import resolve_charset
+
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(tmp_path / "none"))
+        with pytest.raises(ValueError):
+            resolve_charset("korean")
+
+    def test_registry_lang_config(self, tmp_path, monkeypatch):
+        from pdf_table_tpu.models.registry import get_config
+
+        d = tmp_path / "dicts"
+        d.mkdir()
+        (d / "korean_dict.txt").write_text(
+            "\n".join(chr(0xAC00 + i) for i in range(50)), encoding="utf-8")
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(d))
+        cfg = get_config("recognition", "PP-OCRv4_rec", lang="korean")
+        assert cfg.charset_name == "korean"
+        assert cfg.vocab_size == 52   # blank + 50 + space
