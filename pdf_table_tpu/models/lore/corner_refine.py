@@ -106,3 +106,60 @@ def refine_vertices_by_corners(
     new_scores = jnp.where((scores >= vis_thresh) & (counts <= 2),
                            scores * 0.4, scores)
     return refined, new_scores
+
+
+def refine_vertices_by_corners_np(dets, scores, gboxes, gcenters, gscores,
+                                  vis_thresh, vis_thresh_corner):
+    """Numpy mirror of :func:`refine_vertices_by_corners` for the host-side
+    wiz_rev path (the in-program refine trips an axon-runtime re-execution
+    bug; its inputs are ~100 KB so host math is effectively free)."""
+    import numpy as np
+
+    B, K, _ = dets.shape
+    M = gboxes.shape[1]
+    bb = dets.reshape(B, K, 4, 2)
+    gb = gboxes.reshape(B, M, 4, 2)
+
+    bmin, bmax = bb.min(2), bb.max(2)
+    gmin, gmax = gb.min(2), gb.max(2)
+    aabb = np.all((bmin[:, :, None] <= gmax[:, None]) &
+                  (gmin[:, None] <= bmax[:, :, None]), axis=-1)
+
+    v0 = bb[:, :, None, None]                      # (B,K,1,1,4,2)
+    v1 = np.roll(bb, -1, axis=2)[:, :, None, None]
+    e = v1 - v0
+    r = gb[:, None][..., None, :] - v0             # (B,K,M,4,4,2)
+    cross = e[..., 0] * r[..., 1] - e[..., 1] * r[..., 0]
+    pin = np.any(np.all(cross > 0, axis=-1) | np.all(cross < 0, axis=-1),
+                 axis=-1)                          # (B,K,M)
+
+    valid = (aabb & pin
+             & (scores >= vis_thresh)[:, :, None]
+             & (gscores >= vis_thresh_corner)[:, None, :])
+
+    d4 = np.sum((bb[:, :, None] - gcenters[:, None, :, None]) ** 2, axis=-1)
+    v_idx = np.argmin(d4, axis=-1)
+    d_star = np.min(d4, axis=-1)
+
+    per_v = (valid[:, :, None, :]
+             & (v_idx[:, :, None, :] == np.arange(4)[None, None, :, None]))
+    INF = np.float32(1e30)
+    dv = np.where(per_v, d_star[:, :, None, :], INF)
+
+    run = np.minimum.accumulate(dv, axis=-1)
+    prev = np.concatenate([np.full_like(run[..., :1], INF),
+                           run[..., :-1]], axis=-1)
+    events = (dv < INF) & (dv <= prev)
+    counts = events.sum(axis=(-1, -2))
+
+    dmin = dv.min(axis=-1)
+    at_min = (dv == dmin[..., None]) & (dv < INF)
+    last_j = np.where(at_min, np.arange(M)[None, None, None], -1).max(-1)
+    any_hit = last_j >= 0
+    new_pos = np.take_along_axis(
+        gcenters, np.maximum(last_j, 0).reshape(B, K * 4)[..., None],
+        axis=1).reshape(B, K, 4, 2)
+    refined = np.where(any_hit[..., None], new_pos, bb).reshape(B, K, 8)
+    new_scores = np.where((scores >= vis_thresh) & (counts <= 2),
+                          scores * 0.4, scores).astype(np.float32)
+    return refined.astype(np.float32), new_scores

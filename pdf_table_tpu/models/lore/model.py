@@ -95,6 +95,47 @@ class LoreModel(nn.Module):
         """Logical-location regressor program (transformer + stacking)."""
         return self.processor(feat, dets=dets, mask=mask)
 
+    def detect_decode(self, pixel_values: jax.Array) -> Dict[str, Any]:
+        """Detector + BOTH channel decodes, NO corner refine: the wiz_rev
+        refine runs on host between this program and :meth:`gather_logical`
+        (the in-program refine trips the axon re-execution bug; its inputs
+        are tiny). ax/cr maps return as device arrays and never download."""
+        cfg = self.config
+        out = self.detector(pixel_values, train=False)
+        hm = jax.nn.sigmoid(out["hm"])
+        dets, scores, _c, centers, inds = decode_boxes_4ps(
+            hm[..., 0:1], out["wh"], out["reg"], cfg.max_objs)
+        gboxes, gscores, _gc, gcenters, _gi = decode_boxes_4ps(
+            hm[..., 1:2], out["st"], out["reg"], cfg.max_corners)
+        B, H, W, _ = hm.shape
+        # two packed downloads (~40 ms of tunnel latency per D2H array);
+        # ax/cr maps stay device-resident
+        cells = jnp.concatenate(
+            [dets, scores[..., None], inds.astype(jnp.float32)[..., None]],
+            axis=-1)                                         # (B, K, 10)
+        corners = jnp.concatenate(
+            [gboxes, gcenters, gscores[..., None]], axis=-1)  # (B, M, 11)
+        return {"cells_packed": cells, "corners_packed": corners,
+                "ax_flat": out["ax"].reshape(B, H * W, -1),
+                "cr_map": out["cr"]}
+
+    def gather_logical(self, ax_flat: jax.Array, cr_map: jax.Array,
+                       dets: jax.Array, inds: jax.Array,
+                       scores: jax.Array):
+        """Feature gathers at (host-refined) dets + the logical regressor,
+        packed into one output array (see tasks/table_structure.py)."""
+        cfg = self.config
+        ax_feat = gather_feat(ax_flat, inds)
+        cr_feat = gather_corner_features(cr_map, dets)
+        logi, stacked = self.processor(ax_feat + cr_feat, dets=dets,
+                                       mask=None)
+        if stacked is None:
+            stacked = logi
+        valid = scores >= cfg.vis_thresh
+        return jnp.concatenate(
+            [dets, scores[..., None], valid.astype(jnp.float32)[..., None],
+             jnp.zeros_like(dets[..., :2]), logi, stacked], axis=-1)
+
     def __call__(self, pixel_values: jax.Array, train: bool = False):
         """pixel_values (B, H, W, 3) normalized. Returns dict with
         dets (B, K, 8) fmap coords, scores (B, K), valid (B, K),

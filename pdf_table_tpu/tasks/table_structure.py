@@ -137,7 +137,53 @@ class OcrTableStructureTask(InferTask):
 
             proc_fn = jax.jit(proc_pack)
 
+            def _norm(u):
+                return (u.astype(jnp.float32)[..., ::-1] / 255.0
+                        - mean) / std
+
+            dd_fn = jax.jit(lambda v, x: module.apply(
+                v, x, method=LoreModel.detect_decode))
+            dd_u8_fn = jax.jit(lambda v, u: module.apply(
+                v, _norm(u), method=LoreModel.detect_decode))
+            gl_fn = jax.jit(lambda v, ax, cr, d, i, s: module.apply(
+                v, ax, cr, d, i, s, method=LoreModel.gather_logical))
+
+            def apply_fn_wiz_rev(variables, batch):
+                # wiz_rev runs the corner refine on HOST between two device
+                # programs: the in-program refine trips an axon-runtime
+                # re-execution bug (first exec OK, later INVALID_ARGUMENT);
+                # its operands are ~100 KB so host math costs nothing and
+                # the big ax/cr maps never leave the device
+                import numpy as np
+
+                from ..models.lore.corner_refine import \
+                    refine_vertices_by_corners_np
+
+                if "image_u8" in batch:
+                    dd = dd_u8_fn(variables, batch["image_u8"])
+                else:
+                    dd = dd_fn(variables, batch["image"])
+                cells = np.asarray(dd["cells_packed"])
+                corners = np.asarray(dd["corners_packed"])
+                dets, scores = cells[..., :8], cells[..., 8]
+                inds = cells[..., 9].astype(np.int32)
+                gboxes, gcenters = corners[..., :8], corners[..., 8:10]
+                gscores = corners[..., 10]
+                dets, scores = refine_vertices_by_corners_np(
+                    dets, scores, gboxes, gcenters, gscores,
+                    cfg.vis_thresh, cfg.vis_thresh_corner)
+                order = np.argsort(-scores, axis=1, kind="stable")
+                dets = np.take_along_axis(dets, order[..., None], axis=1)
+                scores = np.take_along_axis(scores, order, axis=1)
+                inds = np.take_along_axis(inds, order, axis=1)
+                packed = gl_fn(variables, dd["ax_flat"], dd["cr_map"],
+                               jnp.asarray(dets), jnp.asarray(inds),
+                               jnp.asarray(scores))
+                return {"packed": packed}
+
             def apply_fn(variables, batch):
+                if cfg.wiz_rev:
+                    return apply_fn_wiz_rev(variables, batch)
                 if "image_u8" in batch:
                     fo = feat_u8_fn(variables, batch["image_u8"])
                 else:

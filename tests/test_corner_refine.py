@@ -116,3 +116,41 @@ class TestCornerRefine:
         assert out["dets"].shape == (1, 8, 8)
         assert out["scores"].shape == (1, 8)
         assert np.all(np.diff(np.asarray(out["scores"][0])) <= 1e-6)
+
+
+class TestHostRefinePath:
+    """The wiz_rev host-refine path (detect_decode -> numpy refine ->
+    gather_logical) must equal the fused LoreModel.__call__."""
+
+    def test_task_matches_model_call(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.models.lore.model import LoreModel
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         task_type="wtw", wiz_rev=True, max_objs=6,
+                         max_corners=12, hidden_size=32, tsfm_layers=1,
+                         stacking_layers=1, num_heads=2, d_ff=32,
+                         head_conv=16, vis_thresh=0.0)
+        task = OcrTableStructureTask(model="Lore", config=cfg)
+        task.ensure_built()
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        norm = (img[..., ::-1] / 255.0
+                - np.array([0.408, 0.447, 0.470], np.float32)) \
+            / np.array([0.289, 0.274, 0.278], np.float32)
+        raw = task._run_model({"image": norm})
+        packed = np.asarray(raw["packed"])
+        un = task._unpack_lore(packed)
+
+        model = LoreModel(cfg)
+        ref = model.apply(task._params, jnp.asarray(norm), train=False)
+        assert np.allclose(un["dets"], np.asarray(ref["dets"]), atol=1e-4)
+        assert np.allclose(un["scores"], np.asarray(ref["scores"]),
+                           atol=1e-5)
+        assert np.allclose(un["stacked_logi"],
+                           np.asarray(ref["stacked_logi"]), atol=1e-3)
