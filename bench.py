@@ -61,11 +61,10 @@ def bench() -> dict:
     # run at a converted-weight-like load through the honest code path
     bp.system._layout = OcrLayoutTask(model="picodet", task_type="table",
                                       score_threshold=0.05, keep_top_k=2)
-    # LORE wireless config (768^2, no corner refine): the wtw corner-refine
-    # program trips an axon-runtime re-execution bug on this rig (first
-    # exec OK, re-exec INVALID_ARGUMENT; see models/lore/model.py notes) —
-    # wireless is the reference's other first-class LORE config and
-    # re-executes cleanly
+    # TSR: LORE wireless (768^2) — the faster of the two first-class LORE
+    # configs (the system default wtw 1024^2 + host corner refine also
+    # runs on this rig at ~1.6 pages/s; wireless measures the throughput
+    # configuration)
     from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
 
     bp.system._tsr = OcrTableStructureTask(model="Lore",

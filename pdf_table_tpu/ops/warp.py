@@ -100,6 +100,50 @@ def warp_perspective_batch(img: jax.Array, mats: jax.Array,
     return jax.vmap(one)(mats)
 
 
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
+                          mats: jax.Array, widths: jax.Array,
+                          out_hw: Tuple[int, int]) -> jax.Array:
+    """Sample N crops, each from ITS OWN page of a stacked batch.
+
+    pages (P, H, W, C) uint8/float; page_idx (N,) int32; mats (N, 3, 3)
+    dst->src homographies; widths (N,) valid output width per crop (columns
+    beyond it zero out — right padding for width-bucketed recognition).
+    Returns (N, oh, ow, C) float32."""
+    P, H, W, C = pages.shape
+    oh, ow = out_hw
+    ys = jnp.arange(oh, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(ow, dtype=jnp.float32) + 0.5
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    dst = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)   # (oh, ow, 3)
+    flat = pages.astype(jnp.float32).reshape(P * H * W, C)
+
+    def one(mat, pidx, vw):
+        src = jnp.einsum("ij,hwj->hwi", mat, dst)
+        sx = src[..., 0] / jnp.maximum(src[..., 2], 1e-8) - 0.5
+        sy = src[..., 1] / jnp.maximum(src[..., 2], 1e-8) - 0.5
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        wx = sx - x0
+        wy = sy - y0
+        valid = (sx >= -1) & (sx <= W) & (sy >= -1) & (sy <= H) \
+            & (gx - 0.5 < vw)
+        base = pidx * (H * W)
+
+        def g(yy, xx):
+            yy = jnp.clip(yy, 0, H - 1)
+            xx = jnp.clip(xx, 0, W - 1)
+            return jnp.take(flat, base + yy * W + xx, axis=0)
+
+        out = (g(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
+               + g(y0, x0 + 1) * (wx * (1 - wy))[..., None]
+               + g(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
+               + g(y0 + 1, x0 + 1) * (wx * wy)[..., None])
+        return jnp.where(valid[..., None], out, 0.0)
+
+    return jax.vmap(one)(mats, page_idx, widths.astype(jnp.float32))
+
+
 def crop_rotated_boxes(img: np.ndarray, quads: np.ndarray,
                        out_hw: Optional[Tuple[int, int]] = None):
     """Crop text quads out of a page image (reference crop_image,

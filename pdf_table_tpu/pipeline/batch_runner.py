@@ -253,6 +253,131 @@ class BatchPipeline:
             scores[pi][bi] = s
         return texts, scores
 
+    # -- fully-fused device recognition --------------------------------------
+
+    def _get_rec_dev_fn(self, page_shape, bucket: int, nb: int,
+                        use_cls: bool):
+        """One jitted program per (page shape, width bucket, batch bucket):
+        perspective warp of every crop straight out of the resident page
+        stack (both orientations), PULC 0/180 per-crop select, recognition
+        normalize + forward + CTC. No crop bytes cross the tunnel — the
+        reference warps per box on host with cv2 (crop_image,
+        ocr_common_utils.py:214) and classifies per box
+        (ocr_system_task.py:411-424)."""
+        key = ("rec_dev", page_shape, bucket, nb, use_cls)
+        fn = getattr(self, "_rec_dev_jit", None)
+        if fn is None:
+            self._rec_dev_jit = {}
+        fn = self._rec_dev_jit.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.warp import warp_crops_from_pages
+
+        rec = self.system.rec_task
+        cfg = rec.model_config
+        cls_task = self.system.textline_cls_task if use_cls else None
+        oh = cfg.img_height
+        if cls_task is not None:
+            ccfg = cls_task.model_config
+            cmean = jnp.asarray([0.485, 0.456, 0.406])
+            cstd = jnp.asarray([0.229, 0.224, 0.225])
+
+        def run(rec_params, cls_params, pages, mats, fmats, pidx, widths):
+            crops = warp_crops_from_pages(pages, pidx, mats, widths,
+                                          (oh, bucket))
+            if cls_task is not None:
+                flipped = warp_crops_from_pages(pages, pidx, fmats, widths,
+                                                (oh, bucket))
+                ci = jax.image.resize(
+                    crops, (crops.shape[0], ccfg.img_size[0],
+                            ccfg.img_size[1], 3), "bilinear")
+                ci = (ci / 255.0 - cmean) / cstd
+                probs = jnp.asarray(cls_task._apply_fn(
+                    cls_params, {"image": ci.astype(jnp.float32)}))
+                flip = probs[:, 1] > 0.75          # label 1 = 180_degree
+                crops = jnp.where(flip[:, None, None, None], flipped, crops)
+            return rec._apply_fn(rec_params, {"image": crops})
+
+        fn = jax.jit(run)
+        self._rec_dev_jit[key] = fn
+        return fn
+
+    def _recognize_all_device(self, canvases: np.ndarray, quads_per_page):
+        """canvases (P, H, W, 3) uint8 full-res chunk stack; quads in page
+        coords. Returns (texts, scores) per page like _recognize_all."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..engine.infer_task import bucket_batch_size
+        from ..ops.warp import (_homography_from_quad,
+                                order_points_clockwise)
+
+        rec = self.system.rec_task
+        rec.ensure_built()
+        cfg = rec.model_config
+        cls_task = self.system.textline_cls_task
+        if cls_task is not None:
+            cls_task.ensure_built()
+        texts = [[""] * len(q) for q in quads_per_page]
+        scores = [[0.0] * len(q) for q in quads_per_page]
+        crops_meta = []
+        for pi, quads in enumerate(quads_per_page):
+            for bi, q in enumerate(np.asarray(quads,
+                                              np.float32).reshape(-1, 4, 2)):
+                o = order_points_clockwise(q)
+                w = max(float(np.linalg.norm(o[0] - o[1])),
+                        float(np.linalg.norm(o[3] - o[2])), 1.0)
+                h = max(float(np.linalg.norm(o[0] - o[3])),
+                        float(np.linalg.norm(o[1] - o[2])), 1.0)
+                bucket = rec.pre.pick_bucket(int(round(w)), int(round(h)))
+                nw = min(max(int(round(w * cfg.img_height / h)), 1), bucket)
+                crops_meta.append((pi, bi, o, bucket, nw))
+        if not crops_meta:
+            return texts, scores
+        canv_dev = jax.device_put(canvases)
+        P, H, W, _ = canvases.shape
+        groups = {}
+        for ci, meta in enumerate(crops_meta):
+            groups.setdefault(meta[3], []).append(ci)
+        pending = []
+        for b, idxs in sorted(groups.items()):
+            n = len(idxs)
+            nb = bucket_batch_size(n)
+            mats = np.tile(np.eye(3, dtype=np.float32), (nb, 1, 1))
+            fmats = mats.copy()
+            pidx = np.zeros(nb, np.int32)
+            widths = np.ones(nb, np.int32)
+            for k, ci in enumerate(idxs):
+                pi, _bi, o, _b, nw = crops_meta[ci]
+                mats[k] = _homography_from_quad(o, nw, cfg.img_height)
+                fmats[k] = _homography_from_quad(np.roll(o, 2, axis=0), nw,
+                                                 cfg.img_height)
+                pidx[k] = pi
+                widths[k] = nw
+            fn = self._get_rec_dev_fn((P, H, W), b, nb,
+                                      cls_task is not None)
+            out = fn(rec._params,
+                     cls_task._params if cls_task is not None else {},
+                     canv_dev, jnp.asarray(mats), jnp.asarray(fmats),
+                     jnp.asarray(pidx), jnp.asarray(widths))
+            pending.append((idxs, n, out))
+        n_total = len(crops_meta)
+        flat_t = [""] * n_total
+        flat_s = [0.0] * n_total
+        for idxs, n, out in pending:
+            decoded = (np.asarray(out["ids"])[:n],
+                       np.asarray(out["keep"])[:n],
+                       np.asarray(out["conf"])[:n])
+            rec.post(None, np.asarray(idxs, np.int64), n_total,
+                     flat_t, flat_s, decoded=decoded)
+        for ci, (pi, bi, *_rest) in enumerate(crops_meta):
+            texts[pi][bi] = flat_t[ci]
+            scores[pi][bi] = flat_s[ci]
+        return texts, scores
+
     # -- batched layout + TSR ------------------------------------------------
 
     def _layout_enqueue(self, page_imgs: Sequence[np.ndarray]):
@@ -376,8 +501,20 @@ class BatchPipeline:
                 quads = self._det_post(probs_u8, chunk["shapes"],
                                        chunk["bucket"], (shp[1], shp[2]))
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
-                rec_fut = rec_pool.submit(self._recognize_all,
-                                          page_imgs, quads)
+                if self.system.rec_task.model_config.backbone \
+                        != "convnext_vit":
+                    # fused device path: full-res canvases upload once and
+                    # every crop warps/classifies/recognizes on device
+                    bh, bw = chunk["bucket"]
+                    canv = np.zeros((len(page_imgs), bh, bw, 3), np.uint8)
+                    for k, im in enumerate(page_imgs):
+                        canv[k, :min(im.shape[0], bh),
+                             :min(im.shape[1], bw)] = im[:bh, :bw]
+                    rec_fut = rec_pool.submit(self._recognize_all_device,
+                                              canv, quads)
+                else:
+                    rec_fut = rec_pool.submit(self._recognize_all,
+                                              page_imgs, quads)
                 tsr_fut = tsr_pool.submit(self._tables_for_chunk,
                                           page_imgs, layout_handles[ci])
                 staged.append((chunk, quads, tsr_fut, rec_fut))

@@ -283,3 +283,45 @@ class TestVariableCrops:
 
         assert crop_rotated_boxes(np.zeros((10, 10, 3), np.uint8),
                                   np.zeros((0, 4, 2)), None) == []
+
+
+class TestWarpFromPages:
+    def test_matches_single_page_warp(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.ops.warp import (perspective_matrices,
+                                            warp_crops_from_pages,
+                                            warp_perspective_batch)
+
+        rng = np.random.default_rng(0)
+        pages = rng.integers(0, 255, (2, 40, 50, 3)).astype(np.uint8)
+        quads = np.array([[[5, 5], [30, 6], [29, 18], [4, 17]],
+                          [[10, 10], [45, 12], [44, 30], [9, 28]]],
+                         np.float32)
+        out_hw = (16, 48)
+        mats = perspective_matrices(quads, out_hw)
+        ref0 = np.asarray(warp_perspective_batch(
+            jnp.asarray(pages[0]), jnp.asarray(mats[:1]), out_hw))[0]
+        ref1 = np.asarray(warp_perspective_batch(
+            jnp.asarray(pages[1]), jnp.asarray(mats[1:]), out_hw))[0]
+        out = np.asarray(warp_crops_from_pages(
+            jnp.asarray(pages), jnp.asarray([0, 1], np.int32),
+            jnp.asarray(mats), jnp.asarray([48, 48], np.int32), out_hw))
+        assert np.allclose(out[0], ref0, atol=1e-3)
+        assert np.allclose(out[1], ref1, atol=1e-3)
+
+    def test_width_mask_zeroes_padding(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.ops.warp import (perspective_matrices,
+                                            warp_crops_from_pages)
+
+        pages = np.full((1, 30, 30, 3), 200, np.uint8)
+        quads = np.array([[[2, 2], [20, 2], [20, 12], [2, 12]]], np.float32)
+        out_hw = (10, 32)
+        mats = perspective_matrices(quads, (10, 16))
+        out = np.asarray(warp_crops_from_pages(
+            jnp.asarray(pages), jnp.asarray([0], np.int32),
+            jnp.asarray(mats), jnp.asarray([16], np.int32), out_hw))
+        assert out[0, :, :16].mean() > 100        # sampled content
+        assert np.all(out[0, :, 16:] == 0)        # masked padding
