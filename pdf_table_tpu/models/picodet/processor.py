@@ -99,7 +99,9 @@ def device_decode_topk(raw: Dict[str, Any], cfg: PicoDetConfig,
     _, top = jax.lax.top_k(scores.max(-1), k)               # (B, k)
     b = jnp.take_along_axis(boxes, top[..., None], axis=1)
     s = jnp.take_along_axis(scores, top[..., None], axis=1)
-    return b, s
+    # ONE packed array [boxes | scores]: each extra D2H costs a tunnel
+    # round trip
+    return jnp.concatenate([b, s], axis=-1)
 
 
 class PicoDetPostProcessor:

@@ -368,11 +368,10 @@ class BatchPipeline:
         flat_t = [""] * n_total
         flat_s = [0.0] * n_total
         for idxs, n, out in pending:
-            decoded = (np.asarray(out["ids"])[:n],
-                       np.asarray(out["keep"])[:n],
-                       np.asarray(out["conf"])[:n])
+            from ..tasks.recognition import unpack_rec
             rec.post(None, np.asarray(idxs, np.int64), n_total,
-                     flat_t, flat_s, decoded=decoded)
+                     flat_t, flat_s,
+                     decoded=unpack_rec(out["rec_packed"], n))
         for ci, (pi, bi, *_rest) in enumerate(crops_meta):
             texts[pi][bi] = flat_t[ci]
             scores[pi][bi] = flat_s[ci]

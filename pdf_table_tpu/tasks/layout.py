@@ -125,7 +125,8 @@ class OcrLayoutTask(InferTask):
         [layout_cells] per page."""
         if self.model_name == "DocXLayout":
             return [self(img)["layout_cells"] for img in metas]
-        boxes, scores = (np.asarray(v) for v in handle)
+        packed = np.asarray(handle)
+        boxes, scores = packed[..., :4], packed[..., 4:]
         out = []
         for i, meta in enumerate(metas):
             result = self.post.from_candidates(boxes[i], scores[i],

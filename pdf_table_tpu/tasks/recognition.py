@@ -22,6 +22,14 @@ from ..models.rec_ctc import (Charset, CTCRecModel, RecConfig,
 from ..models.registry import get_config, weights_dir
 
 
+def unpack_rec(packed, real_n: int):
+    """[ids | keep | conf*1e6] int32 -> (ids, keep, conf) for real_n rows."""
+    arr = np.asarray(packed)[:real_n]
+    T = (arr.shape[1] - 1) // 2
+    return (arr[:, :T], arr[:, T:2 * T].astype(bool),
+            arr[:, -1].astype(np.float32) / 1e6)
+
+
 class OcrRecognitionTask(InferTask):
     task_name = "recognition"
 
@@ -67,10 +75,14 @@ class OcrRecognitionTask(InferTask):
                 # before CTC collapse — return raw
                 return {"logits": logits}
             # fuse CTC greedy decode into the forward: ONE device program,
-            # and the downlink shrinks from (B,T,V) logit chatter to
-            # (B,T) ids + masks (tunnel-aware IO)
+            # and the downlink shrinks to a single packed int32 array
+            # [ids | keep | conf*1e6] — each extra D2H array costs a
+            # ~40 ms tunnel round trip
             ids, keep, conf = ctc_greedy_decode(logits, blank_id=blank_id)
-            return {"ids": ids, "keep": keep, "conf": conf}
+            packed = jnp.concatenate(
+                [ids.astype(jnp.int32), keep.astype(jnp.int32),
+                 jnp.round(conf * 1e6).astype(jnp.int32)[:, None]], axis=1)
+            return {"rec_packed": packed}
 
         return apply_fn, variables
 
@@ -101,9 +113,8 @@ class OcrRecognitionTask(InferTask):
                 results.append({"logits": logits,
                                 "indices": group["indices"]})
             else:
-                results.append({"decoded": (out["ids"][:real_n],
-                                            out["keep"][:real_n],
-                                            out["conf"][:real_n]),
+                results.append({"decoded": unpack_rec(out["rec_packed"],
+                                                      real_n),
                                 "indices": group["indices"]})
         return results
 
