@@ -45,33 +45,17 @@ def _assign_cba(tree: Dict, stats: Dict, prefix: list, src, tname: str,
                          f"{tname}.act")
 
 
-def convert_lightweight_edge(src: TorchTensorSource,
-                             variables: Dict[str, Any]) -> ConversionReport:
-    """Mutates ``variables`` in place; returns the per-layer report."""
-    rep = ConversionReport()
-    params = variables["params"]["backbone"]
-    stats = variables.get("batch_stats", {}).get("backbone", {})
-
-    # first_conv: Sequential indices 0/1/2
-    t = "our_nas_model.first_conv"
-    rep.check_assign(params, ["first_conv", "conv", "kernel"],
-                     convert_conv(src.get(f"{t}.0.weight")), f"{t}.0")
-    rep.check_assign(params, ["first_conv", "bn", "scale"],
-                     src.get(f"{t}.1.weight"), f"{t}.1")
-    rep.check_assign(params, ["first_conv", "bn", "bias"],
-                     src.get(f"{t}.1.bias"), f"{t}.1")
-    rep.check_assign(stats, ["first_conv", "bn", "mean"],
-                     src.get(f"{t}.1.running_mean"), f"{t}.1")
-    rep.check_assign(stats, ["first_conv", "bn", "var"],
-                     src.get(f"{t}.1.running_var"), f"{t}.1")
-    rep.check_assign(params, ["first_conv", "act", "negative_slope"],
-                     src.get(f"{t}.2.weight").reshape(()), f"{t}.2")
-
-    for i, spec in enumerate(LWE_PLAN):
+def convert_nas_blocks(src: TorchTensorSource, params: Dict, stats: Dict,
+                       plan, torch_prefix: str,
+                       rep: ConversionReport) -> None:
+    """Walk a proxyless-searched block plan (LWE_PLAN / DBNAS_PLAN layout)
+    mapping ``{torch_prefix}.{i}.mobile_inverted_conv.*`` onto
+    ``block{i}`` flax subtrees."""
+    for i, spec in enumerate(plan):
         kind = spec[0]
         if kind == "zero":
             continue
-        t = f"our_nas_model.blocks.{i}.mobile_inverted_conv"
+        t = f"{torch_prefix}.{i}.mobile_inverted_conv"
         f = f"block{i}"
         if kind == "se":
             for fc in ("fc1", "fc2"):
@@ -118,6 +102,32 @@ def convert_lightweight_edge(src: TorchTensorSource,
                              f"{t}.act")
             _assign_cba(params, stats, [f, "point_conv"], src,
                         f"{t}.point_conv", rep, act=False)
+
+
+def convert_lightweight_edge(src: TorchTensorSource,
+                             variables: Dict[str, Any]) -> ConversionReport:
+    """Mutates ``variables`` in place; returns the per-layer report."""
+    rep = ConversionReport()
+    params = variables["params"]["backbone"]
+    stats = variables.get("batch_stats", {}).get("backbone", {})
+
+    # first_conv: Sequential indices 0/1/2
+    t = "our_nas_model.first_conv"
+    rep.check_assign(params, ["first_conv", "conv", "kernel"],
+                     convert_conv(src.get(f"{t}.0.weight")), f"{t}.0")
+    rep.check_assign(params, ["first_conv", "bn", "scale"],
+                     src.get(f"{t}.1.weight"), f"{t}.1")
+    rep.check_assign(params, ["first_conv", "bn", "bias"],
+                     src.get(f"{t}.1.bias"), f"{t}.1")
+    rep.check_assign(stats, ["first_conv", "bn", "mean"],
+                     src.get(f"{t}.1.running_mean"), f"{t}.1")
+    rep.check_assign(stats, ["first_conv", "bn", "var"],
+                     src.get(f"{t}.1.running_var"), f"{t}.1")
+    rep.check_assign(params, ["first_conv", "act", "negative_slope"],
+                     src.get(f"{t}.2.weight").reshape(()), f"{t}.2")
+
+    convert_nas_blocks(src, params, stats, LWE_PLAN,
+                       "our_nas_model.blocks", rep)
 
     # head -> ctc_head
     rep.check_assign(variables["params"], ["ctc_head", "kernel"],

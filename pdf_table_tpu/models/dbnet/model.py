@@ -77,34 +77,208 @@ class MobileNetV3Det(nn.Module):
         return tuple(feats)  # C2..C5
 
 
+# The searched CompactDetBackbone plan (reference db_net/proxyless.py:113-131
+# conv_op_ids decoded against its 20-op candidate list; SE slots carry an
+# Identity shortcut there, i.e. x + SE(x)). Entries:
+# (kind, kernels, expand, stride, out, residual)
+DBNAS_PLAN = (
+    ("rep", ((3, 3), (5, 5)), 2, (2, 2), 32, False),          # 35_RepConv2
+    ("rep", ((1, 1), (3, 3), (5, 5)), 2, (1, 1), 32, True),   # 135_RepConv2
+    ("rep", ((1, 1), (3, 3), (5, 5)), 2, (1, 1), 32, True),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 2, (1, 1), 32, True),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 2, (1, 1), 32, True),
+    ("se", 2),                                                # SE_2
+    ("rep", ((3, 3), (5, 5)), 4, (2, 2), 64, False),          # 35_RepConv4
+    ("rep", ((3, 3), (5, 5)), 4, (1, 1), 64, True),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 64, True),   # 135_RepConv4
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 64, True),
+    ("rep", ((3, 3), (5, 5)), 4, (1, 1), 64, True),
+    ("se", 8),                                                # SE_8
+    ("rep", ((3, 3), (5, 5)), 4, (2, 2), 96, False),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 96, True),
+    ("rep", ((3, 3), (5, 5)), 4, (1, 1), 96, True),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 96, True),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 96, True),
+    ("se", 8),
+    ("mb",  ((5, 5),), 4, (2, 2), 128, False),                # 5x5_MBConv4
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 128, True),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 128, True),
+    ("rep", ((1, 1), (3, 3), (5, 5)), 4, (1, 1), 128, True),
+    ("rep", ((3, 3), (5, 5)), 4, (1, 1), 128, True),
+    ("se", 8),
+)
+
+
 class CompactNasBackbone(nn.Module):
-    """Compact mobile det backbone with NAS-style mixed-kernel inverted
-    residuals, width stages (32, 64, 96, 128) (reference DBNasModel ->
-    CompactDetBackbone, db_net/dbnet.py:693-713 + proxyless.py:90; the
-    searched cell choices are re-expressed as a fixed stage list)."""
+    """The reference's searched proxyless det backbone, rebuilt exactly
+    (DBNasModel -> CompactDetBackbone, db_net/dbnet.py:693-713 +
+    proxyless.py:90-131): 3x3/2 ReLU stem to 32ch, then the DBNAS_PLAN
+    block sequence; feature taps after each stage's SE slot (blocks 5, 11,
+    17, 23 -> strides 4, 8, 16, 32)."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..nas_layers import NasMBConv, NasMixConv, NasRepConv, NasSE
+
         d = self.dtype
-        x = ConvBNAct(32, (3, 3), (2, 2), act="relu6", dtype=d,
-                      name="stem")(x, train)
+        x = ConvBNAct(32, (3, 3), (2, 2), act="relu", dtype=d,
+                      name="first_conv")(x, train)
         feats = []
-        stages = [  # (out, blocks as (expand, kernel))
-            (32, [(3, 3), (3, 5)]),
-            (64, [(6, 5), (3, 3)]),
-            (96, [(6, 5), (3, 5)]),
-            (128, [(6, 7), (6, 5)]),
-        ]
-        for si, (c, blocks) in enumerate(stages):
-            for bi, (e, k) in enumerate(blocks):
-                stride = (2, 2) if bi == 0 else (1, 1)
-                x = InvertedResidual(c, c * e, (k, k), stride,
-                                     act="relu6", dtype=d,
-                                     name=f"s{si}_b{bi}")(x, train)
-            feats.append(x)
+        for i, spec in enumerate(DBNAS_PLAN):
+            kind = spec[0]
+            name = f"block{i}"
+            if kind == "se":
+                # det SE slots carry an Identity shortcut (proxyless.py:162)
+                x = x + NasSE(spec[1], dtype=d, name=name)(x)
+                feats.append(x)
+                continue
+            kind, kernels, expand, stride, out, residual = spec
+            if kind == "mb":
+                y = NasMBConv(out, kernels[0], expand, stride, dtype=d,
+                              name=name)(x, train)
+            elif kind == "mix":
+                y = NasMixConv(out, kernels, expand, stride, dtype=d,
+                               name=name)(x, train)
+            else:
+                y = NasRepConv(out, kernels, expand, stride, dtype=d,
+                               name=name)(x, train)
+            x = x + y if residual else y
         return tuple(feats)  # strides 4, 8, 16, 32
+
+
+class DwPwConv(nn.Module):
+    """depthwise k + bn + relu + pointwise 1x1 (reference DwPwConv,
+    db_net/dbnet.py:35-72)."""
+
+    features: int
+    kernel: int
+    bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        p = self.kernel // 2
+        y = nn.Conv(c, (self.kernel, self.kernel),
+                    padding=((p, p), (p, p)), feature_group_count=c,
+                    use_bias=self.bias, dtype=self.dtype, name="depthwise")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(y)
+        y = jax.nn.relu(y)
+        return nn.Conv(self.features, (1, 1), use_bias=self.bias,
+                       dtype=self.dtype, name="pointwise")(y)
+
+
+class DwPwConvTranspose(nn.Module):
+    """per-channel 2x2/2 transposed conv + bn + relu + pointwise
+    (reference DwPwConvTranspose, dbnet.py:75-99). The grouped deconv with
+    k = s = 2 is exactly 'each input pixel expands to a 2x2 block weighted
+    by its channel kernel', expressed as a broadcast-multiply."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        w = self.param("depthwise_kernel", nn.initializers.he_normal(),
+                       (2, 2, C))
+        b = self.param("depthwise_bias", nn.initializers.zeros, (C,))
+        y = (x[:, :, None, :, None, :]
+             * w.astype(x.dtype)[None, None, :, None, :, :])
+        y = y.reshape(B, H * 2, W * 2, C) + b.astype(x.dtype)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(y)
+        y = jax.nn.relu(y)
+        return nn.Conv(self.features, (1, 1), use_bias=True,
+                       dtype=self.dtype, name="pointwise")(y)
+
+
+class LightSegHead(nn.Module):
+    """LightSegDetector binarize head (dbnet.py:376-386): DwPwConv k5 ->
+    BN relu -> DwPwConvTranspose -> BN relu -> DwPwConvTranspose ->
+    sigmoid."""
+
+    inner: int
+    dw_kernel: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        q = self.inner // 4
+        d = self.dtype
+
+        def bn(t, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                dtype=d, name=name)(t)
+
+        x = DwPwConv(q, self.dw_kernel, dtype=d, name="dwpw")(x, train)
+        x = jax.nn.relu(bn(x, "bn_a"))
+        x = DwPwConvTranspose(q, dtype=d, name="up1")(x, train)
+        x = jax.nn.relu(bn(x, "bn_b"))
+        x = DwPwConvTranspose(1, dtype=d, name="up2")(x, train)
+        return jax.nn.sigmoid(x.astype(jnp.float32))[..., 0]
+
+
+class LightThreshHead(nn.Module):
+    """LightSegDetector adaptive thresh head (_init_thresh, dbnet.py:403):
+    plain conv k5 -> BN relu -> deconv2x -> BN relu -> deconv2x ->
+    sigmoid."""
+
+    inner: int
+    dw_kernel: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        q = self.inner // 4
+        d = self.dtype
+        p = self.dw_kernel // 2
+        x = nn.Conv(q, (self.dw_kernel, self.dw_kernel),
+                    padding=((p, p), (p, p)), use_bias=False, dtype=d,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=d, name="bn_a")(x)
+        x = jax.nn.relu(x)
+        x = nn.ConvTranspose(q, (2, 2), strides=(2, 2), dtype=d,
+                             name="up1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=d, name="bn_b")(x)
+        x = jax.nn.relu(x)
+        x = nn.ConvTranspose(1, (2, 2), strides=(2, 2), dtype=d,
+                             name="up2")(x)
+        return jax.nn.sigmoid(x.astype(jnp.float32))[..., 0]
+
+
+class LightSegFuse(nn.Module):
+    """LightSegDetector fusion (dbnet.py:366-373 + forward): per-level 1x1
+    laterals, nearest-upsample to stride 4, SUM (not concat)."""
+
+    inner: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        c2, c3, c4, c5 = feats
+        d = self.dtype
+
+        def up(t, r):
+            b, h, w, c = t.shape
+            t = jnp.broadcast_to(t[:, :, None, :, None, :],
+                                 (b, h, r, w, r, c))
+            return t.reshape(b, h * r, w * r, c)
+
+        p5 = up(nn.Conv(self.inner, (1, 1), use_bias=False, dtype=d,
+                        name="in5")(c5), 8)
+        p4 = up(nn.Conv(self.inner, (1, 1), use_bias=False, dtype=d,
+                        name="in4")(c4), 4)
+        p3 = up(nn.Conv(self.inner, (1, 1), use_bias=False, dtype=d,
+                        name="in3")(c3), 2)
+        p2 = nn.Conv(self.inner, (1, 1), use_bias=False, dtype=d,
+                     name="in2")(c2)
+        return p5 + p4 + p3 + p2
 
 
 class RSELayer(nn.Module):
@@ -194,9 +368,21 @@ class DBNet(nn.Module):
             fused = RSEFPN(cfg.inner_channels, dtype=dtype,
                            name="neck")(feats, train)
         elif cfg.backbone == "proxylessnas":
+            # DBNasModel: searched backbone + LightSegDetector sum-fusion
+            # decoder with depthwise-separable heads (dbnet.py:693-713)
             feats = CompactNasBackbone(dtype=dtype, name="backbone")(x, train)
-            fused = FPN(cfg.inner_channels, dtype=dtype,
-                        name="neck")(feats, train)
+            fused = LightSegFuse(cfg.inner_channels, dtype=dtype,
+                                 name="neck")(feats)
+            prob = LightSegHead(cfg.inner_channels, dtype=dtype,
+                                name="binarize")(fused, train)
+            out = {"prob": prob.astype(jnp.float32)}
+            if train:
+                thr = LightThreshHead(cfg.inner_channels, dtype=dtype,
+                                      name="thresh")(fused, train)
+                out["thresh"] = thr.astype(jnp.float32)
+                out["binary"] = jax.nn.sigmoid(
+                    cfg.k * (out["prob"] - out["thresh"]))
+            return out
         else:
             raise ValueError(f"unknown backbone {cfg.backbone}")
 

@@ -59,6 +59,14 @@ def _spec(name: str):
         return ("detection", name, DBNet(cfg), (1, 64, 64, 3),
                 lambda s, v: convert_dbnet(s, v, depth=int(name[-2:])))
 
+    if name == "db_proxylessnas":
+        from pdf_table_tpu.convert.dbnas_convert import convert_dbnas
+        from pdf_table_tpu.models.dbnet import DBNet
+
+        cfg = get_config("detection", "db_proxylessnas")
+        return ("detection", "db_proxylessnas", DBNet(cfg), (1, 64, 64, 3),
+                convert_dbnas)
+
     if name == "pp_det":
         from pdf_table_tpu.convert.db_pp_convert import convert_db_pp
         from pdf_table_tpu.models.dbnet import DBNet
