@@ -196,3 +196,82 @@ class TestMeshBatchDetection:
         assert len(results) == 5
         for r in results:
             assert r.page_html is not None
+
+
+class TestMeshRecSweep:
+    def test_dp_sharded_batched_rec(self, cpu_mesh):
+        """The pooled recognition sweep runs with a dp mesh attached
+        (params replicate; crop batches flow through the bucketed
+        programs)."""
+        import numpy as np
+
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+
+        rec = OcrRecognitionTask(config=RecConfig(width_buckets=(80,)),
+                                 mesh=cpu_mesh)
+        rng = np.random.default_rng(0)
+        crops = [rng.integers(0, 255, (20, 60 + 5 * i, 3), np.uint8)
+                 for i in range(5)]
+        out = rec(crops)
+        assert len(out["texts"]) == 5
+        assert len(out["scores"]) == 5
+
+
+class TestMeshTpTrainAxis:
+    def test_dp_tp_train_step_shards_wide_kernels(self):
+        """dp x tp mesh: wide kernels shard over tp, the step runs, and the
+        sharded parameters really live distributed (the axis the round-1
+        driver dryrun exercised, kept as an in-suite regression)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+        from jax.sharding import Mesh
+
+        from pdf_table_tpu.train.train_step import (TrainState,
+                                                    make_param_shardings,
+                                                    make_train_step,
+                                                    shard_state)
+
+        devices = np.array(jax.devices("cpu")[:8]).reshape(4, 2)
+        mesh = Mesh(devices, axis_names=("dp", "tp"))
+
+        import flax.linen as nn
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=True):
+                h = nn.Dense(512, name="wide")(x)   # sharded over tp
+                h = jax.nn.relu(h)
+                return nn.Dense(4, name="head")(h)
+
+        model = Toy()
+        x0 = np.zeros((8, 16), np.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0)
+        tx = optax.sgd(0.1)
+        state = TrainState.create(variables, tx)
+
+        shardings = make_param_shardings(mesh, state.params,
+                                         min_shard_dim=256)
+        wide_spec = shardings["wide"]["kernel"].spec
+        assert "tp" in str(wide_spec), wide_spec
+
+        with mesh:
+            state = shard_state(state, mesh, min_shard_dim=256)
+
+            def apply_fn(vars_, batch):
+                return model.apply(vars_, batch["x"]), {}
+
+            def loss_fn(outputs, batch):
+                return {"loss": jnp.mean((outputs - batch["y"]) ** 2)}
+
+            step = make_train_step(apply_fn, loss_fn, tx, mesh=mesh,
+                                   donate=False)
+            batch = {"x": np.ones((8, 16), np.float32),
+                     "y": np.zeros((8, 4), np.float32)}
+            state2, metrics = step(state, batch)
+            assert np.isfinite(float(metrics["loss"]))
+            # the wide kernel's value is sharded across devices
+            k = state2.params["wide"]["kernel"]
+            assert len(k.sharding.device_set) > 1
