@@ -116,7 +116,18 @@ def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
     xs = jnp.arange(ow, dtype=jnp.float32) + 0.5
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     dst = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)   # (oh, ow, 3)
-    flat = pages.astype(jnp.float32).reshape(P * H * W, C)
+    # channel-stack the 2x2 pixel neighborhood so ONE gather row (4C wide)
+    # fetches all four bilinear corners — with C=3 pages the naive
+    # per-corner gather moves 12-byte rows and runs far below HBM speed
+    # (same trick as ops/deform_conv.py). Indices wrap modulo H/W; the
+    # out-of-range corners die to the validity mask.
+    pg = pages.astype(jnp.bfloat16)
+    pq = jnp.concatenate(
+        [pg,
+         jnp.roll(pg, -1, axis=2),
+         jnp.roll(pg, -1, axis=1),
+         jnp.roll(jnp.roll(pg, -1, axis=2), -1, axis=1)],
+        axis=-1).reshape(P * H * W, 4 * C)
 
     def one(mat, pidx, vw):
         src = jnp.einsum("ij,hwj->hwi", mat, dst)
@@ -129,16 +140,19 @@ def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
         valid = (sx >= -1) & (sx <= W) & (sy >= -1) & (sy <= H) \
             & (gx - 0.5 < vw)
         base = pidx * (H * W)
-
-        def g(yy, xx):
-            yy = jnp.clip(yy, 0, H - 1)
-            xx = jnp.clip(xx, 0, W - 1)
-            return jnp.take(flat, base + yy * W + xx, axis=0)
-
-        out = (g(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
-               + g(y0, x0 + 1) * (wx * (1 - wy))[..., None]
-               + g(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
-               + g(y0 + 1, x0 + 1) * (wx * wy)[..., None])
+        idx = base + (y0 % H) * W + (x0 % W)
+        g = jnp.take(pq, idx.reshape(-1), axis=0).astype(jnp.float32)
+        g = g.reshape(oh, ow, 4, C)
+        in_y0 = (y0 >= 0) & (y0 < H)
+        in_y1 = (y0 + 1 >= 0) & (y0 + 1 < H)
+        in_x0 = (x0 >= 0) & (x0 < W)
+        in_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
+        w4 = jnp.stack(
+            [(1 - wx) * (1 - wy) * (in_y0 & in_x0),
+             wx * (1 - wy) * (in_y0 & in_x1),
+             (1 - wx) * wy * (in_y1 & in_x0),
+             wx * wy * (in_y1 & in_x1)], axis=-1)        # (oh, ow, 4)
+        out = (g * w4[..., None]).sum(axis=-2)
         return jnp.where(valid[..., None], out, 0.0)
 
     return jax.vmap(one)(mats, page_idx, widths.astype(jnp.float32))

@@ -89,11 +89,18 @@ class BatchPipeline:
     system task stages."""
 
     def __init__(self, config: Optional[OcrSystemConfig] = None, mesh=None,
-                 batch_pages: int = 8, half_res_probs: bool = True):
+                 batch_pages: int = 8, half_res_probs: bool = True,
+                 device_crops: Optional[bool] = None):
         self.system = OcrSystemTask(config or OcrSystemConfig(), mesh=mesh)
         self.mesh = mesh
         self.batch_pages = batch_pages
         self.half_res_probs = half_res_probs
+        # None = auto: the fused on-device warp+cls+rec program wins when
+        # the textline classifier is on (it folds the whole per-crop
+        # pipeline into one program); with cls off, the measured tunnel
+        # round-trip cost makes the host cv2 warp slightly faster on the
+        # remote rig. A local chip should pass True.
+        self.device_crops = device_crops
 
     # -- batched detection ---------------------------------------------------
 
@@ -500,7 +507,10 @@ class BatchPipeline:
                 quads = self._det_post(probs_u8, chunk["shapes"],
                                        chunk["bucket"], (shp[1], shp[2]))
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
-                if self.system.rec_task.model_config.backbone \
+                use_dev = self.device_crops
+                if use_dev is None:
+                    use_dev = self.system.config.use_textline_cls
+                if use_dev and self.system.rec_task.model_config.backbone \
                         != "convnext_vit":
                     # fused device path: full-res canvases upload once and
                     # every crop warps/classifies/recognizes on device
