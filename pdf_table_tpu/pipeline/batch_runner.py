@@ -412,10 +412,17 @@ class BatchPipeline:
         tsr = self.system.tsr_task if self.system.config.use_table else None
         if tsr is None:
             return cells_per_page, table_results
+        from .system import filter_figure_tables
+
         crops, owners = [], []
         for pi, (img, cells) in enumerate(zip(page_imgs, cells_per_page)):
+            tbs = filter_figure_tables(
+                cells, [c.bbox for c in cells
+                        if c.cell_type == HtmlContentType.TABLE])
+            kept = {tuple(b) for b in tbs}
             for c in cells:
-                if c.cell_type != HtmlContentType.TABLE:
+                if c.cell_type != HtmlContentType.TABLE \
+                        or tuple(c.bbox) not in kept:
                     continue
                 x1, y1, x2, y2 = [int(round(v)) for v in c.bbox]
                 x1, y1 = max(0, x1), max(0, y1)

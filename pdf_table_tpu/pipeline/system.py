@@ -47,6 +47,26 @@ class OcrSystemConfig:
     output_dir: str = ""
 
 
+def filter_figure_tables(layout_cells, table_bboxes,
+                         score_threshold: float = 0.8):
+    """Drop table regions that sit inside a confident 'figure' layout
+    detection — pictures misdetected as tables (reference
+    filter_layout_figure, table_common.py:1261, applied at
+    ocr_table_to_html_task.py:110-129)."""
+    figures = [c for c in layout_cells
+               if getattr(c, "label", "") == "figure"
+               and c.score >= score_threshold]
+    if not figures:
+        return list(table_bboxes)
+
+    def inside(tb, fb, diff=2.0):
+        return (fb[0] - diff <= tb[0] and fb[1] - diff <= tb[1]
+                and tb[2] <= fb[2] + diff and tb[3] <= fb[3] + diff)
+
+    return [tb for tb in table_bboxes
+            if not any(inside(tb, f.bbox) for f in figures)]
+
+
 class OcrSystemTask:
     """Per-page engine. Call with a raster image (HWC uint8 RGB) and/or a
     pdfio PdfPage; returns OcrSystemModelOutput."""
@@ -265,8 +285,9 @@ class OcrSystemTask:
         out.layout_cells = layout_cells
         metric["layout"] = time.time() - t0
 
-        table_bboxes = [c.bbox for c in layout_cells
-                        if c.cell_type == HtmlContentType.TABLE]
+        table_bboxes = filter_figure_tables(
+            layout_cells, [c.bbox for c in layout_cells
+                           if c.cell_type == HtmlContentType.TABLE])
 
         # table structure per table region
         t0 = time.time()

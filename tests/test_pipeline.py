@@ -371,3 +371,29 @@ class TestTextlineOrientation:
         assert deg == 90
         assert out_img.shape[:2] == (100, 120)
         assert len(calls) == 2
+
+
+class TestFigureTableFilter:
+    """filter_layout_figure parity (table_common.py:1261): a table region
+    inside a confident figure detection is dropped."""
+
+    def test_table_inside_figure_dropped(self):
+        from pdf_table_tpu.entity.enums import HtmlContentType
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.pipeline.system import filter_figure_tables
+
+        fig = OcrCell.from_bbox([10, 10, 200, 150], text="figure", score=0.9)
+        fig.label = "figure"
+        t_in = [20, 20, 180, 140]      # inside the figure
+        t_out = [10, 200, 180, 300]    # elsewhere
+        kept = filter_figure_tables([fig], [t_in, t_out])
+        assert kept == [t_out]
+
+    def test_low_confidence_figure_keeps_table(self):
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.pipeline.system import filter_figure_tables
+
+        fig = OcrCell.from_bbox([10, 10, 200, 150], text="figure", score=0.5)
+        fig.label = "figure"
+        t_in = [20, 20, 180, 140]
+        assert filter_figure_tables([fig], [t_in]) == [t_in]
