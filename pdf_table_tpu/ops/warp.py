@@ -103,12 +103,15 @@ def warp_perspective_batch(img: jax.Array, mats: jax.Array,
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
                           mats: jax.Array, widths: jax.Array,
-                          out_hw: Tuple[int, int]) -> jax.Array:
+                          out_hw: Tuple[int, int],
+                          heights: Optional[jax.Array] = None) -> jax.Array:
     """Sample N crops, each from ITS OWN page of a stacked batch.
 
     pages (P, H, W, C) uint8/float; page_idx (N,) int32; mats (N, 3, 3)
     dst->src homographies; widths (N,) valid output width per crop (columns
-    beyond it zero out — right padding for width-bucketed recognition).
+    beyond it zero out — right padding for width-bucketed recognition);
+    heights (N,) optional valid output height (rows beyond it zero out,
+    matching a crop-then-warp that pads with black).
     Returns (N, oh, ow, C) float32."""
     P, H, W, C = pages.shape
     oh, ow = out_hw
@@ -129,7 +132,10 @@ def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
          jnp.roll(jnp.roll(pg, -1, axis=2), -1, axis=1)],
         axis=-1).reshape(P * H * W, 4 * C)
 
-    def one(mat, pidx, vw):
+    if heights is None:
+        heights = jnp.full_like(widths, oh)
+
+    def one(mat, pidx, vw, vh):
         src = jnp.einsum("ij,hwj->hwi", mat, dst)
         sx = src[..., 0] / jnp.maximum(src[..., 2], 1e-8) - 0.5
         sy = src[..., 1] / jnp.maximum(src[..., 2], 1e-8) - 0.5
@@ -138,7 +144,7 @@ def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
         wx = sx - x0
         wy = sy - y0
         valid = (sx >= -1) & (sx <= W) & (sy >= -1) & (sy <= H) \
-            & (gx - 0.5 < vw)
+            & (gx - 0.5 < vw) & (gy - 0.5 < vh)
         base = pidx * (H * W)
         idx = base + (y0 % H) * W + (x0 % W)
         g = jnp.take(pq, idx.reshape(-1), axis=0).astype(jnp.float32)
@@ -155,7 +161,8 @@ def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
         out = (g * w4[..., None]).sum(axis=-2)
         return jnp.where(valid[..., None], out, 0.0)
 
-    return jax.vmap(one)(mats, page_idx, widths.astype(jnp.float32))
+    return jax.vmap(one)(mats, page_idx, widths.astype(jnp.float32),
+                         heights.astype(jnp.float32))
 
 
 def crop_rotated_boxes(img: np.ndarray, quads: np.ndarray,

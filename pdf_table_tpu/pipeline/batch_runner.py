@@ -386,24 +386,15 @@ class BatchPipeline:
 
     # -- batched layout + TSR ------------------------------------------------
 
-    def _layout_enqueue(self, page_imgs: Sequence[np.ndarray]):
-        """One PicoDet forward for the chunk's pages (async handle)."""
-        if not self.system.config.use_layout:
-            return None
-        task = self.system.layout_task
-        if task is None:
-            return None
-        return task.batch_enqueue(page_imgs)
-
-    def _tables_for_chunk(self, page_imgs: Sequence[np.ndarray],
-                          layout_handle):
-        """Finish layout, then run ONE TSR forward over every table crop of
-        the chunk (the reference loops per page and per crop,
-        ocr_system_task.py:168-226). Returns (layout_cells, table_results)
-        per page; table_results entries are (bbox, tsr_result)."""
+    def _tables_for_chunk(self, canv_dev, page_shapes, layout_handle):
+        """Finish layout, then run TSR over every table crop of the chunk
+        sampled straight from the device-resident canvases (the reference
+        loops per page and per crop, ocr_system_task.py:168-226). Returns
+        (layout_cells, table_results) per page; table_results entries are
+        (bbox, tsr_result)."""
         from ..entity.enums import HtmlContentType
 
-        n = len(page_imgs)
+        n = len(page_shapes)
         if layout_handle is None:
             return [[] for _ in range(n)], [[] for _ in range(n)]
         task = self.system.layout_task
@@ -414,8 +405,9 @@ class BatchPipeline:
             return cells_per_page, table_results
         from .system import filter_figure_tables
 
-        crops, owners = [], []
-        for pi, (img, cells) in enumerate(zip(page_imgs, cells_per_page)):
+        regions, owners = [], []
+        for pi, ((ph, pw), cells) in enumerate(zip(page_shapes,
+                                                   cells_per_page)):
             tbs = filter_figure_tables(
                 cells, [c.bbox for c in cells
                         if c.cell_type == HtmlContentType.TABLE])
@@ -426,12 +418,13 @@ class BatchPipeline:
                     continue
                 x1, y1, x2, y2 = [int(round(v)) for v in c.bbox]
                 x1, y1 = max(0, x1), max(0, y1)
-                crop = img[y1:y2, x1:x2]
-                if crop.size:
-                    crops.append(crop)
+                x2, y2 = min(x2, pw), min(y2, ph)
+                if x2 - x1 >= 2 and y2 - y1 >= 2:
+                    regions.append((pi, (x1, y1, x2, y2)))
                     owners.append((pi, c.bbox, (x1, y1)))
-        if crops:
-            for (pi, bbox, offset), r in zip(owners, tsr.batch_infer(crops)):
+        if regions:
+            results = tsr.batch_infer_from_pages(canv_dev, regions)
+            for (pi, bbox, offset), r in zip(owners, results):
                 r["offset"] = offset
                 table_results[pi].append((bbox, r))
         return cells_per_page, table_results
@@ -471,15 +464,11 @@ class BatchPipeline:
             import jax
 
             det = self.system.det_task
-            det_sizes = {b: det_input_size(b,
-                                           det.model_config.limit_side_len)
-                         for b in PAGE_BUCKETS}
-            groups = pack_pages([images[i] for i in raster],
-                                det_size=det_sizes)
-            # chunk each bucket group into device batches and double-buffer:
-            # the NEXT chunk's uint8 upload is enqueued (async device_put)
-            # before blocking on the current chunk — H2D rides the tunnel
-            # while the host runs DB postprocess + crops.
+            # ONE full-res uint8 canvas stack per chunk: det resizes on
+            # device, layout resizes on device, TSR and recognition crops
+            # warp straight out of the resident stack — a single H2D
+            # carries the whole chunk.
+            groups = pack_pages([images[i] for i in raster])
             chunks = []
             for bucket, g in groups.items():
                 n = len(g["indices"])
@@ -489,18 +478,23 @@ class BatchPipeline:
                                    "shapes": g["shapes"][s:e],
                                    "indices": g["indices"][s:e],
                                    "bucket": bucket})
-            # enqueue every chunk's upload + det program up front (async):
-            # chunk k's D2H then overlaps chunk k+1's H2D/compute on the
-            # device stream while the host posts/recognizes chunk k
-            handles, layout_handles = [], []
+            # enqueue every chunk's upload + det/layout programs up front
+            # (async): chunk k's D2H then overlaps chunk k+1's H2D/compute
+            # on the device stream while the host posts/recognizes chunk k
+            handles, layout_handles, canvs = [], [], []
+            use_layout = self.system.config.use_layout \
+                and self.system.layout_task is not None
             for chunk in chunks:
                 shp = chunk["images"].shape
                 dev = jax.device_put(chunk["images"])
-                nh, nw = shp[1], shp[2]
-                handles.append(self._detect_enqueue(dev, shp, (nh, nw),
-                                                    pre_resized=True))
-                layout_handles.append(self._layout_enqueue(
-                    [images[raster[k]] for k in chunk["indices"]]))
+                canvs.append(dev)
+                det_hw = det_input_size(chunk["bucket"],
+                                        det.model_config.limit_side_len)
+                handles.append(self._detect_enqueue(dev, shp, det_hw,
+                                                    pre_resized=False))
+                layout_handles.append(
+                    self.system.layout_task.batch_enqueue_pages(dev)
+                    if use_layout else None)
             # three-lane software pipeline: a rec worker runs chunk k's
             # recognition and a TSR worker runs chunk k's layout+TSR (both
             # device + tunnel IO, GIL released) while the main thread does
@@ -510,29 +504,26 @@ class BatchPipeline:
             staged = []
             for ci, chunk in enumerate(chunks):
                 shp = chunk["images"].shape
+                det_hw = det_input_size(chunk["bucket"],
+                                        det.model_config.limit_side_len)
                 probs_u8 = np.asarray(handles[ci])[:shp[0]]
                 quads = self._det_post(probs_u8, chunk["shapes"],
-                                       chunk["bucket"], (shp[1], shp[2]))
+                                       chunk["bucket"], det_hw)
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
                 use_dev = self.device_crops
                 if use_dev is None:
                     use_dev = self.system.config.use_textline_cls
                 if use_dev and self.system.rec_task.model_config.backbone \
                         != "convnext_vit":
-                    # fused device path: full-res canvases upload once and
-                    # every crop warps/classifies/recognizes on device
-                    bh, bw = chunk["bucket"]
-                    canv = np.zeros((len(page_imgs), bh, bw, 3), np.uint8)
-                    for k, im in enumerate(page_imgs):
-                        canv[k, :min(im.shape[0], bh),
-                             :min(im.shape[1], bw)] = im[:bh, :bw]
+                    # fused device path reuses the resident canvas stack
                     rec_fut = rec_pool.submit(self._recognize_all_device,
-                                              canv, quads)
+                                              canvs[ci], quads)
                 else:
                     rec_fut = rec_pool.submit(self._recognize_all,
                                               page_imgs, quads)
                 tsr_fut = tsr_pool.submit(self._tables_for_chunk,
-                                          page_imgs, layout_handles[ci])
+                                          canvs[ci], chunk["shapes"],
+                                          layout_handles[ci])
                 staged.append((chunk, quads, tsr_fut, rec_fut))
             for chunk, quads, tsr_fut, fut in staged:
                 layout_cells, table_results = tsr_fut.result()

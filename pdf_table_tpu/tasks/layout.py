@@ -120,6 +120,42 @@ class OcrLayoutTask(InferTask):
             self._jitted[key] = fn
         return fn(self._params, batch), prepped
 
+    def batch_enqueue_pages(self, pages_dev):
+        """Like :meth:`batch_enqueue` but from the device-resident full-res
+        canvas stack: the (800, 608) resize runs on device, so layout costs
+        no extra upload at all. Boxes decode in canvas coordinates
+        (org_shape = canvas dims)."""
+        if self.model_name == "DocXLayout":
+            import numpy as np
+            return None, [img for img in np.asarray(pages_dev)]
+        self.ensure_built()
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.picodet.processor import device_decode_topk
+
+        key = ("pages_decode", pages_dev.shape)
+        fn = self._jitted.get(key)
+        if fn is None:
+            cfg = self.model_config
+            mean = jnp.asarray(cfg.norm_mean)
+            std = jnp.asarray(cfg.norm_std)
+
+            def run(variables, pages):
+                x = jax.image.resize(
+                    pages.astype(jnp.float32),
+                    (pages.shape[0], cfg.img_height, cfg.img_width, 3),
+                    "bilinear")
+                x = (x / 255.0 - mean) / std
+                raw = self._apply_fn(variables, {"image": x})
+                return device_decode_topk(raw, cfg)
+
+            fn = jax.jit(run)
+            self._jitted[key] = fn
+        P, H, W = pages_dev.shape[0], pages_dev.shape[1], pages_dev.shape[2]
+        metas = [{"org_shape": (H, W)} for _ in range(P)]
+        return fn(self._params, pages_dev), metas
+
     def batch_finish(self, handle, metas):
         """Per-page postprocess of a :meth:`batch_enqueue` result ->
         [layout_cells] per page."""

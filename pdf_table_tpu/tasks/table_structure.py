@@ -286,6 +286,97 @@ class OcrTableStructureTask(InferTask):
             result = merge_tsr_cells(result, meta["line_cells"])
         return result
 
+    def batch_infer_from_pages(self, pages_dev, regions) -> list:
+        """LORE crops sampled straight from the device-resident page stack:
+        ``regions`` is [(page_idx, (x1, y1, x2, y2))] in page coords. The
+        corner-anchored affine warp (LorePreProcessor semantics) runs as a
+        jitted gather program per sub-batch — no host warp, no crop upload.
+        Falls back to host crops for non-Lore models."""
+        if not regions:
+            return []
+        import jax
+        import jax.numpy as jnp
+
+        from ..engine.infer_task import bucket_batch_size
+        from ..models.lore.processor import LorePreProcessor
+        from ..ops.warp import _homography_from_quad, warp_crops_from_pages
+
+        if self.model_name != "Lore":
+            pages_np = np.asarray(pages_dev)
+            crops = []
+            for pi, (x1, y1, x2, y2) in regions:
+                crops.append(pages_np[pi][int(y1):int(y2), int(x1):int(x2)])
+            return self.batch_infer(crops)
+
+        self.ensure_built()
+        cfg = self.model_config
+        inp_h, inp_w = cfg.resolution
+        mean = jnp.asarray(LorePreProcessor.MEAN)
+        std = jnp.asarray(LorePreProcessor.STD)
+
+        mats, pidx, metas = [], [], []
+        valid_w, valid_h = [], []
+        for pi, (x1, y1, x2, y2) in regions:
+            h, w = float(y2 - y1), float(x2 - x1)
+            s = max(h, w, 1.0)
+            # valid dst extent: the crop content maps to (w, h) * inp/s;
+            # the rest is black border like the reference's crop-then-warp
+            valid_w.append(min(int(np.ceil(w * inp_w / s)), inp_w))
+            valid_h.append(min(int(np.ceil(h * inp_h / s)), inp_h))
+            if cfg.upper_left:
+                quad = np.array([[x1, y1], [x1 + s, y1],
+                                 [x1 + s, y1 + s], [x1, y1 + s]], np.float32)
+                c = np.array([0.0, 0.0], np.float32)
+            else:
+                cx, cy = x1 + w / 2.0, y1 + h / 2.0
+                quad = np.array([[cx - s / 2, cy - s / 2],
+                                 [cx + s / 2, cy - s / 2],
+                                 [cx + s / 2, cy + s / 2],
+                                 [cx - s / 2, cy + s / 2]], np.float32)
+                c = np.array([w / 2.0, h / 2.0], np.float32)
+            mats.append(_homography_from_quad(quad, inp_w, inp_h))
+            pidx.append(pi)
+            metas.append({"c": c, "s": s, "org_shape": (int(h), int(w)),
+                          "out_h": inp_h // cfg.down_ratio,
+                          "out_w": inp_w // cfg.down_ratio})
+
+        P = pages_dev.shape[0]
+        key = ("warp_lore", pages_dev.shape)
+        warp_fn = self._jitted.get(key)
+        if warp_fn is None:
+            def warp(pages, m, pxi, vw, vh):
+                crops = warp_crops_from_pages(
+                    pages, pxi, m, vw, (inp_h, inp_w),
+                    heights=vh)                         # f32 RGB 0..255
+                return (crops[..., ::-1] / 255.0 - mean) / std
+
+            warp_fn = jax.jit(warp)
+            self._jitted[key] = warp_fn
+
+        cap = max(1, self.config.batch_size)
+        handles = []
+        for s0 in range(0, len(mats), cap):
+            sub_m = mats[s0:s0 + cap]
+            sub_p = pidx[s0:s0 + cap]
+            nb = bucket_batch_size(len(sub_m))
+            pad = nb - len(sub_m)
+            m = np.stack(sub_m + [np.eye(3, dtype=np.float32)] * pad)
+            px = np.asarray(sub_p + [0] * pad, np.int32)
+            vw = np.asarray(valid_w[s0:s0 + cap] + [1] * pad, np.int32)
+            vh = np.asarray(valid_h[s0:s0 + cap] + [1] * pad, np.int32)
+            x = warp_fn(pages_dev, jnp.asarray(m), jnp.asarray(px),
+                        jnp.asarray(vw), jnp.asarray(vh))
+            handles.append(self._apply_fn(self._params, {"image": x}))
+        results = []
+        for h, raw in enumerate(handles):
+            raw_np = {k: np.asarray(v) for k, v in raw.items()
+                      if hasattr(v, "shape")
+                      and getattr(v, "ndim", 0) >= 1}
+            for i, meta in enumerate(metas[h * cap:(h + 1) * cap]):
+                one = {k: v[i:i + 1] for k, v in raw_np.items()}
+                results.append(self._postprocess(one, meta))
+        return results
+
     def batch_infer(self, crops) -> list:
         """All table crops of a page in ONE device forward (the reference
         loops per crop, ocr_system_task.py:192-198). Fixed model resolution
