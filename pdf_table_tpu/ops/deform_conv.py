@@ -95,10 +95,14 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
     mask32 = mask.astype(jnp.float32)
     wmat = weight.astype(jnp.float32).reshape(K, Cin, Cout)
 
-    TAP_CHUNK = 3
+    # adaptive tap chunk: one fused gather for all taps when the gathered
+    # temp stays under ~1.5 GB (fewer, larger gathers measure faster),
+    # otherwise split to bound peak memory
+    bytes_per_tap = B * Ho * Wo * 4 * Cin * jnp.dtype(gdt).itemsize
+    tap_chunk = max(1, min(K, int(1.5e9 // max(bytes_per_tap, 1))))
     out = jnp.zeros((B * Ho * Wo, Cout), jnp.float32)
-    for t0 in range(0, K, TAP_CHUNK):
-        t1 = min(t0 + TAP_CHUNK, K)
+    for t0 in range(0, K, tap_chunk):
+        t1 = min(t0 + tap_chunk, K)
         T = t1 - t0
         syk, sxk = sy[..., t0:t1], sx[..., t0:t1]     # (B, Ho, Wo, T)
         y0 = jnp.floor(syk)

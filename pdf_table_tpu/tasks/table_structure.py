@@ -336,9 +336,19 @@ class OcrTableStructureTask(InferTask):
                 c = np.array([w / 2.0, h / 2.0], np.float32)
             mats.append(_homography_from_quad(quad, inp_w, inp_h))
             pidx.append(pi)
-            metas.append({"c": c, "s": s, "org_shape": (int(h), int(w)),
-                          "out_h": inp_h // cfg.down_ratio,
-                          "out_w": inp_w // cfg.down_ratio})
+            meta = {"c": c, "s": s, "org_shape": (int(h), int(w)),
+                    "out_h": inp_h // cfg.down_ratio,
+                    "out_w": inp_w // cfg.down_ratio}
+            if self._merge_line_cell:
+                # merge mode needs the OpenCV line cells from the host crop
+                from ..models.line_cell import extract_cells_from_image
+                if not hasattr(self, "_pages_np_cache") or \
+                        self._pages_np_cache[0] is not pages_dev:
+                    self._pages_np_cache = (pages_dev, np.asarray(pages_dev))
+                pg = self._pages_np_cache[1][pi]
+                meta["line_cells"] = extract_cells_from_image(
+                    pg[int(y1):int(y2), int(x1):int(x2)])
+            metas.append(meta)
 
         P = pages_dev.shape[0]
         key = ("warp_lore", pages_dev.shape)
