@@ -56,6 +56,34 @@ def bench() -> dict:
 
     bp.system._det = OcrDetectionTask(model="PP-OCRv4_det", thresh=0.45,
                                       box_thresh=0.0, max_candidates=48)
+
+    # random weights yield degenerate box sets (one page blob or dust), so
+    # recognition/textline-cls load would not be representative; append a
+    # deterministic grid of text-line quads per page after DB postprocess —
+    # every downstream stage (device warp, 0/180 cls, CTC rec, HTML) runs
+    # at converted-weight-like volume through the honest code path
+    orig_det_post = bp._det_post
+
+    def det_post_with_lines(probs_u8, shapes, bucket_hw, det_hw,
+                            fast_post=True):
+        quads = orig_det_post(probs_u8, shapes, bucket_hw, det_hw, fast_post)
+        out = []
+        for (h, w), q in zip(shapes, quads):
+            rng = np.random.default_rng(int(h) * 7 + int(w))
+            lines = []
+            y = 60
+            while y < h - 80 and len(lines) < 30:
+                x = 70
+                ww = int(rng.integers(120, 360))
+                lines.append([[x, y], [x + ww, y],
+                              [x + ww, y + 22], [x, y + 22]])
+                y += 36
+            out.append(np.concatenate(
+                [np.asarray(q).reshape(-1, 4, 2),
+                 np.asarray(lines, np.float32)], axis=0))
+        return out
+
+    bp._det_post = det_post_with_lines
     # single-class picodet table detector with a floor threshold: random
     # weights emit up to 2 "table" regions/page, so LORE TSR + table HTML
     # run at a converted-weight-like load through the honest code path

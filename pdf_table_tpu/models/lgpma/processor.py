@@ -48,24 +48,13 @@ class LgpmaPreProcessor:
 
 def greedy_nms(boxes: np.ndarray, scores: np.ndarray,
                thresh: float) -> np.ndarray:
-    """Exact greedy NMS; returns kept indices in score order."""
-    order = scores.argsort()[::-1]
-    keep = []
-    suppressed = np.zeros(len(boxes), bool)
-    for i in order:
-        if suppressed[i]:
-            continue
-        keep.append(i)
-        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
-        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
-        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
-        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
-        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
-        a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-        ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-        iou = inter / np.maximum(ai + a - inter, 1e-6)
-        suppressed |= iou > thresh
-    return np.asarray(keep, int)
+    """Exact greedy NMS; returns kept indices in score order (delegates to
+    the shared host hard_nms)."""
+    from ...ops.nms import hard_nms
+
+    _, _, idx = hard_nms(boxes, scores, iou_threshold=thresh,
+                         score_threshold=-np.inf)
+    return idx
 
 
 def rect_max_iou(b1: Sequence[float], b2: Sequence[float]) -> float:

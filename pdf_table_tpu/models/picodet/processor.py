@@ -71,7 +71,7 @@ def gfl_expected_distance(box_dist: np.ndarray, reg_max: int) -> np.ndarray:
 
 
 def device_decode_topk(raw: Dict[str, Any], cfg: PicoDetConfig,
-                       k: int = 200):
+                       k: int = 0):
     """On-device GFL decode + global top-k: the per-level head maps never
     leave the chip (their ~10 MB D2H dominated the tunnel wall clock;
     downloading k boxes is ~25 KB). raw: {'scores': [(B, HW, C)],
@@ -95,7 +95,9 @@ def device_decode_topk(raw: Dict[str, Any], cfg: PicoDetConfig,
         all_scores.append(score.astype(jnp.float32))
     boxes = jnp.concatenate(all_boxes, axis=1)
     scores = jnp.concatenate(all_scores, axis=1)
-    k = min(k, scores.shape[1])
+    # default budget follows the host path's per-level nms_top_k so real
+    # candidates never fall off the global top-k on dense pages
+    k = min(k if k > 0 else cfg.nms_top_k, scores.shape[1])
     _, top = jax.lax.top_k(scores.max(-1), k)               # (B, k)
     b = jnp.take_along_axis(boxes, top[..., None], axis=1)
     s = jnp.take_along_axis(scores, top[..., None], axis=1)

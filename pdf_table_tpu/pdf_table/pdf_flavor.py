@@ -32,14 +32,15 @@ def table_from_grid_cells(grid_cells: Sequence[Dict[str, Any]],
     t = Table(xs, rows_pdf)
     t.set_all_edges()
     # clear inner borders inside merged cells -> spans
+    n_rows, n_cols = len(t.cells), len(t.cells[0])
     for gc in grid_cells:
         rs, re, cs, ce = gc["logic"]
-        for ri in range(rs, min(re, len(t.cells) - 1) + 1):
-            for ci in range(cs, min(ce, len(t.cells[0]) - 1) + 1):
-                if ri < re:
+        for ri in range(rs, min(re, n_rows - 1) + 1):
+            for ci in range(cs, min(ce, n_cols - 1) + 1):
+                if ri < re and ri + 1 < n_rows:
                     t.cells[ri][ci].bottom = False
                     t.cells[ri + 1][ci].top = False
-                if ci < ce:
+                if ci < ce and ci + 1 < n_cols:
                     t.cells[ri][ci].right = False
                     t.cells[ri][ci + 1].left = False
     t.set_span()

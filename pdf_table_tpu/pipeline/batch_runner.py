@@ -292,15 +292,20 @@ class BatchPipeline:
             cmean = jnp.asarray([0.485, 0.456, 0.406])
             cstd = jnp.asarray([0.229, 0.224, 0.225])
 
-        def run(rec_params, cls_params, pages, mats, fmats, pidx, widths):
+        def run(rec_params, cls_params, pages, mats, fmats, cmats, pidx,
+                widths):
             crops = warp_crops_from_pages(pages, pidx, mats, widths,
                                           (oh, bucket))
             if cls_task is not None:
                 flipped = warp_crops_from_pages(pages, pidx, fmats, widths,
                                                 (oh, bucket))
-                ci = jax.image.resize(
-                    crops, (crops.shape[0], ccfg.img_size[0],
-                            ccfg.img_size[1], 3), "bilinear")
+                # classifier input warps at the TIGHT crop geometry (quad
+                # stretched to the full cls canvas), matching the host
+                # path's cv2.resize of the unpadded crop
+                ch, cw = ccfg.img_size
+                ci = warp_crops_from_pages(
+                    pages, pidx, cmats,
+                    jnp.full((cmats.shape[0],), cw, jnp.int32), (ch, cw))
                 ci = (ci / 255.0 - cmean) / cstd
                 probs = jnp.asarray(cls_task._apply_fn(
                     cls_params, {"image": ci.astype(jnp.float32)}))
@@ -355,13 +360,18 @@ class BatchPipeline:
             nb = bucket_batch_size(n)
             mats = np.tile(np.eye(3, dtype=np.float32), (nb, 1, 1))
             fmats = mats.copy()
+            cmats = mats.copy()
             pidx = np.zeros(nb, np.int32)
             widths = np.ones(nb, np.int32)
+            if cls_task is not None:
+                ch, cw = cls_task.model_config.img_size
             for k, ci in enumerate(idxs):
                 pi, _bi, o, _b, nw = crops_meta[ci]
                 mats[k] = _homography_from_quad(o, nw, cfg.img_height)
                 fmats[k] = _homography_from_quad(np.roll(o, 2, axis=0), nw,
                                                  cfg.img_height)
+                if cls_task is not None:
+                    cmats[k] = _homography_from_quad(o, cw, ch)
                 pidx[k] = pi
                 widths[k] = nw
             fn = self._get_rec_dev_fn((P, H, W), b, nb,
@@ -369,7 +379,8 @@ class BatchPipeline:
             out = fn(rec._params,
                      cls_task._params if cls_task is not None else {},
                      canv_dev, jnp.asarray(mats), jnp.asarray(fmats),
-                     jnp.asarray(pidx), jnp.asarray(widths))
+                     jnp.asarray(cmats), jnp.asarray(pidx),
+                     jnp.asarray(widths))
             pending.append((idxs, n, out))
         n_total = len(crops_meta)
         flat_t = [""] * n_total

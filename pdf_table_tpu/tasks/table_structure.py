@@ -265,6 +265,7 @@ class OcrTableStructureTask(InferTask):
     def _run_model(self, batch):
         if "host_result" in batch:
             return batch["host_result"]
+        self.ensure_built()   # _presplit_run is set by _build_model
         if getattr(self, "_presplit_run", False):
             # apply_fn already dispatches its own jitted programs; wrapping
             # it in another jit would fuse them back into the monolithic

@@ -208,3 +208,25 @@ class TestSystemBatchedTsr:
         out = st(image=img)
         assert len(out.table_structures) == 2
         assert len(out.table_html) == 2
+
+
+class TestLoreFirstCallUnbuilt:
+    def test_direct_call_builds_and_runs(self):
+        """Regression: the first direct __call__ on a fresh Lore task must
+        route through the split-program path (the flag is set during
+        ensure_built; checking it before building jitted the host-side
+        composite and crashed on wiz_rev tracers)."""
+        import numpy as np
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         task_type="wtw", wiz_rev=True, max_objs=4,
+                         max_corners=8, hidden_size=32, tsfm_layers=1,
+                         stacking_layers=1, num_heads=2, d_ff=32,
+                         head_conv=16, vis_thresh=0.0)
+        task = OcrTableStructureTask(model="Lore", config=cfg)
+        img = np.full((80, 90, 3), 255, np.uint8)
+        out = task(img)           # no ensure_built() beforehand
+        assert out["type"] == "lore"
