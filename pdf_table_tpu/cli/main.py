@@ -31,7 +31,7 @@ DET_ALIASES = {"PP-OCRv4": "PP-OCRv4_det", "PP-OCRv3": "PP-OCRv4_det",
                "proxylessnas": "db_proxylessnas"}
 REC_ALIASES = {"PP-OCRv4": "PP-OCRv4_rec", "PP-OCRv3": "PP-OCRv4_rec",
                "PP-Table": "PP-OCRv4_rec", "ConvNextViT": "ConvNextViT",
-               "CRNN": "CRNN", "LightweightEdge": "CRNN"}
+               "CRNN": "CRNN", "LightweightEdge": "LightweightEdge"}
 
 
 def build_arg_parser() -> argparse.ArgumentParser:

@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from ..layers import ConvBNAct
-from ..slanet.vocab import StructureVocab
 from .config import TableMasterConfig
 
 
@@ -160,7 +159,8 @@ class TableMaster(nn.Module):
                  decode_cells: bool = False):
         cfg = self.config
         dt = jnp.dtype(cfg.dtype)
-        V = cfg.vocab_size or len(StructureVocab())
+        from .vocab import MasterStructureVocab
+        V = cfg.vocab_size or len(MasterStructureVocab())
         D, H = cfg.d_model, cfg.heads
         Dh = D // H
         T = cfg.max_structure_len
@@ -199,8 +199,7 @@ class TableMaster(nn.Module):
         scale = math.sqrt(D)
         # TableMasterConvertor (start_end_same=False, with_unknown=True):
         # ids = [dict..., unknown, start, end, pad] -> start = V - 3.
-        vocab_sos = (cfg.vocab_size - 3 if cfg.vocab_size
-                     else StructureVocab().sos_id)
+        vocab_sos = V - 3
 
         def layer_step(h, lp, kc, vc, t):
             """One token through one DecoderLayer (pre-norm residuals)."""

@@ -1,9 +1,14 @@
 """TableMaster pre/post processing.
 
-Pre: resize to fixed square + imagenet norm (reference mtl_tabnet config).
+Pre: keep-ratio resize to fit the 480x480 canvas, then pad bottom/right
+(reference test pipeline TableResize keep_ratio=True + TablePad,
+table_master_config.py:121-133).
 Post: TableMasterLabelDecode behavior (slanet/table_postprocess.py:293):
-token decode with eos stop, per-td bbox denorm; result feeds the master
-matcher (tasks/table_matcher.py, use_master=True).
+master-convention vocab (<UKN>/<SOS>/<EOS>/<PAD> appended at the END —
+add_special_char:303), token decode with eos stop, per-td xywh bbox
+denormalized against the padded canvas (box_shape='pad', _bbox_decode:325)
+and mapped back through the resize ratio to crop coords. The result feeds
+the master matcher (tasks/table_matcher.py use_master=True).
 """
 
 from __future__ import annotations
@@ -12,8 +17,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from ..slanet.vocab import StructureVocab
 from .config import TableMasterConfig
+from .vocab import MasterStructureVocab
 
 
 class TableMasterPreProcessor:
@@ -25,43 +30,65 @@ class TableMasterPreProcessor:
 
         h, w = image.shape[:2]
         th, tw = self.config.img_size
-        resized = cv2.resize(image, (tw, th)).astype(np.float32)
-        norm = (resized / 255.0 - np.array([0.485, 0.456, 0.406], np.float32)) \
+        ratio = min(th / h, tw / w)
+        nh, nw = max(1, int(round(h * ratio))), max(1, int(round(w * ratio)))
+        resized = cv2.resize(image, (nw, nh)).astype(np.float32)
+        canvas = np.zeros((th, tw, 3), np.float32)
+        canvas[:nh, :nw] = resized
+        norm = (canvas / 255.0 - np.array([0.485, 0.456, 0.406], np.float32)) \
             / np.array([0.229, 0.224, 0.225], np.float32)
         return {"image": norm[None].astype(np.float32),
-                "meta": {"shape_list": (h, w, th / h, tw / w, 0, 0)}}
+                "meta": {"shape_list": (h, w, nh / h, nw / w, th, tw)}}
 
 
 class TableMasterPostProcessor:
     def __init__(self, config: TableMasterConfig,
-                 vocab: Optional[StructureVocab] = None,
+                 vocab: Optional[MasterStructureVocab] = None,
                  cell_charset: Optional[List[str]] = None):
         self.config = config
-        if vocab is None and config.dict_path:
-            vocab = StructureVocab.from_dict_file(config.dict_path)
-        self.vocab = vocab or StructureVocab()
+        if vocab is None:
+            if config.dict_path:
+                with open(config.dict_path, encoding="utf-8") as f:
+                    toks = [ln.rstrip("\r\n") for ln in f if ln.strip()]
+                vocab = MasterStructureVocab(toks)
+            else:
+                vocab = MasterStructureVocab()
+        self.vocab = vocab
         self.cell_charset = cell_charset  # MtlTabNet textline alphabet
 
     def __call__(self, raw: Dict[str, Any], meta: Dict[str, Any]) -> Dict[str, Any]:
         probs = np.asarray(raw["structure_probs"][0])
         locs = np.asarray(raw["loc_preds"][0])
-        h, w = meta["shape_list"][0], meta["shape_list"][1]
+        shape = meta["shape_list"]
+        ratio_h, ratio_w = shape[2], shape[3]
+        pad_h, pad_w = (shape[4], shape[5]) if len(shape) > 5 and shape[4] \
+            else self.config.img_size
         ids = probs.argmax(axis=1)
         confs = probs.max(axis=1)
+        v = self.vocab
+        ignored = getattr(v, "ignored_ids", {v.sos_id, v.eos_id})
         tokens: List[str] = []
         cells: List[Dict[str, Any]] = []
         scores: List[float] = []
         for t, tid in enumerate(ids):
-            if t > 0 and tid == self.vocab.eos_id:
+            if t > 0 and tid == v.eos_id:
                 break
-            if tid in (self.vocab.sos_id, self.vocab.eos_id):
+            if tid in ignored:
                 continue
-            tok = self.vocab.tokens[tid]
-            if self.vocab.is_td(tok):
+            tok = v.tokens[tid]
+            if v.is_td(tok):
+                # normalized xywh on the padded canvas -> xyxy crop coords
+                # (TableMasterLabelDecode._bbox_decode:325: *pad, /ratio,
+                # integer-div half-extents)
                 b = locs[t].copy()
-                b[0::2] *= w
-                b[1::2] *= h
-                cells.append({"bbox": b[:4].tolist()})
+                b[0::2] *= pad_w
+                b[1::2] *= pad_h
+                b[0::2] /= max(ratio_w, 1e-9)
+                b[1::2] /= max(ratio_h, 1e-9)
+                x, y, bw, bh = b[:4]
+                cells.append({"bbox": [float(x - bw // 2), float(y - bh // 2),
+                                       float(x + bw // 2),
+                                       float(y + bh // 2)]})
             tokens.append(tok)
             scores.append(float(confs[t]))
         result = {"structure_tokens": tokens, "cells": cells,

@@ -88,7 +88,10 @@ def hard_nms(boxes, scores, iou_threshold: float = 0.5,
         y2 = np.minimum(boxes[i, 3], boxes[:, 3])
         inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
         union = area[i] + area - inter
-        iou = np.where(union > 0, inter / union, 0.0)
+        # guard before dividing: zero-area pairs must not emit NaN even
+        # transiently (np.where still evaluates both branches)
+        iou = np.divide(inter, union, out=np.zeros_like(inter),
+                        where=union > 0)
         suppressed |= iou >= iou_threshold
     idx = np.asarray(keep, np.int64)
     if top_k > 0:

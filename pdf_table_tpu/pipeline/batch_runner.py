@@ -64,6 +64,16 @@ def pack_pages(images: Sequence[np.ndarray],
     for i, img in enumerate(images):
         h, w = img.shape[:2]
         b = pick_page_bucket(h, w)
+        if h > b[0] or w > b[1]:
+            # page exceeds the largest bucket: scale to fit instead of
+            # silently cropping; downstream coords are in scaled-page space
+            s = min(b[0] / h, b[1] / w)
+            nh_f, nw_f = max(1, int(h * s)), max(1, int(w * s))
+            logger.warning(
+                "page %d (%dx%d) exceeds the largest canvas bucket %s — "
+                "scaling to %dx%d", i, h, w, b, nh_f, nw_f)
+            img = cv2.resize(img, (nw_f, nh_f))
+            h, w = nh_f, nw_f
         g = groups.setdefault(b, {"indices": [], "images": [], "shapes": []})
         if det_size is not None:
             nh, nw = det_size[b] if b in det_size else det_size.setdefault(

@@ -78,7 +78,17 @@ class OcrTableStructureTask(InferTask):
             kw.setdefault("variant", variant)
             self.model_config = config or TableMasterConfig(**kw)
             self.pre = TableMasterPreProcessor(self.model_config)
-            self.post = TableMasterPostProcessor(self.model_config)
+            cell_charset = None
+            if self.model_config.variant == "mtl_tabnet":
+                # real PubTabNet textline alphabet + master specials
+                # (master_convertor convention, cell eos = len(dict)+2)
+                from ..models.table_master import \
+                    load_pubtabnet_textline_alphabet
+                cell_charset = load_pubtabnet_textline_alphabet()
+                if not self.model_config.cell_vocab_size:
+                    self.model_config.cell_vocab_size = len(cell_charset) + 4
+            self.post = TableMasterPostProcessor(self.model_config,
+                                                 cell_charset=cell_charset)
         elif model == "CenterNet":
             from ..models.center_net import (CenterNetConfig,
                                              CenterNetPostProcessor,

@@ -174,7 +174,15 @@ class OcrTableToHtmlTask:
                         c["bbox"][2] + ox, c["bbox"][3] + oy]
                        for c in tsr_result.get("cells", [])]
         dt_boxes = [list(t.bbox) for t in text_cells]
-        texts = [html_mod.escape((t.text or "").strip()) for t in text_cells]
-        match = TableMatch(use_master=tsr_result.get("type") == "master")
+        use_master = tsr_result.get("type") == "master"
+        if use_master:
+            # master text flows through <b>-folding + deal_bb, which operate
+            # on raw inline tags (reference passes unescaped rec_res,
+            # ocr_table_to_html_task.py:264-270)
+            texts = [(t.text or "").strip() for t in text_cells]
+        else:
+            texts = [html_mod.escape((t.text or "").strip())
+                     for t in text_cells]
+        match = TableMatch(use_master=use_master)
         return match(tsr_result["structure_tokens"], pred_bboxes,
                      dt_boxes, texts)

@@ -19,26 +19,26 @@ def tiny_cfg(**kw):
 class TestTableMaster:
     def test_forward_shapes(self):
         from pdf_table_tpu.engine.params import init_params
-        from pdf_table_tpu.models.slanet.vocab import StructureVocab
-        from pdf_table_tpu.models.table_master import TableMaster
+        from pdf_table_tpu.models.table_master import (MasterStructureVocab,
+                                                       TableMaster)
 
         cfg = tiny_cfg()
         model = TableMaster(cfg)
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
         variables = init_params(model, x)
         out = model.apply(variables, x, train=False)
-        V = len(StructureVocab())
+        V = len(MasterStructureVocab())
+        assert V == 43  # 39 PubTabNet structure tokens + UKN/SOS/EOS/PAD
         assert out["structure_probs"].shape == (1, 6, V)
         assert out["loc_preds"].shape == (1, 6, 4)
         p = np.asarray(out["structure_probs"])
         assert np.allclose(p.sum(-1), 1.0, atol=1e-4)
 
     def test_postprocessor_and_matcher(self):
-        from pdf_table_tpu.models.slanet.vocab import StructureVocab
-        from pdf_table_tpu.models.table_master import (TableMasterConfig,
-                                                       TableMasterPostProcessor)
+        from pdf_table_tpu.models.table_master import (
+            MasterStructureVocab, TableMasterConfig, TableMasterPostProcessor)
 
-        v = StructureVocab()
+        v = MasterStructureVocab()
         cfg = tiny_cfg()
         post = TableMasterPostProcessor(cfg)
         T, V = 6, len(v)
@@ -49,10 +49,33 @@ class TestTableMaster:
         probs[len(seq):, v.eos_id] = 1.0
         locs = np.full((T, 4), 0.25, np.float32)
         out = post({"structure_probs": probs[None], "loc_preds": locs[None]},
-                   {"shape_list": (100, 200, 1, 1, 0, 0)})
+                   {"shape_list": (128, 128, 0.5, 0.5, 64, 64)})
         assert out["type"] == "master"
         assert out["structure_tokens"] == seq
-        assert out["cells"][0]["bbox"] == [50.0, 25.0, 50.0, 25.0]
+        # xywh 0.25 on the 64-pad canvas -> center (16,16) w=h=16, /0.5
+        # ratio -> center (32,32) extents 32//2=16 -> [16,16,48,48]
+        assert out["cells"][0]["bbox"] == [16.0, 16.0, 48.0, 48.0]
+
+    def test_postprocessor_eb_tokens_survive_decode(self):
+        """eb tokens decode as structure tokens without bboxes; the master
+        matcher later rewrites them to empty-cell HTML."""
+        from pdf_table_tpu.models.table_master import (
+            MasterStructureVocab, TableMasterConfig, TableMasterPostProcessor)
+
+        v = MasterStructureVocab()
+        cfg = tiny_cfg()
+        post = TableMasterPostProcessor(cfg)
+        T, V = 6, len(v)
+        probs = np.zeros((T, V), np.float32)
+        seq = ["<tr>", "<td></td>", "<eb></eb>", "</tr>"]
+        for t, tok in enumerate(seq):
+            probs[t, v.token_to_id[tok]] = 1.0
+        probs[len(seq):, v.eos_id] = 1.0
+        locs = np.full((T, 4), 0.25, np.float32)
+        out = post({"structure_probs": probs[None], "loc_preds": locs[None]},
+                   {"shape_list": (64, 64, 1.0, 1.0, 64, 64)})
+        assert out["structure_tokens"] == seq
+        assert len(out["cells"]) == 1  # only the td carries a bbox
 
     def test_tsr_task_master(self):
         from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
@@ -80,12 +103,12 @@ class TestTableMaster:
         import optax
 
         from pdf_table_tpu.engine.params import init_params
-        from pdf_table_tpu.models.slanet.vocab import StructureVocab
-        from pdf_table_tpu.models.table_master import TableMaster
+        from pdf_table_tpu.models.table_master import (MasterStructureVocab,
+                                                       TableMaster)
 
         cfg = tiny_cfg(decoder_layers=2)
         model = TableMaster(cfg)
-        v = StructureVocab()
+        v = MasterStructureVocab()
         x = np.random.default_rng(0).normal(
             0, 1, (2, 64, 64, 3)).astype(np.float32)
         ids = np.tile(np.array([v.token_to_id["<tr>"],
