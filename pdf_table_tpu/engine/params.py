@@ -45,6 +45,15 @@ def load_params(ckpt_dir: str):
     return ckptr.restore(os.path.abspath(ckpt_dir))
 
 
+def has_saved_params(ckpt_dir: Optional[str]) -> bool:
+    """True when a converted checkpoint exists at ``ckpt_dir`` (the same
+    test load_or_init uses before restoring). Sidecar txt files alone
+    (dicts copied next to weights) don't count."""
+    if not (ckpt_dir and os.path.isdir(ckpt_dir)):
+        return False
+    return any(not n.endswith(".txt") for n in os.listdir(ckpt_dir))
+
+
 def load_or_init(module, sample_inputs, ckpt_dir: Optional[str] = None,
                  seed: int = 0, task_name: str = ""):
     """Restore converted weights if present, else deterministic init.
@@ -56,7 +65,7 @@ def load_or_init(module, sample_inputs, ckpt_dir: Optional[str] = None,
     base_infer_task.py:146-169). Set PDF_TABLE_TPU_ALLOW_RANDOM_INIT=quiet
     to silence (the test suite does).
     """
-    if ckpt_dir and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+    if has_saved_params(ckpt_dir):
         try:
             variables = load_params(ckpt_dir)
             logger.info("restored params from %s", ckpt_dir)

@@ -69,10 +69,14 @@ LANG_DICT_FILES = {
 }
 
 
-def dict_search_dirs() -> List[str]:
+def dict_search_dirs(extra_dirs: Sequence[str] = ()) -> List[str]:
+    """Dict file lookup order: converted-weights dir(s) first (the
+    converter copies the snapshot's dict alongside the weights, like the
+    reference's hub snapshots), then $PDFTABLE_DICT_DIR, then the shared
+    cache dicts dir."""
     from ...utils.constants import Constants
 
-    dirs = []
+    dirs = [d for d in extra_dirs if d]
     env = os.environ.get("PDFTABLE_DICT_DIR", "")
     if env:
         dirs.append(env)
@@ -91,31 +95,44 @@ def generic_cjk_charset(use_space_char: bool = True) -> Charset:
         list("，。、；：？！“”"
              "‘’（）《》【】"
              "—…·￥")
-    return Charset(chars, use_space_char)
+    cs = Charset(chars, use_space_char)
+    cs.generic_fallback = True
+    return cs
 
 
-def resolve_charset(name_or_path: str, use_space_char: bool = True) -> Charset:
+def resolve_charset(name_or_path: str, use_space_char: bool = True,
+                    extra_dirs: Sequence[str] = (),
+                    strict: bool = False) -> Charset:
+    """Resolve a charset by lang key, dict-file path, or 'en' builtin.
+
+    ``extra_dirs``: searched first for the lang's dict file — pass the
+    converted-weights dir so the snapshot's dict is found automatically.
+    ``strict``: raise instead of degrading to the generic CJK charset
+    (REQUIRED when decoding converted checkpoints: generic ids do not
+    match PaddleOCR's ppocr_keys_v1 ordering).
+    """
     if name_or_path == "en" or not name_or_path:
         return default_en_charset(use_space_char)
     if os.path.exists(name_or_path):
         return Charset.from_dict_file(name_or_path, use_space_char)
     if name_or_path in LANG_DICT_FILES:
         fname = LANG_DICT_FILES[name_or_path]
-        for d in dict_search_dirs():
+        dirs = dict_search_dirs(extra_dirs)
+        for d in dirs:
             p = os.path.join(d, fname)
             if os.path.exists(p):
                 return Charset.from_dict_file(p, use_space_char)
-        if name_or_path == "ch":
+        if name_or_path == "ch" and not strict:
             from ...utils.logging_utils import logger
             logger.warning(
                 "no %s found under %s — using the generic codepoint-ordered "
                 "CJK charset (ids do NOT match converted PaddleOCR ch "
                 "checkpoints; place the checkpoint's dict file in one of "
                 "those directories for correct decoding)",
-                fname, dict_search_dirs())
+                fname, dirs)
             return generic_cjk_charset(use_space_char)
         raise ValueError(
             f"charset {name_or_path!r} needs its dict file {fname!r} in one "
-            f"of {dict_search_dirs()} (ship it alongside the converted "
-            f"checkpoint, like the reference's snapshot)")
+            f"of {dirs} (the converter copies it from the checkpoint "
+            f"snapshot automatically; see docs/language.md)")
     raise ValueError(f"unknown charset {name_or_path!r}")

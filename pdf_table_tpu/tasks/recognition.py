@@ -40,7 +40,36 @@ class OcrRecognitionTask(InferTask):
         self.model_name = model
         self.model_config = config or get_config("recognition", model, **kw)
         self.pre = RecPreProcessor(self.model_config)
-        self.post = RecPostProcessor(self.model_config)
+        self.post = RecPostProcessor(self.model_config,
+                                     charset=self._resolve_charset())
+
+    def _resolve_charset(self) -> Charset:
+        """Charset for decode: the converted-weights dir is searched first
+        (the converter copies the snapshot's dict file there, mirroring the
+        reference's hub-snapshot layout, rec_postprocess.py
+        BaseRecLabelDecode:17). With converted weights present, a
+        generic-fallback charset is a hard error — its ids do not match
+        the checkpoint and every decode would be silently wrong."""
+        from ..engine.params import has_saved_params
+        from ..models.rec_ctc.charset import resolve_charset
+
+        cfg = self.model_config
+        wdir = self._weights_dir()
+        converted = has_saved_params(wdir)
+        cs = resolve_charset(cfg.charset_name, cfg.use_space_char,
+                             extra_dirs=(wdir,), strict=converted)
+        if converted and getattr(cs, "generic_fallback", False):
+            raise RuntimeError(
+                f"converted weights at {wdir!r} but charset "
+                f"{cfg.charset_name!r} resolved to the generic fallback — "
+                f"ship the checkpoint's dict file next to the weights")
+        return cs
+
+    def _weights_dir(self) -> str:
+        cfg = self.model_config
+        lang = "" if cfg.charset_name in ("en", "") \
+            or os.path.sep in str(cfg.charset_name) else cfg.charset_name
+        return weights_dir("recognition", self.model_name, lang)
 
     @property
     def charset(self) -> Charset:
@@ -52,11 +81,7 @@ class OcrRecognitionTask(InferTask):
         sample = np.zeros((1, cfg.img_height, cfg.width_buckets[0],
                            cfg.img_channels), np.float32)
         # lang-keyed weight dirs, reference-style (PP-OCRv4_rec_ch etc.)
-        lang = "" if cfg.charset_name in ("en", "") \
-            or os.path.sep in str(cfg.charset_name) else cfg.charset_name
-        variables = load_or_init(
-            module, sample,
-            weights_dir("recognition", self.model_name, lang))
+        variables = load_or_init(module, sample, self._weights_dir())
         # normalization on device: crops upload as uint8
         # (PP rec: x/127.5-1; ConvNextViT: x/255 — processor refs)
         convnext = cfg.backbone == "convnext_vit"

@@ -9,6 +9,7 @@ implementations land; all return the common TSR schema
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -37,6 +38,20 @@ def merge_tsr_cells(primary: Dict[str, Any], secondary: Dict[str, Any],
     return {"cells": base, "type": "lore_line_cell_merge"}
 
 
+def _sidecar_dict(wdir: str, name_keys) -> str:
+    """Find a vocab txt copied next to converted weights (see
+    tools/convert_weights.py sidecar copy); '' when absent."""
+    import glob
+
+    if not os.path.isdir(wdir):
+        return ""
+    for p in sorted(glob.glob(os.path.join(wdir, "*.txt"))):
+        base = os.path.basename(p).lower()
+        if any(k in base for k in name_keys):
+            return p
+    return ""
+
+
 class OcrTableStructureTask(InferTask):
     task_name = "table_structure"
 
@@ -62,6 +77,13 @@ class OcrTableStructureTask(InferTask):
                                          SLANetPreProcessor)
             self.model_config = config or get_config(
                 "table_structure", model, **kw)
+            if not self.model_config.dict_path:
+                # a converted snapshot ships its structure dict next to the
+                # weights (convert_weights copies it); prefer it over the
+                # builtin token set so ids match the checkpoint
+                self.model_config.dict_path = _sidecar_dict(
+                    weights_dir("table_structure", model),
+                    ("table_structure", "structure"))
             self.pre = SLANetPreProcessor(self.model_config)
             self.post = SLANetPostProcessor(self.model_config)
         elif model == "Lgpma":
@@ -77,6 +99,10 @@ class OcrTableStructureTask(InferTask):
             variant = "mtl_tabnet" if model == "MtlTabNet" else "table_master"
             kw.setdefault("variant", variant)
             self.model_config = config or TableMasterConfig(**kw)
+            if not self.model_config.dict_path:
+                self.model_config.dict_path = _sidecar_dict(
+                    weights_dir("table_structure", model),
+                    ("structure_alphabet", "structure"))
             self.pre = TableMasterPreProcessor(self.model_config)
             cell_charset = None
             if self.model_config.variant == "mtl_tabnet":

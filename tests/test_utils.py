@@ -124,3 +124,90 @@ class TestLangCharsets:
         cfg = get_config("recognition", "PP-OCRv4_rec", lang="korean")
         assert cfg.charset_name == "korean"
         assert cfg.vocab_size == 52   # blank + 50 + space
+
+
+class TestCharsetStrictAndSidecar:
+    """Round-3 lang-dict hardening: converted weights must never decode
+    through the generic fallback, and the converter's sidecar dict copy is
+    picked up from the weights dir (docs/language.md)."""
+
+    def test_strict_ch_raises_without_dict(self, monkeypatch, tmp_path):
+        import pytest
+
+        from pdf_table_tpu.models.rec_ctc.charset import resolve_charset
+
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(tmp_path / "none"))
+        with pytest.raises(ValueError):
+            resolve_charset("ch", strict=True)
+
+    def test_extra_dirs_win(self, monkeypatch, tmp_path):
+        from pdf_table_tpu.models.rec_ctc.charset import resolve_charset
+
+        w = tmp_path / "weights"
+        w.mkdir()
+        (w / "ppocr_keys_v1.txt").write_text("的\n一\n", encoding="utf-8")
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(tmp_path / "none"))
+        cs = resolve_charset("ch", extra_dirs=(str(w),), strict=True)
+        assert cs.decode_ids([1, 2]) == "的一"
+        assert not getattr(cs, "generic_fallback", False)
+
+    def test_generic_fallback_flag(self, monkeypatch, tmp_path):
+        from pdf_table_tpu.models.rec_ctc.charset import resolve_charset
+
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(tmp_path / "none"))
+        cs = resolve_charset("ch")
+        assert getattr(cs, "generic_fallback", False)
+
+    def test_rec_task_hard_errors_on_converted_generic(self, monkeypatch,
+                                                       tmp_path):
+        """Converted ch weights + missing dict -> constructor raises
+        (silent-wrong decode is forbidden)."""
+        import pytest
+
+        from pdf_table_tpu.utils.constants import Constants
+
+        monkeypatch.setattr(Constants, "MODEL_CACHE_DIR", str(tmp_path))
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(tmp_path / "none"))
+        wdir = tmp_path / "recognition" / "PP-OCRv4_rec_ch"
+        wdir.mkdir(parents=True)
+        (wdir / "checkpoint").mkdir()  # simulated orbax payload
+
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+        with pytest.raises((RuntimeError, ValueError)):
+            OcrRecognitionTask(charset_name="ch", vocab_size=64)
+
+    def test_rec_task_picks_sidecar_dict(self, monkeypatch, tmp_path):
+        from pdf_table_tpu.utils.constants import Constants
+
+        monkeypatch.setattr(Constants, "MODEL_CACHE_DIR", str(tmp_path))
+        monkeypatch.setenv("PDFTABLE_DICT_DIR", str(tmp_path / "none"))
+        wdir = tmp_path / "recognition" / "PP-OCRv4_rec_ch"
+        wdir.mkdir(parents=True)
+        (wdir / "ppocr_keys_v1.txt").write_text("的\n一\n是\n",
+                                                encoding="utf-8")
+
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+        task = OcrRecognitionTask(charset_name="ch", vocab_size=5)
+        assert task.charset.decode_ids([1, 2, 3]) == "的一是"
+
+    def test_convert_sidecar_copy(self, tmp_path):
+        """tools/convert_weights.py sidecar rule: dict/keys/alphabet txt
+        travel with the converted weights."""
+        import glob
+        import os
+        import shutil
+
+        src = tmp_path / "snapshot"
+        out = tmp_path / "out"
+        src.mkdir()
+        out.mkdir()
+        (src / "ppocr_keys_v1.txt").write_text("a\n")
+        (src / "README.txt").write_text("not a vocab\n")
+        (src / "structure_alphabet.txt").write_text("<tr>\n")
+        # the same filter the tool applies
+        for pth in sorted(glob.glob(os.path.join(src, "*.txt"))):
+            base = os.path.basename(pth).lower()
+            if any(k in base for k in ("dict", "keys", "alphabet", "label")):
+                shutil.copy(pth, out)
+        got = sorted(os.path.basename(p) for p in glob.glob(str(out / "*")))
+        assert got == ["ppocr_keys_v1.txt", "structure_alphabet.txt"]

@@ -258,6 +258,20 @@ def main() -> int:
     out_dir = args.out or weights_dir(task, reg_name, lang)
     save_params(variables, out_dir)
     print("saved to", out_dir)
+
+    # carry the snapshot's sidecar vocab files (dict/keys/alphabet/label
+    # txt) next to the converted weights — decode resolves them from the
+    # weights dir first, mirroring the reference's snapshot layout
+    # (rec_postprocess.py BaseRecLabelDecode:17, table_postprocess.py:177)
+    import glob
+    import shutil
+
+    src_dir = os.path.dirname(os.path.abspath(args.checkpoint))
+    for pth in sorted(glob.glob(os.path.join(src_dir, "*.txt"))):
+        base = os.path.basename(pth).lower()
+        if any(k in base for k in ("dict", "keys", "alphabet", "label")):
+            shutil.copy(pth, out_dir)
+            print("copied sidecar", os.path.basename(pth))
     return 0
 
 
