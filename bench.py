@@ -41,62 +41,64 @@ def make_page(seed: int, h: int = 1224, w: int = 950) -> np.ndarray:
     return img
 
 
-def bench() -> dict:
+def build_pipeline(tsr_task_type: str = "wireless",
+                   inject_lines: bool = True):
+    """Bench pipeline: real code path, load-representative volumes.
+
+    Random weights find no text, so (a) det thresholds drop so candidate
+    boxes flow, (b) with ``inject_lines`` a deterministic grid of text-line
+    quads is appended after the honest DB postprocess — every downstream
+    stage (device warp, 0/180 cls, CTC rec, HTML) then runs at
+    converted-weight-like volume, and (c) a floor-threshold single-class
+    picodet emits up to 2 'table' regions/page so LORE TSR + table HTML
+    carry real load."""
     from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
     from pdf_table_tpu.pipeline.system import OcrSystemConfig
+    from pdf_table_tpu.tasks.detection import OcrDetectionTask
+    from pdf_table_tpu.tasks.layout import OcrLayoutTask
+    from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
 
     cfg = OcrSystemConfig(use_layout=True, use_table=True,
                           use_orientation_cls=False)
     bp = BatchPipeline(cfg, batch_pages=8)
-    # random weights find no text: drop thresholds so ~dozens of candidate
-    # boxes per page flow through crop + recognition, making the measured
-    # path representative of converted-weight workloads
-    from pdf_table_tpu.tasks.detection import OcrDetectionTask
-    from pdf_table_tpu.tasks.layout import OcrLayoutTask
-
     bp.system._det = OcrDetectionTask(model="PP-OCRv4_det", thresh=0.45,
                                       box_thresh=0.0, max_candidates=48)
-
-    # random weights yield degenerate box sets (one page blob or dust), so
-    # recognition/textline-cls load would not be representative; append a
-    # deterministic grid of text-line quads per page after DB postprocess —
-    # every downstream stage (device warp, 0/180 cls, CTC rec, HTML) runs
-    # at converted-weight-like volume through the honest code path
-    orig_det_post = bp._det_post
-
-    def det_post_with_lines(probs_u8, shapes, bucket_hw, det_hw,
-                            fast_post=True):
-        quads = orig_det_post(probs_u8, shapes, bucket_hw, det_hw, fast_post)
-        out = []
-        for (h, w), q in zip(shapes, quads):
-            rng = np.random.default_rng(int(h) * 7 + int(w))
-            lines = []
-            y = 60
-            while y < h - 80 and len(lines) < 30:
-                x = 70
-                ww = int(rng.integers(120, 360))
-                lines.append([[x, y], [x + ww, y],
-                              [x + ww, y + 22], [x, y + 22]])
-                y += 36
-            out.append(np.concatenate(
-                [np.asarray(q).reshape(-1, 4, 2),
-                 np.asarray(lines, np.float32)], axis=0))
-        return out
-
-    bp._det_post = det_post_with_lines
-    # single-class picodet table detector with a floor threshold: random
-    # weights emit up to 2 "table" regions/page, so LORE TSR + table HTML
-    # run at a converted-weight-like load through the honest code path
     bp.system._layout = OcrLayoutTask(model="picodet", task_type="table",
                                       score_threshold=0.05, keep_top_k=2)
-    # TSR: LORE wireless (768^2) — the faster of the two first-class LORE
-    # configs (the system default wtw 1024^2 + host corner refine also
-    # runs on this rig at ~1.6 pages/s; wireless measures the throughput
-    # configuration)
-    from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
-
     bp.system._tsr = OcrTableStructureTask(model="Lore",
-                                           task_type="wireless")
+                                           task_type=tsr_task_type)
+
+    if inject_lines:
+        orig_det_post = bp._det_post
+
+        def det_post_with_lines(probs_u8, shapes, bucket_hw, det_hw,
+                                fast_post=True):
+            quads = orig_det_post(probs_u8, shapes, bucket_hw, det_hw,
+                                  fast_post)
+            out = []
+            for (h, w), q in zip(shapes, quads):
+                rng = np.random.default_rng(int(h) * 7 + int(w))
+                lines = []
+                y = 60
+                while y < h - 80 and len(lines) < 30:
+                    x = 70
+                    ww = int(rng.integers(120, 360))
+                    lines.append([[x, y], [x + ww, y],
+                                  [x + ww, y + 22], [x, y + 22]])
+                    y += 36
+                out.append(np.concatenate(
+                    [np.asarray(q).reshape(-1, 4, 2),
+                     np.asarray(lines, np.float32)], axis=0))
+            return out
+
+        bp._det_post = det_post_with_lines
+    return bp
+
+
+def bench() -> dict:
+    # TSR: LORE wireless (768^2) — the throughput config; the tail reports
+    # the system-default wtw (1024^2 + host corner refine) alongside
+    bp = build_pipeline("wireless", inject_lines=True)
     pages = [{"image": make_page(i)} for i in range(16)]
 
     # warmup (compile det batch program + rec buckets)
@@ -111,12 +113,105 @@ def bench() -> dict:
     assert len(results) == len(pages)
     n_tables = sum(len(r.table_structures) for r in results)
     assert n_tables > 0, "bench must exercise the TSR stage"
-    return {
+
+    # per-stage wall breakdown of the last run (lanes overlap; ms/page).
+    # 'det_wait_d2h' includes device det compute hidden behind the async
+    # enqueue; the serial probe below separates them.
+    n = float(len(pages))
+    stages = {k: round(v / n * 1000, 1)
+              for k, v in (bp.last_stats or {}).items()
+              if k not in ("n_pages",)}
+
+    out = {
         "metric": "e2e_pages_per_sec_per_chip(batched det+rec+layout+TSR+html)",
         "value": round(pages_per_sec, 3),
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / 50.0, 3),
+        "stages_ms_per_page": stages,
+        "probe": serial_probe(bp, pages),
     }
+    out["tail"] = tail_configs(pages)
+    return out
+
+
+def serial_probe(bp, pages) -> dict:
+    """Block-synchronized per-stage costs of ONE chunk (ms/page): splits
+    the async pipeline into H2D, det compute, det D2H, host post, layout,
+    TSR, rec so the bottleneck is attributable (VERDICT r2 #1a)."""
+    import jax
+
+    from pdf_table_tpu.pipeline.batch_runner import (det_input_size,
+                                                     pack_pages)
+
+    det = bp.system.det_task
+    images = [p["image"] for p in pages[:8]]
+    groups = pack_pages(images)
+    bucket, g = next(iter(groups.items()))
+    n = len(g["indices"])
+    probe = {}
+
+    t0 = time.perf_counter()
+    dev = jax.device_put(g["images"])
+    jax.block_until_ready(dev)
+    probe["h2d"] = time.perf_counter() - t0
+
+    det_hw = det_input_size(bucket, det.model_config.limit_side_len)
+    # warm (cached from main bench loop normally; cheap if so)
+    h = bp._detect_enqueue(dev, g["images"].shape, det_hw, pre_resized=False)
+    jax.block_until_ready(h)
+    t0 = time.perf_counter()
+    h = bp._detect_enqueue(dev, g["images"].shape, det_hw, pre_resized=False)
+    jax.block_until_ready(h)
+    probe["det_device"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    probs_u8 = np.asarray(h)[:n]
+    probe["det_d2h"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    quads = bp._det_post(probs_u8, g["shapes"], bucket, det_hw)
+    probe["det_host_post"] = time.perf_counter() - t0
+
+    if bp.system.config.use_layout and bp.system.layout_task is not None:
+        lh = bp.system.layout_task.batch_enqueue_pages(dev)
+        t0 = time.perf_counter()
+        cells = bp.system.layout_task.batch_finish(*lh)
+        probe["layout_finish"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lh2 = bp.system.layout_task.batch_enqueue_pages(dev)
+        _, tables = bp._tables_for_chunk(dev, g["shapes"], lh2)
+        probe["layout_tsr"] = time.perf_counter() - t0
+        probe["n_tables"] = sum(len(t) for t in tables)
+
+    t0 = time.perf_counter()
+    bp._recognize_all_device(np.asarray(g["images"]), quads)
+    probe["rec_device_path"] = time.perf_counter() - t0
+    probe["n_crops"] = int(sum(len(q) for q in quads))
+
+    return {k: (round(v / n * 1000, 1) if isinstance(v, float) else v)
+            for k, v in probe.items()}
+
+
+def tail_configs(pages) -> dict:
+    """Secondary numbers (VERDICT r2 #7): the system-default wtw-LORE TSR
+    config at bench load, and the wireless config through the REAL DB box
+    path only (no injected quads)."""
+    tail = {}
+    # default config: wtw LORE 1024^2 + host corner refine, same load
+    bp2 = build_pipeline("wtw", inject_lines=True)
+    bp2.run(pages)  # warm
+    t0 = time.perf_counter()
+    bp2.run(pages)
+    tail["wtw_default_pages_per_sec"] = round(
+        len(pages) / (time.perf_counter() - t0), 3)
+
+    # honest det post end-to-end (random-weight box census, no injection)
+    bp3 = build_pipeline("wireless", inject_lines=False)
+    bp3.run(pages[:8])  # warm
+    t0 = time.perf_counter()
+    res = bp3.run(pages[:8])
+    tail["real_detpost_pages_per_sec"] = round(
+        8 / (time.perf_counter() - t0), 3)
+    tail["real_detpost_boxes"] = int(sum(len(r.text_cells) for r in res))
+    return tail
 
 
 def main() -> int:

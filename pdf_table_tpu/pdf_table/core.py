@@ -183,12 +183,17 @@ class Table:
         empty = sum(1 for r in data for t in r if not t)
         self.whitespace = 100.0 * empty / max(n, 1)
 
-    def to_html(self) -> str:
-        """Span-aware HTML (merges via hspan/vspan flags)."""
-        rows_html = []
+    def logical_cells(self) -> List[Tuple[int, int, int, int,
+                                          Tuple[float, float, float, float]]]:
+        """Merged span regions: (row, col, rowspan, colspan, merged bbox)
+        per anchor cell — the analog of the reference's merged
+        all_cell_results (merge_row_cell/merge_column_cell,
+        table_extractor_pdf.py:769,841 + modify_cell_info:707): a grid cell
+        swallowed by a span (missing inner separator) belongs to its
+        anchor's region."""
+        regions = []
         skip = set()
         for i, row in enumerate(self.cells):
-            tds = []
             for j, c in enumerate(row):
                 if (i, j) in skip:
                     continue
@@ -201,14 +206,30 @@ class Table:
                 while i + rs < self.shape[0] \
                         and self.cells[i + rs][j].vspan \
                         and not self.cells[i + rs][j].top:
-                    skip.add((i + rs, j))
+                    for jj in range(j, j + cs):
+                        skip.add((i + rs, jj))
                     rs += 1
+                bbox = (c.x1, self.cells[i + rs - 1][j].y1,
+                        row[j + cs - 1].x2, c.y2)
+                regions.append((i, j, rs, cs, bbox))
+        return regions
+
+    def to_html(self) -> str:
+        """Span-aware HTML (merges via hspan/vspan flags)."""
+        rows_html: List[str] = []
+        by_row: Dict[int, List[Tuple[int, int, int, str]]] = {}
+        for i, j, rs, cs, _bbox in self.logical_cells():
+            by_row.setdefault(i, []).append((j, rs, cs,
+                                             self.cells[i][j].text.strip()))
+        for i in range(self.shape[0]):
+            tds = []
+            for j, rs, cs, text in sorted(by_row.get(i, [])):
                 attrs = ""
                 if cs > 1:
                     attrs += f' colspan="{cs}"'
                 if rs > 1:
                     attrs += f' rowspan="{rs}"'
-                tds.append(f"<td{attrs}>{c.text.strip()}</td>")
+                tds.append(f"<td{attrs}>{text}</td>")
             rows_html.append("<tr>" + "".join(tds) + "</tr>")
         return "<table>" + "".join(rows_html) + "</table>"
 

@@ -94,6 +94,15 @@ def pack_pages(images: Sequence[np.ndarray],
     return groups
 
 
+def _error_output(page: int, exc: Exception,
+                  is_pdf: bool = False) -> OcrSystemModelOutput:
+    """Failed-page placeholder: the error rides the metric dict (reference
+    cli/main.py:184-187 renders metrics instead of HTML for failed pages)."""
+    out = OcrSystemModelOutput(page=page, is_pdf=is_pdf)
+    out.metric = {"error": f"{type(exc).__name__}: {exc}"}
+    return out
+
+
 class BatchPipeline:
     """Device-batched det+rec over many pages; tables/HTML via the per-page
     system task stages."""
@@ -111,6 +120,7 @@ class BatchPipeline:
         # round-trip cost makes the host cv2 warp slightly faster on the
         # remote rig. A local chip should pass True.
         self.device_crops = device_crops
+        self.last_stats: Optional[Dict[str, float]] = None
 
     # -- batched detection ---------------------------------------------------
 
@@ -455,8 +465,18 @@ class BatchPipeline:
     def run(self, pages: Sequence[Dict[str, Any]]) -> List[OcrSystemModelOutput]:
         """pages: [{'image': ndarray} | {'pdf_page', 'pdf_doc'}]. Digital
         PDFs route through the per-page system task (text comes from vector
-        data); raster pages run the batched det+rec path."""
+        data); raster pages run the batched det+rec path.
+
+        Per-stage wall timings land in ``self.last_stats`` after every run
+        (seconds, cumulative across chunks; lanes overlap so stages sum to
+        more than 'total'). The reference only records per-stage times in
+        its serial loop (ocr_system_task.py:646-660); here the same schema
+        feeds bench.py's published breakdown."""
         t_start = time.time()
+        stats: Dict[str, float] = {
+            "rasterize": 0.0, "h2d_enqueue": 0.0, "det_wait_d2h": 0.0,
+            "det_host_post": 0.0, "rec_lane": 0.0, "tsr_lane": 0.0,
+            "html": 0.0, "digital_serial": 0.0}
         results: List[Optional[OcrSystemModelOutput]] = [None] * len(pages)
 
         # rasterize on host threads
@@ -467,19 +487,31 @@ class BatchPipeline:
             return render_page(p.get("pdf_doc"), p["pdf_page"],
                                dpi=self.system.config.render_dpi)
 
+        t0 = time.time()
         with cf.ThreadPoolExecutor(max_workers=4) as pool:
             images = list(pool.map(materialize, pages))
+        stats["rasterize"] = time.time() - t0
 
         digital = [i for i, p in enumerate(pages)
                    if p.get("pdf_page") is not None
                    and getattr(p["pdf_page"], "texts", None)]
         raster = [i for i in range(len(pages)) if i not in set(digital)]
 
+        t0 = time.time()
         for i in digital:
-            results[i] = self.system(image=images[i],
-                                     pdf_page=pages[i]["pdf_page"],
-                                     pdf_doc=pages[i].get("pdf_doc"),
-                                     page=pages[i].get("page", i))
+            try:
+                results[i] = self.system(image=images[i],
+                                         pdf_page=pages[i]["pdf_page"],
+                                         pdf_doc=pages[i].get("pdf_doc"),
+                                         page=pages[i].get("page", i))
+            except Exception as e:
+                # page-level containment mirroring the serial CLI
+                # (reference cli/main.py:142-144): a broken page yields an
+                # error-bearing output, not a dead batch
+                logger.exception("digital page %s failed", i)
+                results[i] = _error_output(pages[i].get("page", i), e,
+                                           is_pdf=True)
+        stats["digital_serial"] = time.time() - t0
 
         if raster:
             import jax
@@ -505,6 +537,7 @@ class BatchPipeline:
             handles, layout_handles, canvs = [], [], []
             use_layout = self.system.config.use_layout \
                 and self.system.layout_task is not None
+            t0 = time.time()
             for chunk in chunks:
                 shp = chunk["images"].shape
                 dev = jax.device_put(chunk["images"])
@@ -516,10 +549,18 @@ class BatchPipeline:
                 layout_handles.append(
                     self.system.layout_task.batch_enqueue_pages(dev)
                     if use_layout else None)
+            stats["h2d_enqueue"] = time.time() - t0
             # three-lane software pipeline: a rec worker runs chunk k's
             # recognition and a TSR worker runs chunk k's layout+TSR (both
             # device + tunnel IO, GIL released) while the main thread does
             # chunk k+1's host DB postprocess
+            def timed(key, fn, *a):
+                t = time.time()
+                try:
+                    return fn(*a)
+                finally:
+                    stats[key] += time.time() - t
+
             rec_pool = cf.ThreadPoolExecutor(max_workers=1)
             tsr_pool = cf.ThreadPoolExecutor(max_workers=1)
             staged = []
@@ -527,9 +568,16 @@ class BatchPipeline:
                 shp = chunk["images"].shape
                 det_hw = det_input_size(chunk["bucket"],
                                         det.model_config.limit_side_len)
-                probs_u8 = np.asarray(handles[ci])[:shp[0]]
-                quads = self._det_post(probs_u8, chunk["shapes"],
-                                       chunk["bucket"], det_hw)
+                try:
+                    t0 = time.time()
+                    probs_u8 = np.asarray(handles[ci])[:shp[0]]
+                    stats["det_wait_d2h"] += time.time() - t0
+                    quads = timed("det_host_post", self._det_post, probs_u8,
+                                  chunk["shapes"], chunk["bucket"], det_hw)
+                except Exception as e:
+                    logger.exception("chunk %d detection failed", ci)
+                    staged.append((chunk, None, None, None, e))
+                    continue
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
                 use_dev = self.device_crops
                 if use_dev is None:
@@ -537,43 +585,75 @@ class BatchPipeline:
                 if use_dev and self.system.rec_task.model_config.backbone \
                         != "convnext_vit":
                     # fused device path reuses the resident canvas stack
-                    rec_fut = rec_pool.submit(self._recognize_all_device,
+                    rec_fut = rec_pool.submit(timed, "rec_lane",
+                                              self._recognize_all_device,
                                               canvs[ci], quads)
                 else:
-                    rec_fut = rec_pool.submit(self._recognize_all,
+                    rec_fut = rec_pool.submit(timed, "rec_lane",
+                                              self._recognize_all,
                                               page_imgs, quads)
-                tsr_fut = tsr_pool.submit(self._tables_for_chunk,
+                tsr_fut = tsr_pool.submit(timed, "tsr_lane",
+                                          self._tables_for_chunk,
                                           canvs[ci], chunk["shapes"],
                                           layout_handles[ci])
-                staged.append((chunk, quads, tsr_fut, rec_fut))
-            for chunk, quads, tsr_fut, fut in staged:
-                layout_cells, table_results = tsr_fut.result()
-                texts, scores = fut.result()
+                staged.append((chunk, quads, tsr_fut, rec_fut, None))
+            for chunk, quads, tsr_fut, fut, chunk_err in staged:
+                if chunk_err is not None:
+                    for gi in chunk["indices"]:
+                        i = raster[gi]
+                        results[i] = _error_output(pages[i].get("page", i),
+                                                   chunk_err)
+                    continue
+                try:
+                    layout_cells, table_results = tsr_fut.result()
+                except Exception as e:
+                    logger.exception("chunk layout/TSR failed")
+                    layout_cells = [[] for _ in chunk["indices"]]
+                    table_results = [[] for _ in chunk["indices"]]
+                try:
+                    texts, scores = fut.result()
+                except Exception as e:
+                    logger.exception("chunk recognition failed")
+                    texts = [[""] * len(q) for q in quads]
+                    scores = [[0.0] * len(q) for q in quads]
+                t0 = time.time()
                 for k, gi in enumerate(chunk["indices"]):
                     i = raster[gi]
-                    out = OcrSystemModelOutput(
-                        page=pages[i].get("page", i), is_pdf=False)
-                    out.image = images[i]
-                    out.image_shape = images[i].shape[:2]
-                    from ..entity.ocr_cell import OcrCell
-                    out.text_cells = [
-                        OcrCell.from_poly(q, text=t, score=s)
-                        for q, t, s in zip(quads[k], texts[k], scores[k])]
-                    out.layout_cells = layout_cells[k]
-                    out.table_structures = [r for _, r in table_results[k]]
-                    table_regions = []
-                    for tb, r in table_results[k]:
-                        html = self.system.table_html_task(r, out.text_cells)
-                        out.table_html.append(html)
-                        table_regions.append((tb, html))
-                    out.page_html = self.system.to_html_task(
-                        out.text_cells, table_regions,
-                        page_width=float(images[i].shape[1]))
-                    results[i] = out
+                    try:
+                        out = OcrSystemModelOutput(
+                            page=pages[i].get("page", i), is_pdf=False)
+                        out.image = images[i]
+                        out.image_shape = images[i].shape[:2]
+                        from ..entity.ocr_cell import OcrCell
+                        out.text_cells = [
+                            OcrCell.from_poly(q, text=t, score=s)
+                            for q, t, s in zip(quads[k], texts[k],
+                                               scores[k])]
+                        out.layout_cells = layout_cells[k]
+                        out.table_structures = [r for _, r in
+                                                table_results[k]]
+                        table_regions = []
+                        for tb, r in table_results[k]:
+                            html = self.system.table_html_task(
+                                r, out.text_cells)
+                            out.table_html.append(html)
+                            table_regions.append((tb, html))
+                        out.page_html = self.system.to_html_task(
+                            out.text_cells, table_regions,
+                            page_width=float(images[i].shape[1]))
+                        results[i] = out
+                    except Exception as e:  # per-page containment
+                        logger.exception("page %s HTML assembly failed", i)
+                        results[i] = _error_output(pages[i].get("page", i),
+                                                   e)
+                stats["html"] += time.time() - t0
             rec_pool.shutdown(wait=True)
             tsr_pool.shutdown(wait=True)
 
         dt = time.time() - t_start
+        stats["total"] = dt
+        stats["n_pages"] = float(len(pages))
+        self.last_stats = stats
         logger.info("batch pipeline: %d pages in %.2fs (%.2f pages/s)",
                     len(pages), dt, len(pages) / max(dt, 1e-9))
         return [r for r in results if r is not None]
