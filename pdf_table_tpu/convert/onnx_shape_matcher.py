@@ -14,7 +14,7 @@ Use: load initializers (convert.onnx_reader), filter the tensor kinds, then
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -45,9 +45,232 @@ def _onnx_to_flax_shapes(arr: np.ndarray) -> List[Tuple[Tuple[int, ...],
         if arr.shape[1] == 1:
             dw = np.transpose(arr, (2, 3, 1, 0))
             cands.append((tuple(dw.shape), dw))
+        # conv-transpose IOHW -> flax ConvTranspose HWIO
+        ct = np.transpose(arr, (2, 3, 0, 1))
+        if tuple(ct.shape) not in (c[0] for c in cands):
+            cands.append((tuple(ct.shape), ct))
     if arr.ndim == 2:                      # linear (O, I) -> (I, O)
         cands.append((tuple(convert_dense(arr).shape), convert_dense(arr)))
     return cands
+
+
+def execution_ordered_slots(variables: Dict[str, Any]
+                            ) -> List[Tuple[str, str, np.ndarray]]:
+    """Flatten a flax variables dict {params, batch_stats?} into ONE
+    execution-ordered slot list [(collection, path, value)].
+
+    BatchNorm splits across collections (params: scale/bias, batch_stats:
+    mean/var) but ONNX/Paddle/torch serialize the four together per layer
+    (scale, bias, mean, var). Interleaving the stats right after their
+    params keeps ordered shape matching unambiguous — otherwise four
+    same-shaped (C,) vectors per BN have no positional anchor."""
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats", {})
+
+    def walk(p_node, s_node, prefix):
+        out = []
+        for k, v in p_node.items():
+            path = f"{prefix}/{k}" if prefix else k
+            s_child = s_node.get(k, {}) if isinstance(s_node, dict) else {}
+            if isinstance(v, dict):
+                keys = set(v.keys())
+                s_keys = set(s_child.keys()) if isinstance(s_child, dict) \
+                    else set()
+                if {"scale", "bias"} <= keys and {"mean", "var"} <= s_keys:
+                    # BatchNorm: emit in serialization order
+                    out.append(("params", f"{path}/scale",
+                                np.asarray(v["scale"])))
+                    out.append(("params", f"{path}/bias",
+                                np.asarray(v["bias"])))
+                    out.append(("batch_stats", f"{path}/mean",
+                                np.asarray(s_child["mean"])))
+                    out.append(("batch_stats", f"{path}/var",
+                                np.asarray(s_child["var"])))
+                    rest = {k2: v2 for k2, v2 in v.items()
+                            if k2 not in ("scale", "bias")}
+                    out.extend(walk(rest, s_child, path))
+                else:
+                    out.extend(walk(v, s_child, path))
+            else:
+                out.append(("params", path, np.asarray(v)))
+        return out
+
+    return walk(params, stats, "")
+
+
+def _set_leaf(variables: Dict[str, Any], collection: str, path: str,
+              value: np.ndarray) -> None:
+    node = variables[collection] if collection in variables else variables
+    parts = path.split("/")
+    for p in parts[:-1]:
+        node = node[p]
+    node[parts[-1]] = value
+
+
+# canonical leaf order per flax primitive, matching torch/Paddle
+# serialization order (conv weight->bias; BN scale->bias[->mean->var])
+LEAF_ORDERS = {
+    "Conv": ("kernel", "bias"),
+    "ConvTranspose": ("kernel", "bias"),
+    "Dense": ("kernel", "bias"),
+    "DenseGeneral": ("kernel", "bias"),
+    "BatchNorm": ("scale", "bias"),
+    "LayerNorm": ("scale", "bias"),
+    "GroupNorm": ("scale", "bias"),
+    "Embed": ("embedding",),
+}
+
+
+def call_ordered_slots(module, *sample_args, **sample_kwargs
+                       ) -> List[Tuple[str, str]]:
+    """Trace the module abstractly and return [(collection, path)] in TRUE
+    execution order.
+
+    Flax variable dicts sort keys alphabetically ('stem' after 'blocks*',
+    'bias' before 'kernel'), so a purely tree-ordered shape match can
+    silently swap same-shaped tensors (BN scale vs bias). Serialized
+    checkpoints (Paddle exports, torch state_dicts) are in call order;
+    nn.intercept_methods during an eval_shape init recovers that order,
+    and LEAF_ORDERS pins the within-layer order. Leaves of custom
+    self.param modules keep their subtree's alphabetical order at the
+    point the module is first called."""
+    import flax.linen as fnn
+    import jax
+
+    kinds: Dict[Tuple[str, ...], str] = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        kinds.setdefault(tuple(context.module.path),
+                         type(context.module).__name__)
+        return next_fn(*args, **kwargs)
+
+    # record exact creation order of every param/variable: creation
+    # happens at first use inside __call__, so the record IS execution +
+    # declaration order, including custom self.param leaves
+    records: List[Tuple[str, Tuple[str, ...]]] = []
+    orig_param = fnn.Module.param
+    orig_variable = fnn.Module.variable
+
+    def rec_param(self, name, *a, **k):
+        records.append(("params", tuple(self.path) + (name,)))
+        return orig_param(self, name, *a, **k)
+
+    def rec_variable(self, col, name, *a, **k):
+        if col != "params":
+            records.append((col, tuple(self.path) + (name,)))
+        return orig_variable(self, col, name, *a, **k)
+
+    fnn.Module.param = rec_param
+    fnn.Module.variable = rec_variable
+    try:
+        with fnn.intercept_methods(interceptor):
+            jax.eval_shape(
+                lambda: module.init(jax.random.PRNGKey(0), *sample_args,
+                                    **sample_kwargs))
+    finally:
+        fnn.Module.param = orig_param
+        fnn.Module.variable = orig_variable
+
+    # group leaves per owning module (first-record order), then reorder
+    # within the module to the serialization convention (BN quadruple
+    # scale,bias,mean,var; conv kernel,bias) via LEAF_ORDERS
+    by_module: Dict[Tuple[str, ...], List[Tuple[str, str]]] = {}
+    module_seq: List[Tuple[str, ...]] = []
+    for coll, full_path in records:
+        mod, leaf = full_path[:-1], full_path[-1]
+        if mod not in by_module:
+            by_module[mod] = []
+            module_seq.append(mod)
+        if (coll, leaf) not in by_module[mod]:
+            by_module[mod].append((coll, leaf))
+
+    slots: List[Tuple[str, str, str]] = []
+    for mod in module_seq:
+        leaves = by_module[mod]
+        kind = kinds.get(mod, "")
+        canonical = list(LEAF_ORDERS.get(kind, ()))
+        if kind == "BatchNorm":
+            canonical += ["mean", "var"]
+
+        def rank(cl, _canon=canonical, _leaves=leaves):
+            _coll, leaf = cl
+            if leaf in _canon:
+                return (0, _canon.index(leaf))
+            return (1, _leaves.index(cl))
+
+        base = "/".join(mod)
+        for coll, leaf in sorted(leaves, key=rank):
+            slots.append((coll, f"{base}/{leaf}" if base else leaf, kind))
+    return slots
+
+
+def match_by_shape_with_stats(onnx_tensors: Dict[str, np.ndarray],
+                              variables: Dict[str, Any],
+                              slot_order: Optional[List[Tuple[str, str]]]
+                              = None) -> ConversionReport:
+    """ONNX initializers -> full flax variables (params AND batch_stats)
+    by ordered shape matching. ``slot_order`` from call_ordered_slots
+    gives true execution order (strongly recommended); without it the
+    interleaved alphabetical-DFS order is used, which is only safe for
+    models whose layer names sort in call order. This is the end-to-end
+    path a real Paddle export takes (VERDICT r2 #2): .onnx ->
+    read_onnx_initializers -> this -> forward parity."""
+    rep = ConversionReport()
+    if slot_order is not None:
+        def leaf(coll, path):
+            node = variables.get(coll, {})
+            for p in path.split("/"):
+                node = node[p]
+            return node
+        flat = [(t[0], t[1], np.asarray(leaf(t[0], t[1])),
+                 t[2] if len(t) > 2 else "") for t in slot_order]
+    else:
+        flat = [(c, p, v, "") for c, p, v in
+                execution_ordered_slots(variables)]
+    used = [False] * len(flat)
+    cursor = 0
+    for name, arr in onnx_tensors.items():
+        if arr.ndim == 0 or arr.size == 0:
+            continue
+        placed = False
+        order = list(range(cursor, len(flat))) + list(range(0, cursor))
+        for idx in order:
+            if used[idx]:
+                continue
+            coll, ppath, pval, kind = flat[idx]
+            cands = _onnx_to_flax_shapes(arr)
+            # square tensors are shape-ambiguous across layouts; the
+            # slot's layer kind decides the transform (ConvTranspose is
+            # IOHW + spatial flip; Dense/Conv always need their transpose
+            # even when square)
+            if kind == "ConvTranspose" and arr.ndim == 4:
+                from .torch_to_flax import convert_conv_transpose
+                ct = convert_conv_transpose(arr)
+                cands = [(tuple(ct.shape), ct)] + cands
+            elif kind in ("Dense", "DenseGeneral") and arr.ndim == 2:
+                # Paddle linear weights are (in, out) — flax layout, no
+                # transpose; square torch-layout sources would need .T,
+                # but this path ingests Paddle exports
+                cands = [(tuple(arr.shape), arr),
+                         (tuple(convert_dense(arr).shape),
+                          convert_dense(arr))]
+            elif kind == "Conv" and arr.ndim == 4:
+                cands = [c for c in cands if c[1] is not arr] \
+                    + [(tuple(arr.shape), arr)]
+            for shape, view in cands:
+                if tuple(pval.shape) == shape:
+                    _set_leaf(variables, coll, ppath,
+                              view.astype(pval.dtype))
+                    used[idx] = True
+                    rep.record(name, f"{coll}:{ppath}", shape)
+                    cursor = idx + 1
+                    placed = True
+                    break
+            if placed:
+                break
+        if not placed:
+            rep.missing.append(name)
+    return rep
 
 
 def match_by_shape(onnx_tensors: Dict[str, np.ndarray],

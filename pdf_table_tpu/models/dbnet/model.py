@@ -306,6 +306,9 @@ class RSEFPN(nn.Module):
     def __call__(self, feats, train: bool = False):
         c2, c3, c4, c5 = feats
         f = self.out_channels
+        # call order mirrors the reference RSEFPN.forward exactly (in5..in2
+        # then out5..out2): paddle2onnx initializer order follows graph
+        # execution, so call-ordered ONNX shape matching lines up
         p5 = RSELayer(f, 1, dtype=self.dtype, name="in5")(c5)
         p4 = RSELayer(f, 1, dtype=self.dtype, name="in4")(c4) + upsample2x(p5)
         p3 = RSELayer(f, 1, dtype=self.dtype, name="in3")(c3) + upsample2x(p4)

@@ -65,9 +65,12 @@ class SLAHead(nn.Module):
         b_h2h = p("attn_h2h_b", zeros, (hd,))
         w_score = p("attn_score", init, (hd, 1))
         in_dim = C + V
+        # creation order mirrors torch/Paddle GRUCell serialization
+        # (weight_ih, weight_hh, bias_ih, bias_hh) so ordered ONNX shape
+        # matching keeps the two same-shaped biases straight
         w_ih = p("gru_w_ih", init, (in_dim, 3 * hd))
-        b_ih = p("gru_b_ih", zeros, (3 * hd,))
         w_hh = p("gru_w_hh", init, (hd, 3 * hd))
+        b_ih = p("gru_b_ih", zeros, (3 * hd,))
         b_hh = p("gru_b_hh", zeros, (3 * hd,))
         w_s0 = p("fc_struct0", init, (hd, hd))
         b_s0 = p("fc_struct0_b", zeros, (hd,))

@@ -132,8 +132,11 @@ class CSPLayer(tnn.Module):
         self.blocks = tnn.Sequential(DarknetBottleneck(mid, k))
 
     def forward(self, x):
+        # reference execution order: short -> main -> blocks -> final
+        # (csp_pan.py:204-211); initializer order follows execution
+        short = self.short_conv(x)
         main = self.blocks(self.main_conv(x))
-        return self.final_conv(torch.cat((main, self.short_conv(x)), dim=1))
+        return self.final_conv(torch.cat((main, short), dim=1))
 
 
 class ChannelT(tnn.Module):
@@ -260,6 +263,44 @@ class TestPicoDetConvert:
         assert rep.ok, (rep.missing[:8], rep.shape_errors[:8])
         unused = [u for u in src.unused() if "num_batches" not in u]
         assert unused == [], unused
+
+        with torch.no_grad():
+            tscores, tboxes = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(jax.tree.map(jnp.asarray, variables),
+                          jnp.asarray(x), train=False)
+        for lv in range(4):
+            np.testing.assert_allclose(np.asarray(out["scores"][lv]),
+                                       tscores[lv].numpy(), atol=3e-5)
+            np.testing.assert_allclose(np.asarray(out["boxes"][lv]),
+                                       tboxes[lv].numpy(), atol=3e-4)
+
+
+class TestPicoDetOnnxRoundtrip:
+    def test_onnx_ingestion_forward_parity(self):
+        """Real-checkpoint loop (VERDICT r2 #2): Paddle-style .onnx bytes
+        -> onnx_reader -> call-ordered shape match -> forward parity."""
+        from helpers_onnx import paddle_style_onnx_bytes
+
+        from pdf_table_tpu.convert.onnx_reader import read_onnx_initializers
+        from pdf_table_tpu.convert.onnx_shape_matcher import (
+            call_ordered_slots, match_by_shape_with_stats)
+
+        scale, neck, num_convs = 0.5, 64, 2
+        tmodel = randomize_torch(
+            TorchPicoDet(scale, neck, num_convs, 5, 7)).eval()
+        tensors = read_onnx_initializers(
+            paddle_style_onnx_bytes(tmodel, torch.zeros(1, 3, 64, 64)))
+
+        cfg = PicoDetConfig(task_type="en", lcnet_scale=scale,
+                            neck_channels=neck, head_convs=num_convs)
+        model = PicoDet(cfg)
+        x = np.random.default_rng(11).normal(
+            size=(1, 64, 64, 3)).astype(np.float32)
+        variables = jax.tree.map(
+            np.asarray, dict(init_params(model, jnp.asarray(x))))
+        slots = call_ordered_slots(model, jnp.zeros((1, 64, 64, 3)))
+        rep = match_by_shape_with_stats(tensors, variables, slots)
+        assert rep.ok, (rep.missing[:8], rep.shape_errors[:8])
 
         with torch.no_grad():
             tscores, tboxes = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))

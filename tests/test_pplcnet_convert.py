@@ -128,3 +128,38 @@ class TestPPLCNetConvert:
         got = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables),
                                      jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestPPLCNetOnnxRoundtrip:
+    def test_onnx_ingestion_forward_parity(self):
+        """Close the real-checkpoint loop (VERDICT r2 #2): serialize the
+        torch mirror as Paddle-style ONNX initializers (anonymous names,
+        execution order, OIHW, unfused BN), ingest through
+        read_onnx_initializers -> match_by_shape_with_stats, assert the
+        same forward parity as the state-dict path."""
+        from helpers_onnx import paddle_style_onnx_bytes
+
+        from pdf_table_tpu.convert.onnx_reader import read_onnx_initializers
+        from pdf_table_tpu.convert.onnx_shape_matcher import (
+            call_ordered_slots, match_by_shape_with_stats)
+
+        tmodel = randomize_torch(TorchPPLCNet()).eval()
+        data = paddle_style_onnx_bytes(tmodel, torch.zeros(2, 3, 64, 96))
+        tensors = read_onnx_initializers(data)
+        assert len(tensors) > 50
+
+        cfg = ClsPulcConfig(task_type="text_image_orientation")
+        model = PPLCNetClassifier(cfg)
+        x = np.random.default_rng(1).normal(
+            size=(2, 64, 96, 3)).astype(np.float32)
+        variables = jax.tree.map(
+            np.asarray, dict(init_params(model, jnp.asarray(x))))
+        slots = call_ordered_slots(model, jnp.zeros((1, 64, 96, 3)))
+        rep = match_by_shape_with_stats(tensors, variables, slots)
+        assert rep.ok, (rep.missing[:8], rep.shape_errors[:8])
+
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables),
+                                     jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5)

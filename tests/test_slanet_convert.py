@@ -159,3 +159,43 @@ class TestSLANetConvert:
                                    tprobs.numpy(), atol=1e-4)
         np.testing.assert_allclose(np.asarray(out["loc_preds"]),
                                    tlocs.numpy(), atol=1e-4)
+
+
+class TestSLANetOnnxRoundtrip:
+    def test_onnx_ingestion_forward_parity(self):
+        """Real-checkpoint loop (VERDICT r2 #2): Paddle-style .onnx bytes
+        -> onnx_reader -> call-ordered shape match -> forward parity."""
+        from helpers_onnx import paddle_style_onnx_bytes
+
+        from pdf_table_tpu.convert.onnx_reader import read_onnx_initializers
+        from pdf_table_tpu.convert.onnx_shape_matcher import (
+            call_ordered_slots, match_by_shape_with_stats)
+        from pdf_table_tpu.models.slanet.vocab import StructureVocab
+
+        vocab = len(StructureVocab())
+        scale, neck, hidden, max_len = 0.25, 32, 32, 6
+        tmodel = randomize_torch(
+            TorchSLANet(scale, neck, hidden, vocab, 8, max_len)).eval()
+        tensors = read_onnx_initializers(
+            paddle_style_onnx_bytes(tmodel, torch.zeros(2, 3, 64, 64)))
+
+        cfg = SLANetConfig(table_max_len=64, hidden_size=hidden,
+                           max_structure_len=max_len, lcnet_scale=scale,
+                           neck_channels=neck)
+        model = SLANet(cfg)
+        x = np.random.default_rng(13).normal(
+            size=(2, 64, 64, 3)).astype(np.float32)
+        variables = jax.tree.map(
+            np.asarray, dict(init_params(model, jnp.asarray(x))))
+        slots = call_ordered_slots(model, jnp.zeros((2, 64, 64, 3)))
+        rep = match_by_shape_with_stats(tensors, variables, slots)
+        assert rep.ok, (rep.missing[:8], rep.shape_errors[:8])
+
+        with torch.no_grad():
+            tprobs, tlocs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply(jax.tree.map(jnp.asarray, variables),
+                          jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(out["structure_probs"]),
+                                   tprobs.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["loc_preds"]),
+                                   tlocs.numpy(), atol=1e-4)

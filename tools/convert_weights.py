@@ -229,13 +229,19 @@ def main() -> int:
     variables = _variables(model, sample_shape)
 
     if args.checkpoint.endswith(".onnx"):
+        import jax.numpy as jnp
+
         from pdf_table_tpu.convert.onnx_reader import read_onnx_initializers
-        from pdf_table_tpu.convert.onnx_shape_matcher import match_by_shape
+        from pdf_table_tpu.convert.onnx_shape_matcher import (
+            call_ordered_slots, match_by_shape_with_stats)
 
         tensors = read_onnx_initializers(args.checkpoint)
-        rep = match_by_shape(tensors, variables["params"])
+        # true execution-order slots (params + batch_stats interleaved):
+        # Paddle exports serialize initializers in graph order
+        slots = call_ordered_slots(model, jnp.zeros(sample_shape))
+        rep = match_by_shape_with_stats(tensors, variables, slots)
         print(f"onnx ordered-shape match: {rep.summary()} "
-              f"({len(tensors)} initializers)")
+              f"({len(tensors)} initializers, {len(slots)} slots)")
     else:
         from pdf_table_tpu.convert.torch_to_flax import TorchTensorSource
 
