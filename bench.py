@@ -69,12 +69,7 @@ def build_pipeline(tsr_task_type: str = "wireless",
                                            task_type=tsr_task_type)
 
     if inject_lines:
-        orig_det_post = bp._det_post
-
-        def det_post_with_lines(probs_u8, shapes, bucket_hw, det_hw,
-                                fast_post=True):
-            quads = orig_det_post(probs_u8, shapes, bucket_hw, det_hw,
-                                  fast_post)
+        def add_lines(quads, shapes):
             out = []
             for (h, w), q in zip(shapes, quads):
                 rng = np.random.default_rng(int(h) * 7 + int(w))
@@ -91,11 +86,25 @@ def build_pipeline(tsr_task_type: str = "wireless",
                      np.asarray(lines, np.float32)], axis=0))
             return out
 
+        orig_det_post = bp._det_post
+        orig_boxes_finish = bp._boxes_finish
+
+        def det_post_with_lines(probs_u8, shapes, bucket_hw, det_hw,
+                                fast_post=True):
+            return add_lines(orig_det_post(probs_u8, shapes, bucket_hw,
+                                           det_hw, fast_post), shapes)
+
+        def boxes_finish_with_lines(packed, shapes, bucket_hw, prob_hw):
+            return add_lines(orig_boxes_finish(packed, shapes, bucket_hw,
+                                               prob_hw), shapes)
+
         bp._det_post = det_post_with_lines
+        bp._boxes_finish = boxes_finish_with_lines
     return bp
 
 
 def bench() -> dict:
+    t_bench0 = time.perf_counter()
     # TSR: LORE wireless (768^2) — the throughput config; the tail reports
     # the system-default wtw (1024^2 + host corner refine) alongside
     bp = build_pipeline("wireless", inject_lines=True)
@@ -130,7 +139,12 @@ def bench() -> dict:
         "stages_ms_per_page": stages,
         "probe": serial_probe(bp, pages),
     }
-    out["tail"] = tail_configs(pages)
+    # the tail compiles a second pipeline (wtw 1024^2); skip when the main
+    # loop already ate the wall budget (cold-cache runs)
+    if time.perf_counter() - t_bench0 < 420:
+        out["tail"] = tail_configs(pages)
+    else:
+        out["tail"] = {"skipped": "wall budget (cold compile run)"}
     return out
 
 
@@ -169,6 +183,23 @@ def serial_probe(bp, pages) -> dict:
     t0 = time.perf_counter()
     quads = bp._det_post(probs_u8, g["shapes"], bucket, det_hw)
     probe["det_host_post"] = time.perf_counter() - t0
+
+    # device-box alternative: CC on device, tiny packed D2H
+    h2 = bp._detect_enqueue(dev, g["images"].shape, det_hw,
+                            pre_resized=False)
+    prob_hw = (h2.shape[1], h2.shape[2])
+    pb = bp._boxes_enqueue(h2, g["shapes"], bucket)
+    jax.block_until_ready(pb)   # warm/compile
+    t0 = time.perf_counter()
+    h2 = bp._detect_enqueue(dev, g["images"].shape, det_hw,
+                            pre_resized=False)
+    pb = bp._boxes_enqueue(h2, g["shapes"], bucket)
+    jax.block_until_ready(pb)
+    probe["det_plus_cc_device"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    packed = np.asarray(pb)[:n]
+    bp._boxes_finish(packed, g["shapes"], bucket, prob_hw)
+    probe["det_boxes_d2h_host"] = time.perf_counter() - t0
 
     if bp.system.config.use_layout and bp.system.layout_task is not None:
         lh = bp.system.layout_task.batch_enqueue_pages(dev)

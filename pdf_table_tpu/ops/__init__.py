@@ -14,7 +14,8 @@ from .ctc import ctc_greedy_decode
 from .nms import hard_nms, nms_mask
 from .centernet import topk_scores, gather_feat, decode_boxes_4ps, decode_centernet_bbox, heatmap_nms
 from .deform_conv import deform_conv2d
-from .connected_components import connected_components, component_boxes
+from .connected_components import (connected_components, component_boxes,
+                                   batch_component_boxes_u8)
 
 __all__ = [
     "resize_bilinear",
@@ -36,4 +37,5 @@ __all__ = [
     "deform_conv2d",
     "connected_components",
     "component_boxes",
+    "batch_component_boxes_u8",
 ]

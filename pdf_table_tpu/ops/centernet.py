@@ -36,7 +36,16 @@ def topk_scores(heat: jax.Array, k: int):
     _topk which merges per-class topk)."""
     b, h, w, c = heat.shape
     flat = heat.transpose(0, 3, 1, 2).reshape(b, c * h * w)
-    scores, inds_all = jax.lax.top_k(flat, k)
+    if k > flat.shape[1]:
+        # tiny feature maps (small crop-resolution buckets): take all
+        # cells, pad with -inf so downstream score thresholds drop them
+        scores, inds_all = jax.lax.top_k(flat, flat.shape[1])
+        pad = k - flat.shape[1]
+        scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+        inds_all = jnp.pad(inds_all, ((0, 0), (0, pad)))
+    else:
+        scores, inds_all = jax.lax.top_k(flat, k)
     clses = inds_all // (h * w)
     inds = inds_all % (h * w)
     ys = (inds // w).astype(jnp.float32)

@@ -109,11 +109,15 @@ class BatchPipeline:
 
     def __init__(self, config: Optional[OcrSystemConfig] = None, mesh=None,
                  batch_pages: int = 8, half_res_probs: bool = True,
-                 device_crops: Optional[bool] = None):
+                 device_crops: Optional[bool] = None,
+                 device_boxes: bool = True):
         self.system = OcrSystemTask(config or OcrSystemConfig(), mesh=mesh)
         self.mesh = mesh
         self.batch_pages = batch_pages
         self.half_res_probs = half_res_probs
+        # device CC -> only (N, 64, 6) floats cross the tunnel per chunk;
+        # False restores the prob-map download + host cv2 CC path
+        self.device_boxes = device_boxes
         # None = auto: the fused on-device warp+cls+rec program wins when
         # the textline classifier is on (it folds the whole per-crop
         # pipeline into one program); with cls off, the measured tunnel
@@ -228,6 +232,62 @@ class BatchPipeline:
                 [np.asarray(images),
                  np.zeros((n_pad, shape[1], shape[2], 3), np.uint8)], axis=0)
         return fn(det._params, jnp.asarray(images))
+
+    def _boxes_enqueue(self, probs_handle, shapes, bucket_hw):
+        """Device CC + per-component boxes on the resident prob maps; only
+        an (N, K, 6) tensor will cross the tunnel (VERDICT r2 #1b).
+        Returns the async device array."""
+        import jax.numpy as jnp
+
+        from ..ops import batch_component_boxes_u8
+
+        det = self.system.det_task
+        cfg = det.model_config
+        H, W = bucket_hw
+        ph, pw = probs_handle.shape[1], probs_handle.shape[2]
+        valid = np.array([[int(round(h / H * ph)), int(round(w / W * pw))]
+                          for h, w in shapes], np.int32)
+        n = len(shapes)
+        if probs_handle.shape[0] != n:          # dp padding rows
+            valid = np.concatenate(
+                [valid, np.zeros((probs_handle.shape[0] - n, 2), np.int32)])
+        return batch_component_boxes_u8(
+            probs_handle, int(round(cfg.thresh * 255)), jnp.asarray(valid),
+            max_components=64)
+
+    def _boxes_finish(self, packed: np.ndarray, shapes,
+                      bucket_hw, prob_hw) -> List[np.ndarray]:
+        """Host finish for the device-box path: thresholds, analytic
+        unclip, prob->page coordinate scaling (mirrors
+        DbPostProcessor.fast_device_boxes, models/dbnet/processor.py:268)."""
+        det = self.system.det_task
+        cfg = det.model_config
+        H, W = bucket_hw
+        ph, pw = prob_hw
+        results = []
+        for i, (h, w) in enumerate(shapes):
+            rows = packed[i]
+            vh = max(int(round(h / H * ph)), 1)
+            vw = max(int(round(w / W * pw)), 1)
+            boxes = rows[:, :4]
+            means = rows[:, 4]
+            areas = rows[:, 5]
+            bw = boxes[:, 2] - boxes[:, 0]
+            bh = boxes[:, 3] - boxes[:, 1]
+            keep = (areas > 0) & (means >= cfg.box_thresh) \
+                & (np.minimum(bw, bh) >= cfg.min_size)
+            b = boxes[keep]
+            bw, bh = bw[keep], bh[keep]
+            d = (bw * bh * cfg.unclip_ratio) / np.maximum(
+                2.0 * (bw + bh), 1e-6)
+            x1 = np.clip((b[:, 0] - d) / vw * w, 0, w)
+            y1 = np.clip((b[:, 1] - d) / vh * h, 0, h)
+            x2 = np.clip((b[:, 2] + d) / vw * w, 0, w)
+            y2 = np.clip((b[:, 3] + d) / vh * h, 0, h)
+            quads = np.stack([x1, y1, x2, y1, x2, y2, x1, y2],
+                             axis=1).astype(np.float32)
+            results.append(quads.reshape(-1, 4, 2))
+        return results
 
     def _det_post(self, probs_u8: np.ndarray,
                   shapes, bucket_hw, det_hw, fast_post: bool = True):
@@ -544,8 +604,13 @@ class BatchPipeline:
                 canvs.append(dev)
                 det_hw = det_input_size(chunk["bucket"],
                                         det.model_config.limit_side_len)
-                handles.append(self._detect_enqueue(dev, shp, det_hw,
-                                                    pre_resized=False))
+                probs_h = self._detect_enqueue(dev, shp, det_hw,
+                                               pre_resized=False)
+                prob_hw = (probs_h.shape[1], probs_h.shape[2])
+                if self.device_boxes:
+                    probs_h = self._boxes_enqueue(probs_h, chunk["shapes"],
+                                                  chunk["bucket"])
+                handles.append((probs_h, prob_hw))
                 layout_handles.append(
                     self.system.layout_task.batch_enqueue_pages(dev)
                     if use_layout else None)
@@ -570,10 +635,17 @@ class BatchPipeline:
                                         det.model_config.limit_side_len)
                 try:
                     t0 = time.time()
-                    probs_u8 = np.asarray(handles[ci])[:shp[0]]
+                    handle, prob_hw = handles[ci]
+                    arr = np.asarray(handle)[:shp[0]]
                     stats["det_wait_d2h"] += time.time() - t0
-                    quads = timed("det_host_post", self._det_post, probs_u8,
-                                  chunk["shapes"], chunk["bucket"], det_hw)
+                    if self.device_boxes:
+                        quads = timed("det_host_post", self._boxes_finish,
+                                      arr, chunk["shapes"],
+                                      chunk["bucket"], prob_hw)
+                    else:
+                        quads = timed("det_host_post", self._det_post, arr,
+                                      chunk["shapes"], chunk["bucket"],
+                                      det_hw)
                 except Exception as e:
                     logger.exception("chunk %d detection failed", ci)
                     staged.append((chunk, None, None, None, e))

@@ -59,6 +59,17 @@ class OcrTableStructureTask(InferTask):
                  config=None, task_config: Optional[TaskConfig] = None,
                  mesh=None, **kw):
         super().__init__(task_config, mesh=mesh)
+        # crop-resolution buckets for the from-pages batched path: small
+        # table crops run a 384/512 program instead of the full 768/1024
+        # (pure-upsampling waste otherwise). () = exact reference behavior
+        # (fixed resolution, processer_lore.py:66).
+        rb = kw.pop("res_buckets", "auto")
+        if rb == "auto":
+            self.res_buckets = (384, 512) if model in ("Lore",
+                                                       "LoreAndLineCell") \
+                else ()
+        else:
+            self.res_buckets = tuple(rb or ())
         if model == "LoreAndLineCell":
             # merge mode: LORE cells fused with OpenCV line cells
             self._merge_line_cell = True
@@ -352,14 +363,25 @@ class OcrTableStructureTask(InferTask):
         std = jnp.asarray(LorePreProcessor.STD)
 
         mats, pidx, metas = [], [], []
-        valid_w, valid_h = [], []
+        valid_w, valid_h, res_hw = [], [], []
         for pi, (x1, y1, x2, y2) in regions:
             h, w = float(y2 - y1), float(x2 - x1)
             s = max(h, w, 1.0)
+            # crop-resolution bucket: a small table warped to the full
+            # model resolution is pure upsampling waste; pick the smallest
+            # bucket that holds the crop at native scale (r3 perf item —
+            # the reference always warps to the fixed 768/1024,
+            # processer_lore.py:66-131). res_buckets=() restores that.
+            ri_h, ri_w = inp_h, inp_w
+            for rb in self.res_buckets:
+                if s <= rb and rb < max(inp_h, inp_w):
+                    ri_h = ri_w = rb
+                    break
+            res_hw.append((ri_h, ri_w))
             # valid dst extent: the crop content maps to (w, h) * inp/s;
             # the rest is black border like the reference's crop-then-warp
-            valid_w.append(min(int(np.ceil(w * inp_w / s)), inp_w))
-            valid_h.append(min(int(np.ceil(h * inp_h / s)), inp_h))
+            valid_w.append(min(int(np.ceil(w * ri_w / s)), ri_w))
+            valid_h.append(min(int(np.ceil(h * ri_h / s)), ri_h))
             if cfg.upper_left:
                 quad = np.array([[x1, y1], [x1 + s, y1],
                                  [x1 + s, y1 + s], [x1, y1 + s]], np.float32)
@@ -371,11 +393,11 @@ class OcrTableStructureTask(InferTask):
                                  [cx + s / 2, cy + s / 2],
                                  [cx - s / 2, cy + s / 2]], np.float32)
                 c = np.array([w / 2.0, h / 2.0], np.float32)
-            mats.append(_homography_from_quad(quad, inp_w, inp_h))
+            mats.append(_homography_from_quad(quad, ri_w, ri_h))
             pidx.append(pi)
             meta = {"c": c, "s": s, "org_shape": (int(h), int(w)),
-                    "out_h": inp_h // cfg.down_ratio,
-                    "out_w": inp_w // cfg.down_ratio}
+                    "out_h": ri_h // cfg.down_ratio,
+                    "out_w": ri_w // cfg.down_ratio}
             if self._merge_line_cell:
                 # merge mode needs the OpenCV line cells from the host crop
                 from ..models.line_cell import extract_cells_from_image
@@ -387,41 +409,53 @@ class OcrTableStructureTask(InferTask):
                     pg[int(y1):int(y2), int(x1):int(x2)])
             metas.append(meta)
 
-        P = pages_dev.shape[0]
-        key = ("warp_lore", pages_dev.shape)
-        warp_fn = self._jitted.get(key)
-        if warp_fn is None:
-            def warp(pages, m, pxi, vw, vh):
-                crops = warp_crops_from_pages(
-                    pages, pxi, m, vw, (inp_h, inp_w),
-                    heights=vh)                         # f32 RGB 0..255
-                return (crops[..., ::-1] / 255.0 - mean) / std
+        def get_warp_fn(res):
+            key = ("warp_lore", pages_dev.shape, res)
+            warp_fn = self._jitted.get(key)
+            if warp_fn is None:
+                def warp(pages, m, pxi, vw, vh):
+                    crops = warp_crops_from_pages(
+                        pages, pxi, m, vw, res,
+                        heights=vh)                     # f32 RGB 0..255
+                    return (crops[..., ::-1] / 255.0 - mean) / std
 
-            warp_fn = jax.jit(warp)
-            self._jitted[key] = warp_fn
+                warp_fn = jax.jit(warp)
+                self._jitted[key] = warp_fn
+            return warp_fn
 
+        # dispatch per resolution bucket, sub-batched under the HBM cap;
+        # every sub-batch enqueues before any download blocks
         cap = max(1, self.config.batch_size)
-        handles = []
-        for s0 in range(0, len(mats), cap):
-            sub_m = mats[s0:s0 + cap]
-            sub_p = pidx[s0:s0 + cap]
-            nb = bucket_batch_size(len(sub_m))
-            pad = nb - len(sub_m)
-            m = np.stack(sub_m + [np.eye(3, dtype=np.float32)] * pad)
-            px = np.asarray(sub_p + [0] * pad, np.int32)
-            vw = np.asarray(valid_w[s0:s0 + cap] + [1] * pad, np.int32)
-            vh = np.asarray(valid_h[s0:s0 + cap] + [1] * pad, np.int32)
-            x = warp_fn(pages_dev, jnp.asarray(m), jnp.asarray(px),
-                        jnp.asarray(vw), jnp.asarray(vh))
-            handles.append(self._apply_fn(self._params, {"image": x}))
-        results = []
-        for h, raw in enumerate(handles):
+        by_res: Dict[tuple, list] = {}
+        for i, r in enumerate(res_hw):
+            by_res.setdefault(r, []).append(i)
+        pending = []
+        for res, idx_list in sorted(by_res.items()):
+            warp_fn = get_warp_fn(res)
+            for s0 in range(0, len(idx_list), cap):
+                sub = idx_list[s0:s0 + cap]
+                nb = bucket_batch_size(len(sub))
+                pad = nb - len(sub)
+                m = np.stack([mats[i] for i in sub]
+                             + [np.eye(3, dtype=np.float32)] * pad)
+                px = np.asarray([pidx[i] for i in sub] + [0] * pad,
+                                np.int32)
+                vw = np.asarray([valid_w[i] for i in sub] + [1] * pad,
+                                np.int32)
+                vh = np.asarray([valid_h[i] for i in sub] + [1] * pad,
+                                np.int32)
+                x = warp_fn(pages_dev, jnp.asarray(m), jnp.asarray(px),
+                            jnp.asarray(vw), jnp.asarray(vh))
+                pending.append((sub,
+                                self._apply_fn(self._params, {"image": x})))
+        results: list = [None] * len(metas)
+        for sub, raw in pending:
             raw_np = {k: np.asarray(v) for k, v in raw.items()
                       if hasattr(v, "shape")
                       and getattr(v, "ndim", 0) >= 1}
-            for i, meta in enumerate(metas[h * cap:(h + 1) * cap]):
-                one = {k: v[i:i + 1] for k, v in raw_np.items()}
-                results.append(self._postprocess(one, meta))
+            for j, i in enumerate(sub):
+                one = {k: v[j:j + 1] for k, v in raw_np.items()}
+                results[i] = self._postprocess(one, metas[i])
         return results
 
     def batch_infer(self, crops) -> list:

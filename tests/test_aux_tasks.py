@@ -97,3 +97,67 @@ class TestStandaloneTasks:
         h = "<table><tr><td>a</td></tr></table>"
         r = OcrTableTask.eval_table([h], [h])
         assert r["teds"] == 1.0
+
+
+class TestResultCompareDepth:
+    """Per-cell diff buckets + HTML report (VERDICT r2 #9; reference
+    table_result_compare.py:28-542)."""
+
+    P = ("<table><tr><td>Name</td><td>Agee</td></tr>"
+         "<tr><td colspan=\"2\">total</td></tr></table>")
+    L = ("<table><tr><td>Name</td><td>Age</td></tr>"
+         "<tr><td colspan=\"2\">total</td></tr></table>")
+
+    def test_per_cell_text_diff_bucket(self):
+        from pdf_table_tpu.tasks.result_compare import check_pred_table_html
+
+        flag, m = check_pred_table_html(self.P, self.L)
+        diffs = m["cell_text_diffs"]
+        assert len(diffs) == 1
+        d = diffs[0]
+        assert d["row_index"] == 1 and d["column_index"] == 2
+        assert d["pred_text"] == "Agee" and d["label_text"] == "Age"
+        assert d["compare_type"] == "diff: label missing words"
+        assert d["diff_content"] == {"e": 1}
+
+    def test_one_char_tolerance(self):
+        from pdf_table_tpu.tasks.result_compare import check_pred_table_html
+
+        flag, m = check_pred_table_html(self.P, self.L)
+        # single extra char -> acceptable per analysis_diff_result:208
+        assert flag
+        assert m["check_type"] == "same_label_missing_one_character"
+
+    def test_span_diff_bucket(self):
+        from pdf_table_tpu.tasks.result_compare import check_pred_table_html
+
+        p = "<table><tr><td rowspan=\"2\">a</td><td>b</td></tr></table>"
+        l = "<table><tr><td>a</td><td>b</td></tr></table>"
+        _, m = check_pred_table_html(p, l)
+        sd = m["cell_structure_diffs"]
+        assert sd and sd[0]["compare_type"] == "diff: cell rowspan"
+        assert sd[0]["pred_span"] == (2, 1)
+
+    def test_row_count_mismatch_bucket(self):
+        from pdf_table_tpu.tasks.result_compare import check_pred_table_html
+
+        p = "<table><tr><td>a</td></tr><tr><td>b</td></tr></table>"
+        l = "<table><tr><td>a</td></tr></table>"
+        _, m = check_pred_table_html(p, l)
+        sd = m["cell_structure_diffs"]
+        assert sd[0]["compare_type"] == "diff: cell row index"
+        assert sd[0]["diff_row_total"] == 1
+
+    def test_html_report(self):
+        from pdf_table_tpu.tasks.result_compare import check_pred_table_html
+
+        _, m = check_pred_table_html(self.P, self.L)
+        rep = m["diff_report_html"]
+        assert "per-cell diffs" in rep and "Agee" in rep
+        assert "verdict:" in rep
+
+    def test_identical_is_same(self):
+        from pdf_table_tpu.tasks.result_compare import check_pred_table_html
+
+        flag, m = check_pred_table_html(self.L, self.L)
+        assert flag and m["check_type"] == "same"

@@ -230,3 +230,40 @@ class TestLoreFirstCallUnbuilt:
         img = np.full((80, 90, 3), 255, np.uint8)
         out = task(img)           # no ensure_built() beforehand
         assert out["type"] == "lore"
+
+
+class TestTsrResolutionBuckets:
+    def test_from_pages_buckets_and_order(self):
+        """Crop-resolution bucketing (r3 perf): small regions run the
+        small program; result order matches the region order."""
+        import jax
+        import numpy as np
+
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        task = OcrTableStructureTask(
+            model="Lore", resolution=(64, 64), max_objs=8, hidden_size=32,
+            head_conv=16, tsfm_layers=1, stacking_layers=1, num_heads=4,
+            max_fmp_size=64, res_buckets=(32,))
+        assert task.res_buckets == (32,)
+        pages = np.full((2, 96, 96, 3), 255, np.uint8)
+        pages_dev = jax.device_put(pages)
+        regions = [(0, (0, 0, 24, 20)),    # small -> 32 bucket
+                   (1, (0, 0, 90, 90)),    # large -> full 64
+                   (0, (40, 40, 64, 60))]  # small -> 32 bucket
+        out = task.batch_infer_from_pages(pages_dev, regions)
+        assert len(out) == 3
+        assert all(isinstance(r, dict) and "cells" in r for r in out)
+        # the small program really compiled at the bucket
+        keys = [k for k in task._jitted if k and k[0] == "warp_lore"]
+        resolutions = {k[2] for k in keys}
+        assert (32, 32) in resolutions and (64, 64) in resolutions
+
+    def test_res_buckets_disabled(self):
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        task = OcrTableStructureTask(
+            model="Lore", resolution=(64, 64), max_objs=8, hidden_size=32,
+            head_conv=16, tsfm_layers=1, stacking_layers=1, num_heads=4,
+            max_fmp_size=64, res_buckets=())
+        assert task.res_buckets == ()
