@@ -161,3 +161,53 @@ class TestResultCompareDepth:
 
         flag, m = check_pred_table_html(self.L, self.L)
         assert flag and m["check_type"] == "same"
+
+
+class TestOcrTextTaskSurface:
+    """OcrTextTask flag/stage surface (VERDICT r2 missing #7; reference
+    ocr_text_task.py:44-388)."""
+
+    def _task(self, **kw):
+        from pdf_table_tpu.tasks.text_task import OcrTextTask
+
+        return OcrTextTask(debug=False, **kw)
+
+    def test_image_path_with_metrics(self):
+        import numpy as np
+
+        task = self._task()
+        img = np.full((96, 128, 3), 255, np.uint8)
+        img[30:44, 20:100] = 40
+        out = task(img, page=3)
+        m = out["metric"]
+        assert m["page"] == 3
+        assert "detection" in m and "preprocess" in m and "use_time" in m
+        assert isinstance(out["cells"], list)
+
+    def test_pdf_page_routes_to_vector_text(self, tmp_path):
+        from pdf_table_tpu.pdfio import writer
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+
+        doc = writer.PdfWriter()
+        pg = doc.add_page(200, 100)
+        pg.text(10, 60, "hello vector")
+        p = tmp_path / "t.pdf"
+        doc.save(str(p))
+        pdf = PdfDocument.open(str(p))
+        task = self._task()
+        out = task(None, pdf_page=pdf.load_page(0))
+        assert out["det"] is None
+        assert any("hello" in (c.text or "") for c in out["cells"])
+        assert "pdf_text" in out["metric"]
+
+    def test_show_ocr_result_dataframe(self):
+        import numpy as np
+
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+
+        task = self._task()
+        cells = [OcrCell.from_poly(np.array([[0, 0], [10, 0], [10, 5],
+                                             [0, 5]]), text="x")]
+        df = task.show_ocr_result(cells)
+        assert list(df.columns) == ["index", "text", "bbox"]
+        assert df.iloc[0]["text"] == "x"
