@@ -477,22 +477,30 @@ class BatchPipeline:
 
     # -- batched layout + TSR ------------------------------------------------
 
-    def _tables_for_chunk(self, canv_dev, page_shapes, layout_handle):
+    def _tables_for_chunk(self, canv_dev, page_shapes, layout_handle,
+                          digital_info: Optional[Dict[int, tuple]] = None):
         """Finish layout, then run TSR over every table crop of the chunk
         sampled straight from the device-resident canvases (the reference
         loops per page and per crop, ocr_system_task.py:168-226). Returns
         (layout_cells, table_results) per page; table_results entries are
-        (bbox, tsr_result)."""
+        (bbox, tsr_result).
+
+        ``digital_info`` maps chunk positions of digital pages to
+        (pdf_page, pdf_scale): their table cells come from vector lines on
+        the host (LineCellPdf path, system.py:296-312) instead of the
+        batched raster TSR."""
         from ..entity.enums import HtmlContentType
 
+        digital_info = digital_info or {}
         n = len(page_shapes)
         if layout_handle is None:
-            return [[] for _ in range(n)], [[] for _ in range(n)]
-        task = self.system.layout_task
-        cells_per_page = task.batch_finish(*layout_handle)
+            cells_per_page = [[] for _ in range(n)]
+        else:
+            task = self.system.layout_task
+            cells_per_page = task.batch_finish(*layout_handle)
         table_results: List[List] = [[] for _ in range(n)]
         tsr = self.system.tsr_task if self.system.config.use_table else None
-        if tsr is None:
+        if tsr is None and not digital_info:
             return cells_per_page, table_results
         from .system import filter_figure_tables
 
@@ -502,6 +510,11 @@ class BatchPipeline:
             tbs = filter_figure_tables(
                 cells, [c.bbox for c in cells
                         if c.cell_type == HtmlContentType.TABLE])
+            if pi in digital_info and self.system.config.use_table:
+                pdf_page, pdf_scale = digital_info[pi]
+                table_results[pi] = self._digital_tables(pdf_page,
+                                                         pdf_scale, tbs)
+                continue
             kept = {tuple(b) for b in tbs}
             for c in cells:
                 if c.cell_type != HtmlContentType.TABLE \
@@ -513,12 +526,36 @@ class BatchPipeline:
                 if x2 - x1 >= 2 and y2 - y1 >= 2:
                     regions.append((pi, (x1, y1, x2, y2)))
                     owners.append((pi, c.bbox, (x1, y1)))
-        if regions:
+        if regions and tsr is not None:
             results = tsr.batch_infer_from_pages(canv_dev, regions)
             for (pi, bbox, offset), r in zip(owners, results):
                 r["offset"] = offset
                 table_results[pi].append((bbox, r))
         return cells_per_page, table_results
+
+    @staticmethod
+    def _digital_tables(pdf_page, pdf_scale: float, table_bboxes) -> List:
+        """Vector-line table cells for one digital page (mirrors the
+        serial path, system.py:296-312)."""
+        from ..models.line_cell import extract_cells_from_pdf_page
+        from ..models.line_cell.from_pdf import detect_table_regions
+
+        out: List = []
+        if pdf_page.segs is None or not (pdf_page.segs or pdf_page.rects):
+            return out
+        if table_bboxes:
+            for tb in table_bboxes:
+                r = extract_cells_from_pdf_page(pdf_page, pdf_scale,
+                                                bbox=tb)
+                if r["cells"]:
+                    r["offset"] = (0, 0)
+                    out.append((tb, r))
+        else:
+            for region in detect_table_regions(pdf_page, pdf_scale):
+                r = {"cells": region["cells"], "type": "line_cell_pdf",
+                     "offset": (0, 0)}
+                out.append((region["bbox"], r))
+        return out
 
     # -- run -----------------------------------------------------------------
 
@@ -547,18 +584,49 @@ class BatchPipeline:
             return render_page(p.get("pdf_doc"), p["pdf_page"],
                                dpi=self.system.config.render_dpi)
 
+        def materialize_safe(ip):
+            i, p = ip
+            try:
+                return materialize(p)
+            except Exception as e:   # corrupt page: contained per page
+                logger.exception("page %s rasterize failed", i)
+                return e
+
         t0 = time.time()
         with cf.ThreadPoolExecutor(max_workers=4) as pool:
-            images = list(pool.map(materialize, pages))
+            images = list(pool.map(materialize_safe, enumerate(pages)))
         stats["rasterize"] = time.time() - t0
 
-        digital = [i for i, p in enumerate(pages)
-                   if p.get("pdf_page") is not None
-                   and getattr(p["pdf_page"], "texts", None)]
-        raster = [i for i in range(len(pages)) if i not in set(digital)]
+        broken = [i for i, im in enumerate(images)
+                  if isinstance(im, Exception)]
+        for i in broken:
+            results[i] = _error_output(pages[i].get("page", i), images[i],
+                                       is_pdf=pages[i].get("pdf_page")
+                                       is not None)
+        broken_set = set(broken)
+
+        # digital pages with usable vector text join the batched chunks
+        # (layout batched on device; text + line-cell tables on host);
+        # only the rare rotate-90-authored pages fall back to the serial
+        # system path (mixed-corpus batching, VERDICT r2 #6)
+        from ..tasks.pdf_text import check_pdf_text_need_rotate90
+
+        digital, serial = [], []
+        for i, p in enumerate(pages):
+            if i in broken_set:
+                continue
+            pg = p.get("pdf_page")
+            if pg is None or not getattr(pg, "texts", None):
+                continue
+            (serial if check_pdf_text_need_rotate90(pg)
+             else digital).append(i)
+        digital_set = set(digital)
+        raster = [i for i in range(len(pages))
+                  if i not in digital_set and i not in set(serial)
+                  and i not in broken_set]
 
         t0 = time.time()
-        for i in digital:
+        for i in serial:
             try:
                 results[i] = self.system(image=images[i],
                                          pdf_page=pages[i]["pdf_page"],
@@ -572,6 +640,23 @@ class BatchPipeline:
                 results[i] = _error_output(pages[i].get("page", i), e,
                                            is_pdf=True)
         stats["digital_serial"] = time.time() - t0
+
+        # vector text extraction for batched digital pages on host threads
+        pdf_cells: Dict[int, list] = {}
+        if digital:
+            def extract(i):
+                pg = pages[i]["pdf_page"]
+                scale = images[i].shape[0] / pg.height if pg.height else 1.0
+                return i, self.system.pdf_text_task(pg, scale), scale
+
+            t0 = time.time()
+            with cf.ThreadPoolExecutor(max_workers=4) as pool:
+                extracted = list(pool.map(extract, digital))
+            pdf_scales = {i: s for i, _c, s in extracted}
+            pdf_cells = {i: c for i, c, _s in extracted}
+            stats["pdf_text"] = time.time() - t0
+
+        raster = sorted(raster + digital)
 
         if raster:
             import jax
@@ -650,6 +735,14 @@ class BatchPipeline:
                     logger.exception("chunk %d detection failed", ci)
                     staged.append((chunk, None, None, None, e))
                     continue
+                # digital pages take vector text: no rec crops for them
+                digital_info = {}
+                for k, gi in enumerate(chunk["indices"]):
+                    i = raster[gi]
+                    if i in digital_set:
+                        quads[k] = np.zeros((0, 4, 2), np.float32)
+                        digital_info[k] = (pages[i]["pdf_page"],
+                                           pdf_scales[i])
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
                 use_dev = self.device_crops
                 if use_dev is None:
@@ -667,7 +760,7 @@ class BatchPipeline:
                 tsr_fut = tsr_pool.submit(timed, "tsr_lane",
                                           self._tables_for_chunk,
                                           canvs[ci], chunk["shapes"],
-                                          layout_handles[ci])
+                                          layout_handles[ci], digital_info)
                 staged.append((chunk, quads, tsr_fut, rec_fut, None))
             for chunk, quads, tsr_fut, fut, chunk_err in staged:
                 if chunk_err is not None:
@@ -693,14 +786,20 @@ class BatchPipeline:
                     i = raster[gi]
                     try:
                         out = OcrSystemModelOutput(
-                            page=pages[i].get("page", i), is_pdf=False)
+                            page=pages[i].get("page", i),
+                            is_pdf=i in digital_set)
                         out.image = images[i]
                         out.image_shape = images[i].shape[:2]
-                        from ..entity.ocr_cell import OcrCell
-                        out.text_cells = [
-                            OcrCell.from_poly(q, text=t, score=s)
-                            for q, t, s in zip(quads[k], texts[k],
-                                               scores[k])]
+                        if i in digital_set:
+                            out.pdf_page = pages[i]["pdf_page"]
+                            out.pdf_scale = pdf_scales[i]
+                            out.text_cells = pdf_cells[i]
+                        else:
+                            from ..entity.ocr_cell import OcrCell
+                            out.text_cells = [
+                                OcrCell.from_poly(q, text=t, score=s)
+                                for q, t, s in zip(quads[k], texts[k],
+                                                   scores[k])]
                         out.layout_cells = layout_cells[k]
                         out.table_structures = [r for _, r in
                                                 table_results[k]]
