@@ -140,6 +140,18 @@ class OcrTableToHtmlTask:
     SLANet/TableMaster) go through TableMatch (reference
     match_table_structure_and_text_cell, ocr_table_to_html_task.py:245)."""
 
+    def __init__(self, ocr_post_process: bool = False):
+        # per-cell OCR text fixes (lone O->0, separator dots) before
+        # weaving into HTML (reference match_table_cell_and_text_cell's
+        # ocr_post_process flag, ocr_table_to_html_task.py:178)
+        self.ocr_post_process = ocr_post_process
+
+    def _fix(self, text: str) -> str:
+        if not self.ocr_post_process:
+            return text
+        from .ocr_fixes import ocr_post_process
+        return ocr_post_process(text)
+
     def __call__(self, tsr_result: Dict[str, Any],
                  text_cells: Sequence[OcrCell]) -> str:
         if tsr_result.get("structure_tokens"):
@@ -161,7 +173,8 @@ class OcrTableToHtmlTask:
         for i in range(len(cells)):
             inside = sort_reading_order(assigned.get(i, []))
             texts.append(html_mod.escape(
-                " ".join((t.text or "").strip() for t in inside).strip()))
+                " ".join(self._fix((t.text or "").strip())
+                         for t in inside).strip()))
         return cells_to_html(cells, texts)
 
     @staticmethod

@@ -211,3 +211,28 @@ class TestOcrTextTaskSurface:
         df = task.show_ocr_result(cells)
         assert list(df.columns) == ["index", "text", "bbox"]
         assert df.iloc[0]["text"] == "x"
+
+
+class TestOcrFixes:
+    def test_lone_o_is_zero(self):
+        from pdf_table_tpu.tasks.ocr_fixes import ocr_post_process
+
+        assert ocr_post_process("O") == "0"
+        assert ocr_post_process("o") == "0"
+        assert ocr_post_process("Ok") == "Ok"
+
+    def test_multi_dot_number(self):
+        from pdf_table_tpu.tasks.ocr_fixes import ocr_post_process
+
+        assert ocr_post_process("1.234.56") == "1,234.56"
+        assert ocr_post_process("1.234.567.89") == "1,234,567.89"
+        assert ocr_post_process("3.14") == "3.14"
+        assert ocr_post_process("v1.2.3") == "v1.2.3"  # not a number
+
+    def test_rotate_heuristic(self):
+        from pdf_table_tpu.tasks.ocr_fixes import check_pdf_text_need_rotate
+
+        normal = ["qwzx", "##@@"]          # garbage read
+        rotated = ["中文内容", "表格文字"]   # clean Chinese read
+        assert check_pdf_text_need_rotate(normal, rotated)
+        assert not check_pdf_text_need_rotate(rotated, normal)
