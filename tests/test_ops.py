@@ -325,3 +325,68 @@ class TestWarpFromPages:
             jnp.asarray(mats), jnp.asarray([16], np.int32), out_hw))
         assert out[0, :, :16].mean() > 100        # sampled content
         assert np.all(out[0, :, 16:] == 0)        # masked padding
+
+
+class TestFastConnectedComponents:
+    """Pointer-jumping CC (r3 perf: fixed-iteration compile-friendly
+    variant for the batched det-box path)."""
+
+    def _fast(self):
+        import importlib
+        return importlib.import_module(
+            "pdf_table_tpu.ops.connected_components")
+
+    def test_matches_scipy_on_text_shapes(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        cc = self._fast()
+        m = np.zeros((64, 320), bool)
+        m[10:18, 20:300] = True          # long text line
+        m[30:34, 40:80] = True           # word
+        m[40:60, 100:104] = True         # vertical rule
+        # rectangle outline (table border)
+        m[50:52, 150:310] = True
+        m[60:62, 150:310] = True
+        m[50:62, 150:152] = True
+        m[50:62, 308:310] = True
+        gt, n = ndimage.label(m, structure=np.ones((3, 3)))
+        b = np.asarray(cc.connected_components_fast(jnp.asarray(m),
+                                                    num_iters=16))
+        for lab in range(1, n + 1):
+            assert len(np.unique(b[gt == lab])) == 1
+        reps = [int(np.unique(b[gt == lab])[0]) for lab in range(1, n + 1)]
+        assert len(set(reps)) == n
+        assert (b[~m] == 0).all()
+
+    def test_long_component_beyond_old_cap(self):
+        """The while_loop variant silently truncated components longer
+        than its old 256-iteration cap; both variants must label a 360-px
+        line as ONE component now."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        cc = self._fast()
+        m = np.zeros((8, 360), bool)
+        m[4, :] = True
+        a = np.asarray(cc.connected_components(jnp.asarray(m)))
+        b = np.asarray(cc.connected_components_fast(jnp.asarray(m),
+                                                    num_iters=12))
+        assert len(np.unique(a[m])) == 1
+        assert (a == b).all()
+
+    def test_batched_boxes_respect_valid_extent(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.ops import batch_component_boxes_u8
+
+        p = np.zeros((1, 40, 60), np.uint8)
+        p[0, 5:10, 5:20] = 200       # inside valid region
+        p[0, 30:38, 40:58] = 220     # OUTSIDE valid extent -> padding
+        out = np.asarray(batch_component_boxes_u8(
+            jnp.asarray(p), 100, jnp.asarray([[20, 30]], np.int32), 8))
+        rows = out[0][out[0][:, 5] > 0]
+        assert len(rows) == 1
+        assert rows[0][:4].tolist() == [5.0, 5.0, 20.0, 10.0]
