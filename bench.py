@@ -139,10 +139,12 @@ def bench() -> dict:
         "stages_ms_per_page": stages,
         "probe": serial_probe(bp, pages),
     }
-    # the tail compiles a second pipeline (wtw 1024^2); skip when the main
-    # loop already ate the wall budget (cold-cache runs)
-    if time.perf_counter() - t_bench0 < 420:
-        out["tail"] = tail_configs(pages)
+    # the tail REUSES bp's compiled det/layout/rec programs (a fresh
+    # pipeline would pay the ~7-min cold det compile again: the axon
+    # remote compiler bypasses the local persistent cache); only the wtw
+    # TSR program compiles anew. Skip entirely on a blown wall budget.
+    if time.perf_counter() - t_bench0 < 900:
+        out["tail"] = tail_configs(bp, pages)
     else:
         out["tail"] = {"skipped": "wall budget (cold compile run)"}
     return out
@@ -221,27 +223,44 @@ def serial_probe(bp, pages) -> dict:
             for k, v in probe.items()}
 
 
-def tail_configs(pages) -> dict:
-    """Secondary numbers (VERDICT r2 #7): the system-default wtw-LORE TSR
-    config at bench load, and the wireless config through the REAL DB box
-    path only (no injected quads)."""
-    tail = {}
-    # default config: wtw LORE 1024^2 + host corner refine, same load
-    bp2 = build_pipeline("wtw", inject_lines=True)
-    bp2.run(pages)  # warm
-    t0 = time.perf_counter()
-    bp2.run(pages)
-    tail["wtw_default_pages_per_sec"] = round(
-        len(pages) / (time.perf_counter() - t0), 3)
+def tail_configs(bp, pages) -> dict:
+    """Secondary numbers (VERDICT r2 #7) on the SAME warm pipeline: the
+    system-default wtw-LORE TSR config at bench load, and a run through
+    the REAL DB box path (no injected quads)."""
+    from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
 
-    # honest det post end-to-end (random-weight box census, no injection)
-    bp3 = build_pipeline("wireless", inject_lines=False)
-    bp3.run(pages[:8])  # warm
-    t0 = time.perf_counter()
-    res = bp3.run(pages[:8])
-    tail["real_detpost_pages_per_sec"] = round(
-        8 / (time.perf_counter() - t0), 3)
-    tail["real_detpost_boxes"] = int(sum(len(r.text_cells) for r in res))
+    tail = {}
+    # honest det post end-to-end first (no extra compiles: same programs,
+    # original _boxes_finish/_det_post restored)
+    patched_post = bp._det_post
+    patched_finish = bp._boxes_finish
+    bp._det_post = type(bp)._det_post.__get__(bp)
+    bp._boxes_finish = type(bp)._boxes_finish.__get__(bp)
+    try:
+        bp.run(pages[:8])  # settle
+        t0 = time.perf_counter()
+        res = bp.run(pages[:8])
+        tail["real_detpost_pages_per_sec"] = round(
+            8 / (time.perf_counter() - t0), 3)
+        tail["real_detpost_boxes"] = int(
+            sum(len(r.text_cells) for r in res))
+    finally:
+        bp._det_post = patched_post
+        bp._boxes_finish = patched_finish
+
+    # default config: wtw LORE 1024^2 + host corner refine, same load —
+    # swap only the TSR task; det/layout/rec programs stay warm
+    old_tsr = bp.system._tsr
+    try:
+        bp.system._tsr = OcrTableStructureTask(model="Lore",
+                                               task_type="wtw")
+        bp.run(pages)  # warm (compiles the wtw program once)
+        t0 = time.perf_counter()
+        bp.run(pages)
+        tail["wtw_default_pages_per_sec"] = round(
+            len(pages) / (time.perf_counter() - t0), 3)
+    finally:
+        bp.system._tsr = old_tsr
     return tail
 
 
