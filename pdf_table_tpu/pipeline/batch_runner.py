@@ -539,12 +539,15 @@ class BatchPipeline:
         serial path, system.py:296-312)."""
         from ..models.line_cell import extract_cells_from_pdf_page
         from ..models.line_cell.from_pdf import detect_table_regions
+        from ..tasks.pdf_text import table_bbox_is_pdf_image
 
         out: List = []
         if pdf_page.segs is None or not (pdf_page.segs or pdf_page.rects):
             return out
         if table_bboxes:
             for tb in table_bboxes:
+                if table_bbox_is_pdf_image(tb, pdf_page, pdf_scale):
+                    continue   # figure misdetected as table
                 r = extract_cells_from_pdf_page(pdf_page, pdf_scale,
                                                 bbox=tb)
                 if r["cells"]:

@@ -299,8 +299,12 @@ class OcrSystemTask:
                 # (LineCellPdf path; regions from layout or line clusters)
                 from ..models.line_cell import extract_cells_from_pdf_page
                 from ..models.line_cell.from_pdf import detect_table_regions
+                from ..tasks.pdf_text import table_bbox_is_pdf_image
                 if table_bboxes:
                     for tb in table_bboxes:
+                        if table_bbox_is_pdf_image(tb, pdf_page,
+                                                   out.pdf_scale):
+                            continue   # figure misdetected as table
                         r = extract_cells_from_pdf_page(
                             pdf_page, out.pdf_scale, bbox=tb)
                         if r["cells"]:

@@ -23,6 +23,27 @@ def pdf_to_image_bbox(bbox: Tuple[float, float, float, float],
             x1 * scale, (page_height - y0) * scale)
 
 
+def table_bbox_is_pdf_image(bbox, pdf_page, scale: float,
+                            diff: float = 2.0) -> bool:
+    """A detected 'table' whose bbox sits inside an embedded PDF image is
+    a misdetection — it's a figure (reference check_table_match_images,
+    table_common.py:1220, applied in ocr_pdf_text_task.py:109: the table
+    gets is_image=True and is skipped). ``bbox`` is image coords (y
+    down); PdfImage bboxes are pdf space (y up)."""
+    if not getattr(pdf_page, "images", None) or scale <= 0:
+        return False
+    x1, y1, x2, y2 = bbox
+    px1, px2 = x1 / scale, x2 / scale
+    py1 = pdf_page.height - y2 / scale
+    py2 = pdf_page.height - y1 / scale
+    for im in pdf_page.images:
+        ix1, iy1, ix2, iy2 = im.bbox
+        if px1 >= ix1 - diff and px2 <= ix2 + diff \
+                and py1 >= iy1 - diff and py2 <= iy2 + diff:
+            return True
+    return False
+
+
 def check_pdf_text_need_rotate90(pdf_page, min_runs: int = 6,
                                  ratio: float = 0.7) -> bool:
     """True when most text runs flow vertically — the page was authored

@@ -236,3 +236,34 @@ class TestOcrFixes:
         rotated = ["中文内容", "表格文字"]   # clean Chinese read
         assert check_pdf_text_need_rotate(normal, rotated)
         assert not check_pdf_text_need_rotate(rotated, normal)
+
+
+class TestTableImageMisdetection:
+    def test_table_inside_pdf_image_filtered(self, tmp_path):
+        """check_table_match_images analog (table_common.py:1220): a
+        'table' bbox inside an embedded image is a figure."""
+        import numpy as np
+
+        from pdf_table_tpu.pdfio import writer
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+        from pdf_table_tpu.tasks.pdf_text import table_bbox_is_pdf_image
+
+        # minimal 1x1 white jpeg
+        import cv2
+        ok, enc = cv2.imencode(".jpg", np.full((8, 8, 3), 255, np.uint8))
+        doc = writer.PdfWriter()
+        pg = doc.add_page(300, 300)
+        pg.text(20, 280, "text")
+        pg.image(bytes(enc), 50, 50, 120, 100, 8, 8)  # pdf-space rect
+        p = tmp_path / "img.pdf"
+        doc.save(str(p))
+        page = PdfDocument.open(str(p)).load_page(0)
+        assert page.images
+
+        scale = 2.0   # image px per pdf unit; image is y-down
+        # bbox fully inside the image region (pdf y 50..150 -> img y
+        # (300-150)*2 .. (300-50)*2 = 300..500; x 50..170 -> 100..340)
+        inside = (110, 310, 330, 490)
+        outside = (10, 10, 80, 60)
+        assert table_bbox_is_pdf_image(inside, page, scale)
+        assert not table_bbox_is_pdf_image(outside, page, scale)
