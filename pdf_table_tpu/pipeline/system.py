@@ -47,6 +47,29 @@ class OcrSystemConfig:
     output_dir: str = ""
 
 
+def widen_table_regions(layout_cells, table_bboxes, image_width: int,
+                        diff: int = 5):
+    """Widen tight layout table boxes to the page's text-column extents
+    (get_table_bbox_regions, table_common.py:1353): the reference takes
+    min/max x of confident text blocks and stretches every table/figure
+    region to cover them, +diff padding, so line-based cell extractors
+    see the full frame."""
+    from ..entity.enums import HtmlContentType
+
+    xs_min, xs_max = [], []
+    for c in layout_cells:
+        if c.cell_type == HtmlContentType.TXT and c.score >= 0.7:
+            xs_min.append(min(c.x1, c.x2))
+            xs_max.append(max(c.x1, c.x2))
+    min_x = min(xs_min) if xs_min else diff
+    max_x = max(xs_max) if xs_max else image_width - diff
+    out = []
+    for x1, y1, x2, y2 in table_bboxes:
+        out.append((min(x1, min_x) - diff, y1 - diff,
+                    max(x2, max_x) + diff, y2 + diff))
+    return out
+
+
 def filter_figure_tables(layout_cells, table_bboxes,
                          score_threshold: float = 0.8):
     """Drop table regions that sit inside a confident 'figure' layout
@@ -288,6 +311,14 @@ class OcrSystemTask:
         table_bboxes = filter_figure_tables(
             layout_cells, [c.bbox for c in layout_cells
                            if c.cell_type == HtmlContentType.TABLE])
+        if table_bboxes and self.config.table_structure_model in (
+                "LineCell", "LineCellPdf"):
+            # the OpenCV/vector cell extractors need the FULL table frame:
+            # widen tight layout boxes to the page's text-column extents
+            # so border lines at the region edge survive the crop
+            # (get_table_bbox_regions, table_common.py:1353)
+            table_bboxes = widen_table_regions(
+                layout_cells, table_bboxes, image.shape[1])
 
         # table structure per table region
         t0 = time.time()

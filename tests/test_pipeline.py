@@ -457,3 +457,25 @@ class TestMixedCorpusBatching:
         # serial loop ran zero pages -> only timer noise)
         assert bp.last_stats["digital_serial"] < 0.05
         assert "pdf_text" in bp.last_stats
+
+
+class TestWidenTableRegions:
+    def test_widens_to_text_columns(self):
+        from pdf_table_tpu.entity.enums import HtmlContentType
+        from pdf_table_tpu.entity.ocr_cell import OcrCell
+        from pdf_table_tpu.pipeline.system import widen_table_regions
+
+        text1 = OcrCell.from_bbox((40, 10, 560, 40))
+        text1.cell_type = HtmlContentType.TXT
+        text1.score = 0.95
+        # a tight table box narrower than the text column
+        out = widen_table_regions([text1], [(120, 100, 400, 200)], 600)
+        x1, y1, x2, y2 = out[0]
+        assert x1 == 40 - 5 and x2 == 560 + 5
+        assert y1 == 95 and y2 == 205
+
+    def test_no_text_blocks_uses_page_width(self):
+        from pdf_table_tpu.pipeline.system import widen_table_regions
+
+        out = widen_table_regions([], [(120, 100, 400, 200)], 600)
+        assert out[0][0] == 0 and out[0][2] == 600
