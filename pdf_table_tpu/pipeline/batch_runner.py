@@ -377,8 +377,21 @@ class BatchPipeline:
             crops = warp_crops_from_pages(pages, pidx, mats, widths,
                                           (oh, bucket))
             if cls_task is not None:
-                flipped = warp_crops_from_pages(pages, pidx, fmats, widths,
-                                                (oh, bucket))
+                # the 180-rotated crop IS the double-reversed warped crop
+                # (out'[i,j] = out[h-1-i, w-1-j]); realign the content to
+                # the left of the width-padded canvas with one row-gather
+                # instead of a second full canvas warp (the canvas gathers
+                # dominate this program's time)
+                rev = crops[:, ::-1, ::-1, :]      # content at [b-w, b)
+                jj = jnp.arange(bucket)[None, :]
+                src = jj + (bucket - widths)[:, None]        # shift left
+                src = jnp.clip(src, 0, bucket - 1)
+                flipped = jnp.take_along_axis(
+                    rev, src[:, None, :, None], axis=2)
+                flipped = jnp.where(jj[:, None, :, None] < widths[:, None,
+                                                                  None,
+                                                                  None],
+                                    flipped, 0.0)
                 # classifier input warps at the TIGHT crop geometry (quad
                 # stretched to the full cls canvas), matching the host
                 # path's cv2.resize of the unpadded crop

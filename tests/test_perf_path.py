@@ -275,3 +275,48 @@ class TestMeshTpTrainAxis:
             # the wide kernel's value is sharded across devices
             k = state2.params["wide"]["kernel"]
             assert len(k.sharding.device_set) > 1
+
+
+class TestDeviceFlipEquivalence:
+    def test_flip_realignment_matches_flipped_warp(self):
+        """The fused rec program replaces the second canvas warp with a
+        double-reverse + realignment gather; both must produce the same
+        180-rotated, left-aligned crop."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pdf_table_tpu.ops.warp import (_homography_from_quad,
+                                            order_points_clockwise,
+                                            warp_crops_from_pages)
+
+        rng = np.random.default_rng(0)
+        page = rng.integers(0, 255, (1, 64, 96, 3)).astype(np.uint8)
+        quad = order_points_clockwise(
+            np.array([[10, 10], [70, 12], [69, 30], [9, 28]], np.float32))
+        oh, bucket = 16, 48
+        w = 40
+        mat = _homography_from_quad(quad, w, oh)
+        fmat = _homography_from_quad(np.roll(quad, 2, axis=0), w, oh)
+        pages = jnp.asarray(page)
+        pidx = jnp.zeros((1,), jnp.int32)
+        widths = jnp.asarray([w], jnp.int32)
+
+        crops = warp_crops_from_pages(pages, pidx, jnp.asarray(mat[None]),
+                                      widths, (oh, bucket))
+        want = np.asarray(warp_crops_from_pages(
+            pages, pidx, jnp.asarray(fmat[None]), widths, (oh, bucket)))
+
+        rev = crops[:, ::-1, ::-1, :]
+        jj = jnp.arange(bucket)[None, :]
+        src = jnp.clip(jj + (bucket - widths)[:, None], 0, bucket - 1)
+        flipped = jnp.take_along_axis(rev, src[:, None, :, None], axis=2)
+        flipped = jnp.where(jj[:, None, :, None] < widths[:, None, None,
+                                                          None],
+                            flipped, 0.0)
+        got = np.asarray(flipped)
+        # identical inside the content region (tiny fp differences from
+        # sampling the same homography from the two directions)
+        np.testing.assert_allclose(got[0, :, :w], want[0, :, :w], atol=1.5)
+        # padding region zeroed
+        assert np.all(got[0, :, w:] == 0)
