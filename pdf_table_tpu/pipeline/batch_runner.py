@@ -118,6 +118,9 @@ class BatchPipeline:
         # device CC -> only (N, 64, 6) floats cross the tunnel per chunk;
         # False restores the prob-map download + host cv2 CC path
         self.device_boxes = device_boxes
+        # ONE rec width bucket on the fused device path (each program call
+        # costs a tunnel round trip; padding compute is cheaper)
+        self.single_rec_bucket = True
         # None = auto: the fused on-device warp+cls+rec program wins when
         # the textline classifier is on (it folds the whole per-crop
         # pipeline into one program); with cls off, the measured tunnel
@@ -428,6 +431,13 @@ class BatchPipeline:
             cls_task.ensure_built()
         texts = [[""] * len(q) for q in quads_per_page]
         scores = [[0.0] * len(q) for q in quads_per_page]
+        # tunnel-aware bucketing: every rec program call costs a ~40 ms
+        # D2H round trip, which outweighs the padded-width compute a
+        # single max-width bucket adds — so the fused device path uses ONE
+        # width bucket (the per-crop width mask keeps decode exact);
+        # single_rec_bucket=False restores per-width programs
+        one_bucket = cfg.width_buckets[-1] if self.single_rec_bucket \
+            else None
         crops_meta = []
         for pi, quads in enumerate(quads_per_page):
             for bi, q in enumerate(np.asarray(quads,
@@ -437,7 +447,8 @@ class BatchPipeline:
                         float(np.linalg.norm(o[3] - o[2])), 1.0)
                 h = max(float(np.linalg.norm(o[0] - o[3])),
                         float(np.linalg.norm(o[1] - o[2])), 1.0)
-                bucket = rec.pre.pick_bucket(int(round(w)), int(round(h)))
+                bucket = one_bucket if one_bucket else \
+                    rec.pre.pick_bucket(int(round(w)), int(round(h)))
                 nw = min(max(int(round(w * cfg.img_height / h)), 1), bucket)
                 crops_meta.append((pi, bi, o, bucket, nw))
         if not crops_meta:
