@@ -25,7 +25,7 @@ both its token toolbox and the standalone full matcher.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import re
 

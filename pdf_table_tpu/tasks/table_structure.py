@@ -423,14 +423,19 @@ class OcrTableStructureTask(InferTask):
                 self._jitted[key] = warp_fn
             return warp_fn
 
-        # dispatch per resolution bucket, sub-batched under the HBM cap;
-        # every sub-batch enqueues before any download blocks
-        cap = max(1, self.config.batch_size)
+        # dispatch per resolution bucket, sub-batched under the HBM cap
+        # (the cap scales with the bucket's pixel ratio: a 384^2 crop is
+        # 1/4 the activation memory of 768^2, and fewer program calls mean
+        # fewer tunnel round trips); every sub-batch enqueues before any
+        # download blocks
+        base_cap = max(1, self.config.batch_size)
+        full_px = float(inp_h * inp_w)
         by_res: Dict[tuple, list] = {}
         for i, r in enumerate(res_hw):
             by_res.setdefault(r, []).append(i)
         pending = []
         for res, idx_list in sorted(by_res.items()):
+            cap = max(1, int(base_cap * full_px / (res[0] * res[1])))
             warp_fn = get_warp_fn(res)
             for s0 in range(0, len(idx_list), cap):
                 sub = idx_list[s0:s0 + cap]
