@@ -106,19 +106,29 @@ def batch_component_boxes_u8(probs_u8: jax.Array, thresh_u8: int,
     #2). Exact rotated-polygon parity stays on the host path.
     """
     N, H, W = probs_u8.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    # label at HALF resolution: the CC rounds are gather-bound and DB maps
+    # are smooth at text scale, so a 2x2 max-pool quarters the work for
+    # <2 px of box coarseness (boxes return in the ORIGINAL prob coords,
+    # and the analytic unclip swallows the rounding)
+    ph, pw = H // 2, W // 2
+    pooled = jax.lax.reduce_window(
+        probs_u8[:, :ph * 2, :pw * 2], jnp.uint8(0), jax.lax.max,
+        (1, 2, 2), (1, 2, 2), "VALID")
+    yy = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
 
     def one(p, vhw):
-        mask = (p > jnp.uint8(thresh_u8)) & (yy < vhw[0]) & (xx < vhw[1])
-        labels = connected_components_fast(mask, num_iters=16)
+        mask = (p > jnp.uint8(thresh_u8)) \
+            & (yy < (vhw[0] + 1) // 2) & (xx < (vhw[1] + 1) // 2)
+        labels = connected_components_fast(mask, num_iters=12)
         boxes, means, areas, _valid = component_boxes(
             labels, p.astype(jnp.float32) / 255.0, max_components)
+        boxes = boxes * 2.0
         return jnp.concatenate(
-            [boxes, means[:, None], areas[:, None].astype(jnp.float32)],
-            axis=1)
+            [boxes, means[:, None],
+             (areas * 4)[:, None].astype(jnp.float32)], axis=1)
 
-    return jax.vmap(one)(probs_u8, valid_hw)
+    return jax.vmap(one)(pooled, valid_hw)
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))

@@ -389,4 +389,7 @@ class TestFastConnectedComponents:
             jnp.asarray(p), 100, jnp.asarray([[20, 30]], np.int32), 8))
         rows = out[0][out[0][:, 5] > 0]
         assert len(rows) == 1
-        assert rows[0][:4].tolist() == [5.0, 5.0, 20.0, 10.0]
+        # half-res labeling: boxes come back within 2 px of exact
+        import numpy as np
+        np.testing.assert_allclose(rows[0][:4], [5.0, 5.0, 20.0, 10.0],
+                                   atol=2.0)
