@@ -108,14 +108,15 @@ class LoreModel(nn.Module):
         gboxes, gscores, _gc, gcenters, _gi = decode_boxes_4ps(
             hm[..., 1:2], out["st"], out["reg"], cfg.max_corners)
         B, H, W, _ = hm.shape
-        # two packed downloads (~40 ms of tunnel latency per D2H array);
-        # ax/cr maps stay device-resident
+        # ONE packed download (each D2H array costs ~40 ms of tunnel
+        # latency): cells rows padded to the corner row width and stacked
+        # along the slot axis; ax/cr maps stay device-resident
         cells = jnp.concatenate(
-            [dets, scores[..., None], inds.astype(jnp.float32)[..., None]],
-            axis=-1)                                         # (B, K, 10)
+            [dets, scores[..., None], inds.astype(jnp.float32)[..., None],
+             jnp.zeros_like(scores)[..., None]], axis=-1)    # (B, K, 11)
         corners = jnp.concatenate(
             [gboxes, gcenters, gscores[..., None]], axis=-1)  # (B, M, 11)
-        return {"cells_packed": cells, "corners_packed": corners,
+        return {"dc_packed": jnp.concatenate([cells, corners], axis=1),
                 "ax_flat": out["ax"].reshape(B, H * W, -1),
                 "cr_map": out["cr"]}
 

@@ -210,8 +210,9 @@ class OcrTableStructureTask(InferTask):
                     dd = dd_u8_fn(variables, batch["image_u8"])
                 else:
                     dd = dd_fn(variables, batch["image"])
-                cells = np.asarray(dd["cells_packed"])
-                corners = np.asarray(dd["corners_packed"])
+                dc = np.asarray(dd["dc_packed"])       # ONE tunnel trip
+                k = cfg.max_objs
+                cells, corners = dc[:, :k], dc[:, k:]
                 dets, scores = cells[..., :8], cells[..., 8]
                 inds = cells[..., 9].astype(np.int32)
                 gboxes, gcenters = corners[..., :8], corners[..., 8:10]
