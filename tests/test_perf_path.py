@@ -320,3 +320,40 @@ class TestDeviceFlipEquivalence:
         np.testing.assert_allclose(got[0, :, :w], want[0, :, :w], atol=1.5)
         # padding region zeroed
         assert np.all(got[0, :, w:] == 0)
+
+
+class TestDeviceBoxParity:
+    def test_device_boxes_match_host_fast_path(self):
+        """Dual-path golden check (SURVEY §7 hard part 3): the device CC
+        box path and the host cv2 CC path agree on box geometry for
+        text-shaped prob maps."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+
+        bp = BatchPipeline(OcrSystemConfig(use_layout=False,
+                                           use_table=False,
+                                           use_orientation_cls=False,
+                                           use_textline_cls=False))
+        det = bp.system.det_task
+        cfg = det.model_config
+
+        prob = np.zeros((1, 120, 100), np.float32)
+        prob[0, 10:16, 10:60] = 0.9      # text line
+        prob[0, 40:46, 20:80] = 0.8
+        prob[0, 100:104, 5:25] = 0.85
+        probs_u8 = (prob * 255).astype(np.uint8)
+
+        host = bp._det_post(probs_u8, [(240, 200)], (240, 200),
+                            (240, 200), fast_post=True)
+        packed = np.asarray(bp._boxes_enqueue(
+            jnp.asarray(probs_u8), [(240, 200)], (240, 200)))
+        dev = bp._boxes_finish(packed, [(240, 200)], (240, 200),
+                               (120, 100))
+        assert len(host[0]) == len(dev[0]) == 3
+        # order may differ (host sorts by area); match by nearest center
+        hc = np.sort(host[0].reshape(-1, 4, 2).mean(axis=1), axis=0)
+        dc = np.sort(dev[0].reshape(-1, 4, 2).mean(axis=1), axis=0)
+        np.testing.assert_allclose(hc, dc, atol=6.0)
