@@ -110,7 +110,9 @@ def bench() -> dict:
     bp = build_pipeline("wireless", inject_lines=True)
     pages = [{"image": make_page(i)} for i in range(16)]
 
-    # warmup (compile det batch program + rec buckets)
+    # concurrent compile warmup (overlapped remote compiles), then one
+    # settling run through the real path
+    bp.warm()
     bp.run(pages)
 
     n_iters = 5

@@ -61,6 +61,67 @@ def perspective_matrices(quads: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarr
         if len(quads) else np.zeros((0, 3, 3), np.float32)
 
 
+def order_points_clockwise_batch(pts: np.ndarray) -> np.ndarray:
+    """(N, 4, 2) -> (N, 4, 2) ordered [tl, tr, br, bl] per quad —
+    vectorized order_points_clockwise (the per-crop python loop costs
+    real milliseconds at page volume)."""
+    pts = np.asarray(pts, np.float32).reshape(-1, 4, 2)
+    if not len(pts):
+        return pts
+    s = pts.sum(axis=2)
+    d = pts[:, :, 0] - pts[:, :, 1]
+    n = np.arange(len(pts))
+    return np.stack([pts[n, np.argmin(s, axis=1)],
+                     pts[n, np.argmax(d, axis=1)],
+                     pts[n, np.argmax(s, axis=1)],
+                     pts[n, np.argmin(d, axis=1)]], axis=1)
+
+
+def homographies_from_quads_batch(src_quads: np.ndarray,
+                                  dst_w: np.ndarray,
+                                  dst_h: np.ndarray) -> np.ndarray:
+    """Batched closed-form projective solve: (N, 4, 2) quads + per-quad
+    dst sizes -> (N, 3, 3) dst->src homographies (vectorized
+    _homography_from_quad; one batched 8x8 solve instead of N python
+    loops)."""
+    src = np.asarray(src_quads, np.float64).reshape(-1, 4, 2)
+    N = len(src)
+    if not N:
+        return np.zeros((0, 3, 3), np.float32)
+    dst_w = np.broadcast_to(np.asarray(dst_w, np.float64), (N,))
+    dst_h = np.broadcast_to(np.asarray(dst_h, np.float64), (N,))
+    zeros = np.zeros(N)
+    ones = np.ones(N)
+    dst = np.stack([
+        np.stack([zeros, zeros], 1), np.stack([dst_w, zeros], 1),
+        np.stack([dst_w, dst_h], 1), np.stack([zeros, dst_h], 1)],
+        axis=1)                                              # (N, 4, 2)
+    A = np.zeros((N, 8, 8))
+    b = np.zeros((N, 8))
+    for i in range(4):
+        xd, yd = dst[:, i, 0], dst[:, i, 1]
+        xs, ys = src[:, i, 0], src[:, i, 1]
+        A[:, 2 * i, 0] = xd
+        A[:, 2 * i, 1] = yd
+        A[:, 2 * i, 2] = 1.0
+        A[:, 2 * i, 6] = -xd * xs
+        A[:, 2 * i, 7] = -yd * xs
+        b[:, 2 * i] = xs
+        A[:, 2 * i + 1, 3] = xd
+        A[:, 2 * i + 1, 4] = yd
+        A[:, 2 * i + 1, 5] = 1.0
+        A[:, 2 * i + 1, 6] = -xd * ys
+        A[:, 2 * i + 1, 7] = -yd * ys
+        b[:, 2 * i + 1] = ys
+    try:
+        h = np.linalg.solve(A, b[..., None])[..., 0]
+    except np.linalg.LinAlgError:
+        h = np.stack([np.linalg.lstsq(A[i], b[i], rcond=None)[0]
+                      for i in range(N)])
+    H = np.concatenate([h, np.ones((N, 1))], axis=1).reshape(N, 3, 3)
+    return H.astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def warp_perspective_batch(img: jax.Array, mats: jax.Array,
                            out_hw: Tuple[int, int]) -> jax.Array:

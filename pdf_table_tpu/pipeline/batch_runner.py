@@ -375,7 +375,7 @@ class BatchPipeline:
             cmean = jnp.asarray([0.485, 0.456, 0.406])
             cstd = jnp.asarray([0.229, 0.224, 0.225])
 
-        def run(rec_params, cls_params, pages, mats, fmats, cmats, pidx,
+        def run(rec_params, cls_params, pages, mats, cmats, pidx,
                 widths):
             crops = warp_crops_from_pages(pages, pidx, mats, widths,
                                           (oh, bucket))
@@ -420,8 +420,8 @@ class BatchPipeline:
         import jax.numpy as jnp
 
         from ..engine.infer_task import bucket_batch_size
-        from ..ops.warp import (_homography_from_quad,
-                                order_points_clockwise)
+        from ..ops.warp import (homographies_from_quads_batch,
+                                order_points_clockwise_batch)
 
         rec = self.system.rec_task
         rec.ensure_built()
@@ -431,61 +431,77 @@ class BatchPipeline:
             cls_task.ensure_built()
         texts = [[""] * len(q) for q in quads_per_page]
         scores = [[0.0] * len(q) for q in quads_per_page]
+        # all host prep is VECTORIZED numpy: with the device programs at
+        # sub-millisecond cost (see docs/performance.md), per-crop python
+        # loops were the actual lane bottleneck
+        all_quads, owners = [], []
+        for pi, quads in enumerate(quads_per_page):
+            q = np.asarray(quads, np.float32).reshape(-1, 4, 2)
+            all_quads.append(q)
+            owners.extend((pi, bi) for bi in range(len(q)))
+        if not owners:
+            return texts, scores
+        qs = order_points_clockwise_batch(np.concatenate(all_quads))
+        ww = np.maximum.reduce([
+            np.linalg.norm(qs[:, 0] - qs[:, 1], axis=1),
+            np.linalg.norm(qs[:, 3] - qs[:, 2], axis=1),
+            np.ones(len(qs), np.float32)])
+        hh = np.maximum.reduce([
+            np.linalg.norm(qs[:, 0] - qs[:, 3], axis=1),
+            np.linalg.norm(qs[:, 1] - qs[:, 2], axis=1),
+            np.ones(len(qs), np.float32)])
         # tunnel-aware bucketing: every rec program call costs a ~40 ms
         # D2H round trip, which outweighs the padded-width compute a
         # single max-width bucket adds — so the fused device path uses ONE
         # width bucket (the per-crop width mask keeps decode exact);
         # single_rec_bucket=False restores per-width programs
-        one_bucket = cfg.width_buckets[-1] if self.single_rec_bucket \
-            else None
-        crops_meta = []
-        for pi, quads in enumerate(quads_per_page):
-            for bi, q in enumerate(np.asarray(quads,
-                                              np.float32).reshape(-1, 4, 2)):
-                o = order_points_clockwise(q)
-                w = max(float(np.linalg.norm(o[0] - o[1])),
-                        float(np.linalg.norm(o[3] - o[2])), 1.0)
-                h = max(float(np.linalg.norm(o[0] - o[3])),
-                        float(np.linalg.norm(o[1] - o[2])), 1.0)
-                bucket = one_bucket if one_bucket else \
-                    rec.pre.pick_bucket(int(round(w)), int(round(h)))
-                nw = min(max(int(round(w * cfg.img_height / h)), 1), bucket)
-                crops_meta.append((pi, bi, o, bucket, nw))
-        if not crops_meta:
-            return texts, scores
+        if self.single_rec_bucket:
+            buckets = np.full(len(qs), cfg.width_buckets[-1], np.int32)
+        else:
+            buckets = np.asarray(
+                [rec.pre.pick_bucket(int(round(w)), int(round(h)))
+                 for w, h in zip(ww, hh)], np.int32)
+        nws = np.clip(np.round(ww * cfg.img_height / hh), 1,
+                      buckets).astype(np.int32)
+        pidx_all = np.asarray([pi for pi, _bi in owners], np.int32)
+        mats_all = homographies_from_quads_batch(qs, nws, cfg.img_height)
+        if cls_task is not None:
+            ch, cw = cls_task.model_config.img_size
+            cmats_all = homographies_from_quads_batch(qs, float(cw),
+                                                      float(ch))
+
         canv_dev = jax.device_put(canvases)
         P, H, W, _ = canvases.shape
         groups = {}
-        for ci, meta in enumerate(crops_meta):
-            groups.setdefault(meta[3], []).append(ci)
+        for ci in range(len(qs)):
+            groups.setdefault(int(buckets[ci]), []).append(ci)
+        eye = np.eye(3, dtype=np.float32)
         pending = []
         for b, idxs in sorted(groups.items()):
             n = len(idxs)
             nb = bucket_batch_size(n)
-            mats = np.tile(np.eye(3, dtype=np.float32), (nb, 1, 1))
-            fmats = mats.copy()
-            cmats = mats.copy()
-            pidx = np.zeros(nb, np.int32)
-            widths = np.ones(nb, np.int32)
+            pad = nb - n
+            sel = np.asarray(idxs)
+            mats = np.concatenate(
+                [mats_all[sel], np.tile(eye, (pad, 1, 1))]) if pad else \
+                mats_all[sel]
+            cmats = mats
             if cls_task is not None:
-                ch, cw = cls_task.model_config.img_size
-            for k, ci in enumerate(idxs):
-                pi, _bi, o, _b, nw = crops_meta[ci]
-                mats[k] = _homography_from_quad(o, nw, cfg.img_height)
-                fmats[k] = _homography_from_quad(np.roll(o, 2, axis=0), nw,
-                                                 cfg.img_height)
-                if cls_task is not None:
-                    cmats[k] = _homography_from_quad(o, cw, ch)
-                pidx[k] = pi
-                widths[k] = nw
+                cmats = np.concatenate(
+                    [cmats_all[sel],
+                     np.tile(eye, (pad, 1, 1))]) if pad else cmats_all[sel]
+            pidx = np.concatenate(
+                [pidx_all[sel], np.zeros(pad, np.int32)])
+            widths = np.concatenate(
+                [nws[sel], np.ones(pad, np.int32)])
             fn = self._get_rec_dev_fn((P, H, W), b, nb,
                                       cls_task is not None)
             out = fn(rec._params,
                      cls_task._params if cls_task is not None else {},
-                     canv_dev, jnp.asarray(mats), jnp.asarray(fmats),
-                     jnp.asarray(cmats), jnp.asarray(pidx),
-                     jnp.asarray(widths))
+                     canv_dev, jnp.asarray(mats), jnp.asarray(cmats),
+                     jnp.asarray(pidx), jnp.asarray(widths))
             pending.append((idxs, n, out))
+        crops_meta = owners
         n_total = len(crops_meta)
         flat_t = [""] * n_total
         flat_s = [0.0] * n_total
@@ -583,6 +599,68 @@ class BatchPipeline:
                      "offset": (0, 0)}
                 out.append((region["bbox"], r))
         return out
+
+    def warm(self, page_hw: Tuple[int, int] = (1224, 950),
+             n_pages: Optional[int] = None) -> None:
+        """Compile every per-chunk program CONCURRENTLY on dummy data.
+
+        Cold-process compiles on the remote-compile rig cost minutes per
+        program and the naive first run pays them serially; XLA compiles
+        release the GIL, so firing each stage from its own thread overlaps
+        them — cold start drops from the SUM of compile times to the MAX
+        (the detection program)."""
+        import jax
+
+        n = n_pages or self.batch_pages
+        h, w = page_hw
+        imgs = [np.full((h, w, 3), 255, np.uint8) for _ in range(n)]
+        groups = pack_pages(imgs)
+        bucket, g = next(iter(groups.items()))
+        dev = jax.device_put(g["images"])
+        det = self.system.det_task
+
+        def warm_det():
+            det_hw = det_input_size(bucket,
+                                    det.model_config.limit_side_len)
+            ph = self._detect_enqueue(dev, g["images"].shape, det_hw,
+                                      pre_resized=False)
+            if self.device_boxes:
+                ph = self._boxes_enqueue(ph, g["shapes"], bucket)
+            jax.block_until_ready(ph)
+
+        def warm_layout():
+            if not (self.system.config.use_layout
+                    and self.system.layout_task is not None):
+                return
+            lh = self.system.layout_task.batch_enqueue_pages(dev)
+            self.system.layout_task.batch_finish(*lh)
+
+        def warm_rec():
+            quads = [np.array([[[60, 60], [360, 60], [360, 84],
+                                [60, 84]]], np.float32)] \
+                + [np.zeros((0, 4, 2), np.float32)] * (n - 1)
+            if self.system.config.use_textline_cls:
+                self._recognize_all_device(np.asarray(g["images"]), quads)
+            else:
+                self._recognize_all(imgs, quads)
+
+        def warm_tsr():
+            tsr = self.system.tsr_task
+            if tsr is None or not hasattr(tsr, "batch_infer_from_pages"):
+                return
+            regions = [(0, (50, 50, 350, 250)),      # small bucket
+                       (0, (50, 50, 480, 500)),      # mid bucket
+                       (0, (20, 20, 20 + min(w, 900), 20 + min(h, 900)))]
+            tsr.batch_infer_from_pages(dev, regions)
+
+        fns = [warm_det, warm_layout, warm_rec, warm_tsr]
+        with cf.ThreadPoolExecutor(max_workers=len(fns)) as pool:
+            futures = [pool.submit(f) for f in fns]
+            for fu in futures:
+                try:
+                    fu.result()
+                except Exception:
+                    logger.exception("warmup stage failed (non-fatal)")
 
     # -- run -----------------------------------------------------------------
 

@@ -393,3 +393,34 @@ class TestFastConnectedComponents:
         import numpy as np
         np.testing.assert_allclose(rows[0][:4], [5.0, 5.0, 20.0, 10.0],
                                    atol=2.0)
+
+
+class TestBatchedWarpHelpers:
+    def test_order_points_batch_matches_scalar(self):
+        import numpy as np
+
+        from pdf_table_tpu.ops.warp import (order_points_clockwise,
+                                            order_points_clockwise_batch)
+
+        rng = np.random.default_rng(3)
+        quads = rng.uniform(0, 100, (20, 4, 2)).astype(np.float32)
+        got = order_points_clockwise_batch(quads)
+        for q, g in zip(quads, got):
+            np.testing.assert_allclose(g, order_points_clockwise(q))
+
+    def test_homography_batch_matches_scalar(self):
+        import numpy as np
+
+        from pdf_table_tpu.ops.warp import (_homography_from_quad,
+                                            homographies_from_quads_batch,
+                                            order_points_clockwise_batch)
+
+        rng = np.random.default_rng(4)
+        base = np.array([[10, 10], [80, 12], [82, 40], [8, 38]], np.float32)
+        quads = order_points_clockwise_batch(
+            base[None] + rng.normal(0, 3, (12, 4, 2)).astype(np.float32))
+        ws = rng.integers(20, 200, 12)
+        got = homographies_from_quads_batch(quads, ws, 48.0)
+        for q, w, g in zip(quads, ws, got):
+            np.testing.assert_allclose(
+                g, _homography_from_quad(q, float(w), 48.0), atol=1e-4)
