@@ -800,10 +800,22 @@ class BatchPipeline:
                 if self.device_boxes:
                     probs_h = self._boxes_enqueue(probs_h, chunk["shapes"],
                                                   chunk["bucket"])
+                # start the downlink as soon as the program finishes on
+                # device — the later np.asarray becomes a local hit
+                # instead of paying the tunnel latency at wait time
+                try:
+                    probs_h.copy_to_host_async()
+                except Exception:
+                    pass
                 handles.append((probs_h, prob_hw))
-                layout_handles.append(
-                    self.system.layout_task.batch_enqueue_pages(dev)
-                    if use_layout else None)
+                lh = (self.system.layout_task.batch_enqueue_pages(dev)
+                      if use_layout else None)
+                if lh is not None and lh[0] is not None:
+                    try:
+                        lh[0].copy_to_host_async()
+                    except Exception:
+                        pass
+                layout_handles.append(lh)
             stats["h2d_enqueue"] = time.time() - t0
             # three-lane software pipeline: a rec worker runs chunk k's
             # recognition and a TSR worker runs chunk k's layout+TSR (both
