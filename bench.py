@@ -117,10 +117,20 @@ def bench() -> dict:
     bp.run(pages)
     bp.run(pages)
 
+    import contextlib
+    import os
+
+    profile_dir = os.environ.get("PDFTABLE_BENCH_PROFILE", "")
+    prof = contextlib.nullcontext()
+    if profile_dir:
+        import jax
+        prof = jax.profiler.trace(profile_dir)
+
     n_iters = 5
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        results = bp.run(pages)
+    with prof:
+        for _ in range(n_iters):
+            results = bp.run(pages)
     dt = (time.perf_counter() - t0) / n_iters
     pages_per_sec = len(pages) / dt
     assert len(results) == len(pages)
