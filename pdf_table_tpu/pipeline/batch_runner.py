@@ -128,6 +128,10 @@ class BatchPipeline:
         # remote rig. A local chip should pass True.
         self.device_crops = device_crops
         self.last_stats: Optional[Dict[str, float]] = None
+        self._lane_stats: Dict[str, float] = {}
+
+    def _lane_acc(self, key: str, dt: float) -> None:
+        self._lane_stats[key] = self._lane_stats.get(key, 0.0) + dt
 
     # -- batched detection ---------------------------------------------------
 
@@ -496,10 +500,16 @@ class BatchPipeline:
                 [nws[sel], np.ones(pad, np.int32)])
             fn = self._get_rec_dev_fn((P, H, W), b, nb,
                                       cls_task is not None)
+            t_d = time.time()
             out = fn(rec._params,
                      cls_task._params if cls_task is not None else {},
                      canv_dev, jnp.asarray(mats), jnp.asarray(cmats),
                      jnp.asarray(pidx), jnp.asarray(widths))
+            try:
+                out["rec_packed"].copy_to_host_async()
+            except Exception:
+                pass
+            self._lane_acc("rec_dispatch", time.time() - t_d)
             pending.append((idxs, n, out))
         crops_meta = owners
         n_total = len(crops_meta)
@@ -507,9 +517,14 @@ class BatchPipeline:
         flat_s = [0.0] * n_total
         for idxs, n, out in pending:
             from ..tasks.recognition import unpack_rec
+            t_b = time.time()
+            packed = np.asarray(out["rec_packed"])
+            self._lane_acc("rec_block_d2h", time.time() - t_b)
+            t_p = time.time()
             rec.post(None, np.asarray(idxs, np.int64), n_total,
                      flat_t, flat_s,
-                     decoded=unpack_rec(out["rec_packed"], n))
+                     decoded=unpack_rec(packed, n))
+            self._lane_acc("rec_post", time.time() - t_p)
         for ci, (pi, bi, *_rest) in enumerate(crops_meta):
             texts[pi][bi] = flat_t[ci]
             scores[pi][bi] = flat_s[ci]
@@ -537,7 +552,9 @@ class BatchPipeline:
             cells_per_page = [[] for _ in range(n)]
         else:
             task = self.system.layout_task
+            t_l = time.time()
             cells_per_page = task.batch_finish(*layout_handle)
+            self._lane_acc("tsr_layout_block", time.time() - t_l)
         table_results: List[List] = [[] for _ in range(n)]
         tsr = self.system.tsr_task if self.system.config.use_table else None
         if tsr is None and not digital_info:
@@ -567,7 +584,9 @@ class BatchPipeline:
                     regions.append((pi, (x1, y1, x2, y2)))
                     owners.append((pi, c.bbox, (x1, y1)))
         if regions and tsr is not None:
+            t_t = time.time()
             results = tsr.batch_infer_from_pages(canv_dev, regions)
+            self._lane_acc("tsr_infer", time.time() - t_t)
             for (pi, bbox, offset), r in zip(owners, results):
                 r["offset"] = offset
                 table_results[pi].append((bbox, r))
@@ -941,6 +960,8 @@ class BatchPipeline:
         dt = time.time() - t_start
         stats["total"] = dt
         stats["n_pages"] = float(len(pages))
+        stats.update(self._lane_stats)
+        self._lane_stats = {}
         self.last_stats = stats
         logger.info("batch pipeline: %d pages in %.2fs (%.2f pages/s)",
                     len(pages), dt, len(pages) / max(dt, 1e-9))
