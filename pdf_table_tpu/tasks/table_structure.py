@@ -452,8 +452,13 @@ class OcrTableStructureTask(InferTask):
                                 np.int32)
                 x = warp_fn(pages_dev, jnp.asarray(m), jnp.asarray(px),
                             jnp.asarray(vw), jnp.asarray(vh))
-                pending.append((sub,
-                                self._apply_fn(self._params, {"image": x})))
+                raw = self._apply_fn(self._params, {"image": x})
+                for v in raw.values():      # start downlinks immediately
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass
+                pending.append((sub, raw))
         results: list = [None] * len(metas)
         for sub, raw in pending:
             raw_np = {k: np.asarray(v) for k, v in raw.items()
