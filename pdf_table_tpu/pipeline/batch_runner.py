@@ -110,7 +110,8 @@ class BatchPipeline:
     def __init__(self, config: Optional[OcrSystemConfig] = None, mesh=None,
                  batch_pages: int = 8, half_res_probs: bool = True,
                  device_crops: Optional[bool] = None,
-                 device_boxes: bool = True):
+                 device_boxes: bool = True,
+                 upload_codec: str = "auto"):
         self.system = OcrSystemTask(config or OcrSystemConfig(), mesh=mesh)
         self.mesh = mesh
         self.batch_pages = batch_pages
@@ -121,6 +122,11 @@ class BatchPipeline:
         # ONE rec width bucket on the fused device path (each program call
         # costs a tunnel round trip; padding compute is cheaper)
         self.single_rec_bucket = True
+        # chunk canvases upload as planar luma(+subsampled chroma) and
+        # reconstruct to RGB on device: the canvas H2D is the single
+        # largest tunnel cost (ops/page_codec.py). "auto" = exact gray
+        # for gray chunks, yuv420 otherwise; "rgb" = passthrough.
+        self.upload_codec = upload_codec
         # None = auto: the fused on-device warp+cls+rec program wins when
         # the textline classifier is on (it folds the whole per-crop
         # pipeline into one program); with cls off, the measured tunnel
@@ -132,6 +138,16 @@ class BatchPipeline:
 
     def _lane_acc(self, key: str, dt: float) -> None:
         self._lane_stats[key] = self._lane_stats.get(key, 0.0) + dt
+
+    def _upload_chunk(self, images_np: np.ndarray):
+        """Upload one chunk's canvas stack through the page codec
+        (ops/page_codec.py): planar encode on host, compact planes over
+        the tunnel, RGB reconstruction on device. Returns the async
+        device (N, H, W, 3) uint8 stack."""
+        from ..ops.page_codec import decode_pages_device, encode_pages
+
+        planes, mode = encode_pages(images_np, self.upload_codec)
+        return decode_pages_device(planes, mode)
 
     # -- batched detection ---------------------------------------------------
 
@@ -635,7 +651,7 @@ class BatchPipeline:
         imgs = [np.full((h, w, 3), 255, np.uint8) for _ in range(n)]
         groups = pack_pages(imgs)
         bucket, g = next(iter(groups.items()))
-        dev = jax.device_put(g["images"])
+        dev = self._upload_chunk(g["images"])
         det = self.system.det_task
 
         def warm_det():
@@ -809,7 +825,7 @@ class BatchPipeline:
             t0 = time.time()
             for chunk in chunks:
                 shp = chunk["images"].shape
-                dev = jax.device_put(chunk["images"])
+                dev = self._upload_chunk(chunk["images"])
                 canvs.append(dev)
                 det_hw = det_input_size(chunk["bucket"],
                                         det.model_config.limit_side_len)

@@ -357,3 +357,83 @@ class TestDeviceBoxParity:
         hc = np.sort(host[0].reshape(-1, 4, 2).mean(axis=1), axis=0)
         dc = np.sort(dev[0].reshape(-1, 4, 2).mean(axis=1), axis=0)
         np.testing.assert_allclose(hc, dc, atol=6.0)
+
+
+class TestPageCodec:
+    """Tunnel upload codec (ops/page_codec.py): planar encode on host,
+    RGB reconstruction on device."""
+
+    def test_gray_roundtrip_exact(self):
+        from pdf_table_tpu.ops.page_codec import (decode_pages_host,
+                                                  encode_pages)
+
+        rng = np.random.default_rng(0)
+        g = rng.integers(0, 256, (2, 64, 96), np.uint8)
+        pages = np.repeat(g[..., None], 3, axis=-1)
+        planes, mode = encode_pages(pages, "auto")
+        assert mode == "gray"
+        assert planes["y"].nbytes * 3 == pages.nbytes
+        np.testing.assert_array_equal(decode_pages_host(planes, mode),
+                                      pages)
+
+    def test_yuv420_roundtrip_close(self):
+        from pdf_table_tpu.ops.page_codec import (decode_pages_host,
+                                                  encode_pages,
+                                                  encoded_nbytes)
+
+        rng = np.random.default_rng(1)
+        # smooth color page: block-constant color regions
+        base = rng.integers(0, 256, (1, 8, 12, 3), np.uint8)
+        pages = np.repeat(np.repeat(base, 8, axis=1), 8, axis=2)
+        planes, mode = encode_pages(pages, "auto")
+        assert mode == "yuv420"
+        assert encoded_nbytes(planes) * 2 == pages.nbytes
+        got = decode_pages_host(planes, mode).astype(np.int16)
+        err = np.abs(got - pages.astype(np.int16))
+        # luma-exact up to rounding; chroma within a few LSB on the
+        # block interior (subsampling averages block edges)
+        assert np.percentile(err, 95) <= 4
+
+    def test_device_decode_matches_host(self):
+        from pdf_table_tpu.ops.page_codec import (decode_pages_device,
+                                                  decode_pages_host,
+                                                  encode_pages)
+
+        rng = np.random.default_rng(2)
+        pages = rng.integers(0, 256, (2, 16, 24, 3), np.uint8)
+        for mode_req in ("gray", "yuv420", "rgb"):
+            planes, mode = encode_pages(pages, mode_req)
+            dev = np.asarray(decode_pages_device(planes, mode))
+            host = decode_pages_host(planes, mode)
+            np.testing.assert_array_equal(dev, host)
+
+    def test_batch_pipeline_gray_codec_matches_rgb(self):
+        """End-to-end: a gray corpus through codec='auto' produces the
+        same boxes/HTML as the rgb passthrough (gray encode is exact)."""
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.tasks.detection import OcrDetectionTask
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+
+        def build(codec):
+            cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                                  use_orientation_cls=False,
+                                  use_textline_cls=False)
+            bp = BatchPipeline(cfg, upload_codec=codec)
+            bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
+                                              inner_channels=48,
+                                              limit_side_len=96)
+            bp.system._rec = OcrRecognitionTask(
+                config=RecConfig(width_buckets=(80,)))
+            return bp
+
+        img = np.full((120, 100, 3), 255, np.uint8)
+        img[30:42, 10:90] = 30
+        pages = [{"image": img}, {"image": img.copy()}]
+        r_rgb = build("rgb").run(pages)
+        r_auto = build("auto").run(pages)
+        assert len(r_rgb) == len(r_auto) == 2
+        for a, b in zip(r_rgb, r_auto):
+            assert len(a.text_cells) == len(b.text_cells)
+            assert a.page_html == b.page_html
