@@ -437,3 +437,79 @@ class TestPageCodec:
         for a, b in zip(r_rgb, r_auto):
             assert len(a.text_cells) == len(b.text_cells)
             assert a.page_html == b.page_html
+
+
+class TestAxisAlignedResample:
+    """resample_axis_aligned_crops (row-gather + MXU matmul) must match
+    the generic gather warp on axis-aligned quads."""
+
+    def _pages(self, rng, P=2, H=96, W=128):
+        return rng.integers(0, 256, (P, H, W, 3), np.uint8)
+
+    def test_matches_generic_warp_rec_semantics(self):
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.ops.warp import (homographies_from_quads_batch,
+                                            resample_axis_aligned_crops,
+                                            warp_crops_from_pages)
+
+        rng = np.random.default_rng(0)
+        pages = self._pages(rng)
+        N, oh, ow = 6, 16, 48
+        x1 = rng.uniform(0, 60, N); y1 = rng.uniform(0, 50, N)
+        w = rng.uniform(8, 60, N); h = rng.uniform(6, 30, N)
+        x2, y2 = x1 + w, y1 + h
+        quads = np.stack([np.stack([x1, y1], 1), np.stack([x2, y1], 1),
+                          np.stack([x2, y2], 1), np.stack([x1, y2], 1)], 1)
+        nws = np.clip(np.round(w * oh / h), 1, ow).astype(np.int32)
+        pidx = rng.integers(0, pages.shape[0], N).astype(np.int32)
+        mats = homographies_from_quads_batch(quads, nws, oh)
+        want = np.asarray(warp_crops_from_pages(
+            jnp.asarray(pages), jnp.asarray(pidx), jnp.asarray(mats),
+            jnp.asarray(nws), (oh, ow)))
+        boxes = np.stack([x1, y1, x2, y2], 1).astype(np.float32)
+        got = np.asarray(resample_axis_aligned_crops(
+            jnp.asarray(pages), jnp.asarray(pidx), jnp.asarray(boxes),
+            (oh, ow), dst_w=jnp.asarray(nws.astype(np.float32)),
+            valid_w=jnp.asarray(nws)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2.0)
+
+    def test_matches_generic_warp_partial_extents_and_oob(self):
+        """TSR semantics: full-square dst scale, partial valid_w/valid_h,
+        boxes poking out of the page."""
+        import jax.numpy as jnp
+
+        from pdf_table_tpu.ops.warp import (homographies_from_quads_batch,
+                                            resample_axis_aligned_crops,
+                                            warp_crops_from_pages)
+
+        rng = np.random.default_rng(1)
+        pages = self._pages(rng)
+        oh = ow = 32
+        # one box partially outside the page (negative origin), one inside
+        boxes = np.array([[-10, -8, 54, 56],
+                          [30, 20, 94, 84]], np.float32)
+        vw = np.array([20, 28], np.int32)
+        vh = np.array([24, 32], np.int32)
+        pidx = np.array([0, 1], np.int32)
+        quads = np.stack([boxes[:, [0, 1]], boxes[:, [2, 1]],
+                          boxes[:, [2, 3]], boxes[:, [0, 3]]], 1)
+        mats = homographies_from_quads_batch(quads, float(ow), float(oh))
+        want = np.asarray(warp_crops_from_pages(
+            jnp.asarray(pages), jnp.asarray(pidx), jnp.asarray(mats),
+            jnp.asarray(vw), (oh, ow), heights=jnp.asarray(vh)))
+        got = np.asarray(resample_axis_aligned_crops(
+            jnp.asarray(pages), jnp.asarray(pidx), jnp.asarray(boxes),
+            (oh, ow), valid_w=jnp.asarray(vw), valid_h=jnp.asarray(vh)))
+        np.testing.assert_allclose(got, want, atol=2.0)
+
+    def test_quads_axis_aligned_mask(self):
+        from pdf_table_tpu.ops.warp import quads_axis_aligned
+
+        aa = np.array([[[10, 10], [50, 10], [50, 20], [10, 20]]],
+                      np.float32)
+        rot = np.array([[[10, 10], [50, 14], [48, 24], [8, 20]]],
+                       np.float32)
+        m = quads_axis_aligned(np.concatenate([aa, rot]))
+        assert m.tolist() == [True, False]
