@@ -366,15 +366,21 @@ class BatchPipeline:
     # -- fully-fused device recognition --------------------------------------
 
     def _get_rec_dev_fn(self, page_shape, bucket: int, nb: int,
-                        use_cls: bool):
+                        use_cls: bool, aa: bool = False):
         """One jitted program per (page shape, width bucket, batch bucket):
         perspective warp of every crop straight out of the resident page
         stack (both orientations), PULC 0/180 per-crop select, recognition
         normalize + forward + CTC. No crop bytes cross the tunnel — the
         reference warps per box on host with cv2 (crop_image,
         ocr_common_utils.py:214) and classifies per box
-        (ocr_system_task.py:411-424)."""
-        key = ("rec_dev", page_shape, bucket, nb, use_cls)
+        (ocr_system_task.py:411-424).
+
+        ``aa=True`` compiles the axis-aligned variant: ``geo``/``cgeo``
+        are (nb, 4) boxes and the per-pixel gather warp is replaced by
+        :func:`resample_axis_aligned_crops` (row gathers + MXU matmul —
+        the gather warp dominated this program's device time). Device CC
+        detection emits axis-aligned boxes, so this is the common case."""
+        key = ("rec_dev", page_shape, bucket, nb, use_cls, aa)
         fn = getattr(self, "_rec_dev_jit", None)
         if fn is None:
             self._rec_dev_jit = {}
@@ -384,7 +390,8 @@ class BatchPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.warp import warp_crops_from_pages
+        from ..ops.warp import (resample_axis_aligned_crops,
+                                warp_crops_from_pages)
 
         rec = self.system.rec_task
         cfg = rec.model_config
@@ -397,8 +404,13 @@ class BatchPipeline:
 
         def run(rec_params, cls_params, pages, mats, cmats, pidx,
                 widths):
-            crops = warp_crops_from_pages(pages, pidx, mats, widths,
-                                          (oh, bucket))
+            if aa:
+                crops = resample_axis_aligned_crops(
+                    pages, pidx, mats, (oh, bucket),
+                    dst_w=widths.astype(jnp.float32), valid_w=widths)
+            else:
+                crops = warp_crops_from_pages(pages, pidx, mats, widths,
+                                              (oh, bucket))
             if cls_task is not None:
                 # the 180-rotated crop IS the double-reversed warped crop
                 # (out'[i,j] = out[h-1-i, w-1-j]); realign the content to
@@ -419,9 +431,14 @@ class BatchPipeline:
                 # stretched to the full cls canvas), matching the host
                 # path's cv2.resize of the unpadded crop
                 ch, cw = ccfg.img_size
-                ci = warp_crops_from_pages(
-                    pages, pidx, cmats,
-                    jnp.full((cmats.shape[0],), cw, jnp.int32), (ch, cw))
+                if aa:
+                    ci = resample_axis_aligned_crops(
+                        pages, pidx, cmats, (ch, cw))
+                else:
+                    ci = warp_crops_from_pages(
+                        pages, pidx, cmats,
+                        jnp.full((cmats.shape[0],), cw, jnp.int32),
+                        (ch, cw))
                 ci = (ci / 255.0 - cmean) / cstd
                 probs = jnp.asarray(cls_task._apply_fn(
                     cls_params, {"image": ci.astype(jnp.float32)}))
@@ -441,7 +458,8 @@ class BatchPipeline:
 
         from ..engine.infer_task import bucket_batch_size
         from ..ops.warp import (homographies_from_quads_batch,
-                                order_points_clockwise_batch)
+                                order_points_clockwise_batch,
+                                quads_axis_aligned)
 
         rec = self.system.rec_task
         rec.ensure_built()
@@ -484,38 +502,58 @@ class BatchPipeline:
         nws = np.clip(np.round(ww * cfg.img_height / hh), 1,
                       buckets).astype(np.int32)
         pidx_all = np.asarray([pi for pi, _bi in owners], np.int32)
-        mats_all = homographies_from_quads_batch(qs, nws, cfg.img_height)
-        if cls_task is not None:
-            ch, cw = cls_task.model_config.img_size
-            cmats_all = homographies_from_quads_batch(qs, float(cw),
-                                                      float(ch))
+        # device-CC detection emits axis-aligned rects — those skip the
+        # per-pixel gather warp for the row-gather + MXU resample; only
+        # rotated quads (host contour path, deskewed scans) pay for
+        # homographies
+        aa_mask = quads_axis_aligned(qs)
+        boxes_all = np.stack([qs[:, :, 0].min(1), qs[:, :, 1].min(1),
+                              qs[:, :, 0].max(1), qs[:, :, 1].max(1)],
+                             1).astype(np.float32)
+        mats_all = cmats_all = None
+        if not aa_mask.all():
+            mats_all = homographies_from_quads_batch(qs, nws,
+                                                     cfg.img_height)
+            if cls_task is not None:
+                ch, cw = cls_task.model_config.img_size
+                cmats_all = homographies_from_quads_batch(qs, float(cw),
+                                                          float(ch))
 
         canv_dev = jax.device_put(canvases)
         P, H, W, _ = canvases.shape
         groups = {}
         for ci in range(len(qs)):
-            groups.setdefault(int(buckets[ci]), []).append(ci)
+            groups.setdefault((int(buckets[ci]), bool(aa_mask[ci])),
+                              []).append(ci)
         eye = np.eye(3, dtype=np.float32)
+        pad_box = np.asarray([[0.0, 0.0, 1.0, 1.0]], np.float32)
         pending = []
-        for b, idxs in sorted(groups.items()):
+        for (b, aa), idxs in sorted(groups.items()):
             n = len(idxs)
             nb = bucket_batch_size(n)
             pad = nb - n
             sel = np.asarray(idxs)
-            mats = np.concatenate(
-                [mats_all[sel], np.tile(eye, (pad, 1, 1))]) if pad else \
-                mats_all[sel]
-            cmats = mats
-            if cls_task is not None:
-                cmats = np.concatenate(
-                    [cmats_all[sel],
-                     np.tile(eye, (pad, 1, 1))]) if pad else cmats_all[sel]
+            if aa:
+                mats = np.concatenate(
+                    [boxes_all[sel], np.tile(pad_box, (pad, 1))]) if pad \
+                    else boxes_all[sel]
+                cmats = mats
+            else:
+                mats = np.concatenate(
+                    [mats_all[sel], np.tile(eye, (pad, 1, 1))]) if pad \
+                    else mats_all[sel]
+                cmats = mats
+                if cls_task is not None:
+                    cmats = np.concatenate(
+                        [cmats_all[sel],
+                         np.tile(eye, (pad, 1, 1))]) if pad else \
+                        cmats_all[sel]
             pidx = np.concatenate(
                 [pidx_all[sel], np.zeros(pad, np.int32)])
             widths = np.concatenate(
                 [nws[sel], np.ones(pad, np.int32)])
             fn = self._get_rec_dev_fn((P, H, W), b, nb,
-                                      cls_task is not None)
+                                      cls_task is not None, aa)
             t_d = time.time()
             out = fn(rec._params,
                      cls_task._params if cls_task is not None else {},

@@ -348,7 +348,7 @@ class OcrTableStructureTask(InferTask):
 
         from ..engine.infer_task import bucket_batch_size
         from ..models.lore.processor import LorePreProcessor
-        from ..ops.warp import _homography_from_quad, warp_crops_from_pages
+        from ..ops.warp import resample_axis_aligned_crops
 
         if self.model_name != "Lore":
             pages_np = np.asarray(pages_dev)
@@ -383,18 +383,18 @@ class OcrTableStructureTask(InferTask):
             # the rest is black border like the reference's crop-then-warp
             valid_w.append(min(int(np.ceil(w * ri_w / s)), ri_w))
             valid_h.append(min(int(np.ceil(h * ri_h / s)), ri_h))
+            # the LORE src region is always an axis-aligned square (the
+            # crop's bbox padded to s x s) -> row-gather + MXU resample
+            # instead of the per-pixel gather warp
             if cfg.upper_left:
-                quad = np.array([[x1, y1], [x1 + s, y1],
-                                 [x1 + s, y1 + s], [x1, y1 + s]], np.float32)
+                box = np.array([x1, y1, x1 + s, y1 + s], np.float32)
                 c = np.array([0.0, 0.0], np.float32)
             else:
                 cx, cy = x1 + w / 2.0, y1 + h / 2.0
-                quad = np.array([[cx - s / 2, cy - s / 2],
-                                 [cx + s / 2, cy - s / 2],
-                                 [cx + s / 2, cy + s / 2],
-                                 [cx - s / 2, cy + s / 2]], np.float32)
+                box = np.array([cx - s / 2, cy - s / 2,
+                                cx + s / 2, cy + s / 2], np.float32)
                 c = np.array([w / 2.0, h / 2.0], np.float32)
-            mats.append(_homography_from_quad(quad, ri_w, ri_h))
+            mats.append(box)
             pidx.append(pi)
             meta = {"c": c, "s": s, "org_shape": (int(h), int(w)),
                     "out_h": ri_h // cfg.down_ratio,
@@ -411,13 +411,13 @@ class OcrTableStructureTask(InferTask):
             metas.append(meta)
 
         def get_warp_fn(res):
-            key = ("warp_lore", pages_dev.shape, res)
+            key = ("warp_lore_aa", pages_dev.shape, res)
             warp_fn = self._jitted.get(key)
             if warp_fn is None:
                 def warp(pages, m, pxi, vw, vh):
-                    crops = warp_crops_from_pages(
-                        pages, pxi, m, vw, res,
-                        heights=vh)                     # f32 RGB 0..255
+                    crops = resample_axis_aligned_crops(
+                        pages, pxi, m, res,
+                        valid_w=vw, valid_h=vh)         # f32 RGB 0..255
                     return (crops[..., ::-1] / 255.0 - mean) / std
 
                 warp_fn = jax.jit(warp)
@@ -443,7 +443,7 @@ class OcrTableStructureTask(InferTask):
                 nb = bucket_batch_size(len(sub))
                 pad = nb - len(sub)
                 m = np.stack([mats[i] for i in sub]
-                             + [np.eye(3, dtype=np.float32)] * pad)
+                             + [np.array([0, 0, 1, 1], np.float32)] * pad)
                 px = np.asarray([pidx[i] for i in sub] + [0] * pad,
                                 np.int32)
                 vw = np.asarray([valid_w[i] for i in sub] + [1] * pad,
