@@ -52,21 +52,40 @@ def encode_pages(canvases: np.ndarray, mode: str = "auto"
     if mode == "rgb":
         return {"rgb": canvases}, "rgb"
     if mode == "auto":
-        mode = "gray" if all(page_is_gray(c) for c in canvases) else "yuv420"
-    x = canvases.astype(np.float32)
-    y = _KR * x[..., 0] + _KG * x[..., 1] + _KB * x[..., 2]
-    y_u8 = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        if all(page_is_gray(c) for c in canvases):
+            # R=G=B -> Y == R: the luma IS channel 0, no math. The float
+            # BT.601 blend here used to cost ~50 ms of host time per
+            # 28 MB chunk inside the serial enqueue loop — for document
+            # corpora (overwhelmingly gray) that was pure overhead.
+            return {"y": np.ascontiguousarray(canvases[..., 0])}, "gray"
+        mode = "yuv420"
     if mode == "gray":
-        return {"y": y_u8}, "gray"
+        # explicit gray on a possibly-color page: integer BT.601 luma
+        # (u16 fixed point, ~3x cheaper than the float path)
+        x = canvases.astype(np.uint16)
+        y16 = (77 * x[..., 0] + 150 * x[..., 1] + 29 * x[..., 2] + 128) >> 8
+        return {"y": y16.astype(np.uint8)}, "gray"
     if mode != "yuv420":
         raise ValueError(f"unknown page codec mode: {mode}")
-    n, h, w = y.shape
-    u = 0.5 * (x[..., 2] - y) / (1.0 - _KB) + 128.0
-    v = 0.5 * (x[..., 0] - y) / (1.0 - _KR) + 128.0
-    # 2x2 box-average chroma (bucket dims are even)
-    u2 = u.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
-    v2 = v.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
-    return {"y": y_u8,
+    r = canvases[..., 0].astype(np.uint16)
+    g = canvases[..., 1].astype(np.uint16)
+    b = canvases[..., 2].astype(np.uint16)
+    y16 = (77 * r + 150 * g + 29 * b + 128) >> 8
+    # chroma from the 2x2 box-summed RGB (U/V are linear in RGB, so
+    # averaging RGB first == averaging full-res chroma, at 1/4 the work;
+    # bucket dims are even). Strided adds — reshape(...).mean() on the
+    # 6-d view ran ~10x slower through numpy's reduce machinery.
+    def box4(c):                                  # (n, h, w) u16 -> u16 sum
+        return (c[:, 0::2, 0::2] + c[:, 0::2, 1::2]
+                + c[:, 1::2, 0::2] + c[:, 1::2, 1::2])
+    r4, g4, b4 = box4(r), box4(g), box4(b)        # 4x pixel sums, <= 1020
+    # luma of the sums needs 18 bits (150*1020 overflows u16)
+    y4 = (77 * r4.astype(np.int32) + 150 * g4.astype(np.int32)
+          + 29 * b4.astype(np.int32) + 512) >> 8
+    # 0.5/(1-K) * (C - Y) / 4 + 128, in float at quarter volume
+    u2 = (0.5 / (1.0 - _KB) / 4.0) * (b4.astype(np.float32) - y4) + 128.0
+    v2 = (0.5 / (1.0 - _KR) / 4.0) * (r4.astype(np.float32) - y4) + 128.0
+    return {"y": y16.astype(np.uint8),
             "u": np.clip(np.round(u2), 0, 255).astype(np.uint8),
             "v": np.clip(np.round(v2), 0, 255).astype(np.uint8)}, "yuv420"
 
