@@ -195,22 +195,14 @@ class OcrTableStructureTask(InferTask):
             gl_fn = jax.jit(lambda v, ax, cr, d, i, s: module.apply(
                 v, ax, cr, d, i, s, method=LoreModel.gather_logical))
 
-            def apply_fn_wiz_rev(variables, batch):
-                # wiz_rev runs the corner refine on HOST between two device
-                # programs: the in-program refine trips an axon-runtime
-                # re-execution bug (first exec OK, later INVALID_ARGUMENT);
-                # its operands are ~100 KB so host math costs nothing and
-                # the big ax/cr maps never leave the device
+            def wiz_host_refine(dc):
+                # the host middle of wiz_rev: corner-anchored vertex
+                # refinement on the ~100 KB packed detect-decode download
                 import numpy as np
 
                 from ..models.lore.corner_refine import \
                     refine_vertices_by_corners_np
 
-                if "image_u8" in batch:
-                    dd = dd_u8_fn(variables, batch["image_u8"])
-                else:
-                    dd = dd_fn(variables, batch["image"])
-                dc = np.asarray(dd["dc_packed"])       # ONE tunnel trip
                 k = cfg.max_objs
                 cells, corners = dc[:, :k], dc[:, k:]
                 dets, scores = cells[..., :8], cells[..., 8]
@@ -224,6 +216,28 @@ class OcrTableStructureTask(InferTask):
                 dets = np.take_along_axis(dets, order[..., None], axis=1)
                 scores = np.take_along_axis(scores, order, axis=1)
                 inds = np.take_along_axis(inds, order, axis=1)
+                return dets, inds, scores
+
+            # exposed for the batched page path, which pipelines the two
+            # device programs across sub-batches (all detect-decodes
+            # enqueue before the first host refine blocks)
+            self._wiz_parts = {"dd": dd_fn, "dd_u8": dd_u8_fn,
+                               "gl": gl_fn, "refine": wiz_host_refine}
+
+            def apply_fn_wiz_rev(variables, batch):
+                # wiz_rev runs the corner refine on HOST between two device
+                # programs: the in-program refine trips an axon-runtime
+                # re-execution bug (first exec OK, later INVALID_ARGUMENT);
+                # its operands are ~100 KB so host math costs nothing and
+                # the big ax/cr maps never leave the device
+                import numpy as np
+
+                if "image_u8" in batch:
+                    dd = dd_u8_fn(variables, batch["image_u8"])
+                else:
+                    dd = dd_fn(variables, batch["image"])
+                dc = np.asarray(dd["dc_packed"])       # ONE tunnel trip
+                dets, inds, scores = wiz_host_refine(dc)
                 packed = gl_fn(variables, dd["ax_flat"], dd["cr_map"],
                                jnp.asarray(dets), jnp.asarray(inds),
                                jnp.asarray(scores))
@@ -434,7 +448,9 @@ class OcrTableStructureTask(InferTask):
         by_res: Dict[tuple, list] = {}
         for i, r in enumerate(res_hw):
             by_res.setdefault(r, []).append(i)
-        pending = []
+        wiz = getattr(self, "_wiz_parts", None) \
+            if getattr(cfg, "wiz_rev", False) else None
+        sub_batches = []
         for res, idx_list in sorted(by_res.items()):
             cap = max(1, int(base_cap * full_px / (res[0] * res[1])))
             warp_fn = get_warp_fn(res)
@@ -452,6 +468,35 @@ class OcrTableStructureTask(InferTask):
                                 np.int32)
                 x = warp_fn(pages_dev, jnp.asarray(m), jnp.asarray(px),
                             jnp.asarray(vw), jnp.asarray(vh))
+                sub_batches.append((sub, x))
+        pending = []
+        if wiz is not None:
+            # wiz_rev pipelined across sub-batches: ALL detect-decode
+            # programs enqueue (and their ~100 KB dc_packed downloads
+            # start) before the first host corner-refine blocks — the
+            # serial dd -> host -> gl chain per sub-batch cost a full
+            # compute + tunnel round trip each
+            dds = []
+            for sub, x in sub_batches:
+                dd = wiz["dd"](self._params, x)
+                try:
+                    dd["dc_packed"].copy_to_host_async()
+                except Exception:
+                    pass
+                dds.append((sub, dd))
+            for sub, dd in dds:
+                dets, inds, scores = wiz["refine"](
+                    np.asarray(dd["dc_packed"]))
+                packed = wiz["gl"](self._params, dd["ax_flat"],
+                                   dd["cr_map"], jnp.asarray(dets),
+                                   jnp.asarray(inds), jnp.asarray(scores))
+                try:
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((sub, {"packed": packed}))
+        else:
+            for sub, x in sub_batches:
                 raw = self._apply_fn(self._params, {"image": x})
                 for v in raw.values():      # start downlinks immediately
                     try:

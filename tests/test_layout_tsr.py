@@ -210,6 +210,59 @@ class TestSystemBatchedTsr:
         assert len(out.table_html) == 2
 
 
+class TestWizRevFromPages:
+    def test_pipelined_two_phase_matches_serial(self):
+        """batch_infer_from_pages pipelines wiz_rev's two device programs
+        across sub-batches; its results must match the serial per-sub-batch
+        apply_fn on the SAME warped crops."""
+        import jax
+        import numpy as np
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         task_type="wtw", wiz_rev=True, max_objs=4,
+                         max_corners=8, hidden_size=32, tsfm_layers=1,
+                         stacking_layers=1, num_heads=2, d_ff=32,
+                         head_conv=16, vis_thresh=0.0)
+        task = OcrTableStructureTask(model="Lore", config=cfg)
+        task.config.batch_size = 1      # force multiple sub-batches
+        rng = np.random.default_rng(3)
+        pages = rng.integers(0, 256, (2, 96, 96, 3), np.uint8)
+        pages_dev = jax.device_put(pages)
+        regions = [(0, (0, 0, 60, 50)), (1, (10, 10, 80, 76)),
+                   (0, (30, 40, 90, 90))]
+        out = task.batch_infer_from_pages(pages_dev, regions)
+        assert len(out) == 3
+        assert task._wiz_parts is not None
+        # serial oracle: same warp program, per-crop apply_fn
+        from pdf_table_tpu.ops.warp import resample_axis_aligned_crops
+        for r, (pi, (x1, y1, x2, y2)) in zip(out, regions):
+            assert isinstance(r, dict) and "cells" in r
+            s = max(y2 - y1, x2 - x1, 1.0)
+            box = np.array([[x1, y1, x1 + s, y1 + s]], np.float32) \
+                if cfg.upper_left else None
+            assert box is not None  # wtw LORE is upper_left
+            crops = resample_axis_aligned_crops(
+                pages_dev, np.asarray([pi], np.int32), box, (64, 64),
+                valid_w=np.asarray(
+                    [min(int(np.ceil((x2 - x1) * 64 / s)), 64)], np.int32),
+                valid_h=np.asarray(
+                    [min(int(np.ceil((y2 - y1) * 64 / s)), 64)], np.int32))
+            from pdf_table_tpu.models.lore.processor import LorePreProcessor
+            x = (np.asarray(crops)[..., ::-1] / 255.0
+                 - LorePreProcessor.MEAN) / LorePreProcessor.STD
+            raw = task._apply_fn(task._params,
+                                 {"image": x.astype(np.float32)})
+            oracle = task._unpack_lore(np.asarray(raw["packed"]))
+            got_n = len(r["cells"])
+            want_n = int((oracle["scores"][0] > cfg.vis_thresh).sum()) \
+                if "scores" in oracle else None
+            if want_n is not None:
+                assert got_n == want_n
+
+
 class TestLoreFirstCallUnbuilt:
     def test_direct_call_builds_and_runs(self):
         """Regression: the first direct __call__ on a fresh Lore task must
