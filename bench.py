@@ -126,12 +126,17 @@ def bench() -> dict:
         import jax
         prof = jax.profiler.trace(profile_dir)
 
-    n_iters = 5
-    t0 = time.perf_counter()
+    n_iters = 7
+    iter_dts = []
     with prof:
         for _ in range(n_iters):
+            t0 = time.perf_counter()
             results = bp.run(pages)
-    dt = (time.perf_counter() - t0) / n_iters
+            iter_dts.append(time.perf_counter() - t0)
+    # median iteration: the shared tunnel has noisy-neighbor episodes
+    # (probe h2d has measured 38-134 ms for the same chunk on the same
+    # day) — a single stalled iteration shouldn't define throughput
+    dt = sorted(iter_dts)[n_iters // 2]
     pages_per_sec = len(pages) / dt
     assert len(results) == len(pages)
     n_tables = sum(len(r.table_structures) for r in results)
@@ -148,6 +153,7 @@ def bench() -> dict:
     out = {
         "metric": "e2e_pages_per_sec_per_chip(batched det+rec+layout+TSR+html)",
         "value": round(pages_per_sec, 3),
+        "iters_s": [round(t, 3) for t in iter_dts],
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / 50.0, 3),
         "stages_ms_per_page": stages,

@@ -203,11 +203,15 @@ class DepthwiseUpsample(nn.Module):
 
         kern = self.param("kernel", init, (k, k, 1, C))
         # ConvTranspose(stride f, pad f//2) == lhs-dilated conv with the
-        # flipped kernel and per-side padding 2f - 1 - f//2
+        # flipped kernel and per-side padding 2f - 1 - f//2. Runs in the
+        # model compute dtype (depthwise convs are VPU/HBM-bound; f32
+        # doubled the traffic for no accuracy the following bf16 DCN
+        # could see).
         pad = 2 * f - 1 - f // 2
+        cd = jnp.promote_types(self.dtype, x.dtype)
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.float32),
-            jnp.flip(kern, (0, 1)).astype(jnp.float32),
+            x.astype(cd),
+            jnp.flip(kern, (0, 1)).astype(cd),
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
             lhs_dilation=(f, f),
