@@ -88,10 +88,22 @@ def make_train_step(apply_fn: Callable, loss_fn: Callable, tx,
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     batch_sharding = NamedSharding(mesh, P("dp"))
+    sp = mesh.shape.get("sp", 1)
+    spatial_sharding = NamedSharding(mesh, P("dp", "sp")) if sp > 1 else None
 
     def sharded_step(state, batch):
+        def spec_for(v):
+            # spatial partitioning: image-like tensors (B, H, W, C) also
+            # shard H over 'sp' — XLA GSPMD inserts the conv halo
+            # exchanges, so pages larger than one chip's HBM still train
+            # (the reference has no multi-device story at all)
+            if spatial_sharding is not None and getattr(v, "ndim", 0) >= 4 \
+                    and v.shape[1] % sp == 0:
+                return spatial_sharding
+            return batch_sharding
+
         batch = jax.lax.with_sharding_constraint(
-            batch, jax.tree.map(lambda _: batch_sharding, batch))
+            batch, jax.tree.map(spec_for, batch))
         return step(state, batch)
 
     return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())

@@ -46,3 +46,12 @@ def cpu_mesh():
 
     devices = np.array(jax.devices("cpu")[:8]).reshape(8)
     return Mesh(devices, axis_names=("dp",))
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh3d():
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices("cpu")[:8]).reshape(2, 2, 2)
+    return Mesh(devices, axis_names=("dp", "tp", "sp"))

@@ -141,6 +141,41 @@ class TestLoreLossAndTrainer:
         trainer.restore_checkpoint(ckpt)
 
 
+class TestSpatialShardedTrainStep:
+    def test_dp_tp_sp_mesh_step(self, cpu_mesh3d):
+        """3-axis mesh: batch over dp, wide kernels over tp, image height
+        over sp (XLA GSPMD conv halo exchange). One step, finite losses —
+        mirrors __graft_entry__.dryrun_multichip's 8-device demo."""
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        dp = cpu_mesh3d.shape["dp"]
+        args = LoreTrainArgs(learning_rate=1e-3, batch_size=dp,
+                             save_every=0)
+        trainer = LoreTrainer(cfg, args, mesh=cpu_mesh3d)
+        rng = np.random.default_rng(0)
+        B = dp
+        batch = {
+            "image": rng.normal(size=(B, 64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((B, 16, 16, 2), np.float32),
+            "hm_ind": np.zeros((B, 4), np.int64),
+            "hm_mask": np.ones((B, 4), np.float32),
+            "wh": np.ones((B, 4, 8), np.float32),
+            "reg": np.zeros((B, 4, 2), np.float32),
+            "logic": np.ones((B, 4, 4), np.float32),
+            "gt_dets": np.ones((B, 4, 8), np.float32),
+        }
+        batch["hm"][:, 4, 4, 0] = 1.0
+        with cpu_mesh3d:
+            m = trainer.train_step(batch)
+        assert all(np.isfinite(float(v)) for v in m.values())
+
+
 class TestWtwMetric:
     def test_perfect_match(self):
         from pdf_table_tpu.eval import TableWtwMetric
