@@ -34,6 +34,67 @@ def estimate_skew_angle(image: np.ndarray, max_angle: float = 15.0) -> float:
     return float(angle)
 
 
+def estimate_skew_angle_fft(image: np.ndarray, max_angle: float = 15.0,
+                            num: int = 20, size: int = 512) -> float:
+    """Skew estimate via the FFT-magnitude radial projection — the device
+    counterpart of the reference's dormant utility
+    (utils/table/image_angle_estimator.py:100 get_angle; shipped but
+    commented out at ocr_table_preprocess_task.py:106).
+
+    Text lines create an energy ridge through the spectrum origin
+    perpendicular to the text direction; the strongest radial-sum angle
+    within ±max_angle is the skew. Whole estimate (adaptive threshold,
+    FFT, radial gather) runs as ONE jitted device program; the reference
+    runs cv2 + np.vectorize per angle on host.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gray = image.mean(axis=-1) if image.ndim == 3 else image
+    h, w = gray.shape
+    s = min(1.0, size / max(h, w))
+    key = ("fft_angle", gray.shape, float(max_angle), num, size)
+    fn = _FFT_ANGLE_CACHE.get(key)
+    if fn is None:
+        def run(g):
+            if s < 1.0:
+                nh, nw = int(round(h * s)), int(round(w * s))
+                g = jax.image.resize(g, (nh, nw), "bilinear")
+            else:
+                nh, nw = h, w
+            n = max(nh, nw)
+            g = jnp.pad(g, ((0, n - nh), (0, n - nw)),
+                        constant_values=255.0)
+            # adaptive threshold of the inverted page: local gaussian mean
+            # (15-px window, C=-10), like cv2.adaptiveThreshold in the
+            # reference — separable blur via two 1-D convs
+            inv = 255.0 - g
+            k = jnp.exp(-0.5 * (jnp.arange(-7, 8) / 3.0) ** 2)
+            k = k / k.sum()
+            m1 = jax.scipy.signal.convolve(inv, k[None, :], mode="same")
+            mean = jax.scipy.signal.convolve(m1, k[:, None], mode="same")
+            binar = (inv > mean - (-10)).astype(jnp.float32) * 255.0
+            mag = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(binar)))
+            c = n // 2
+            r = c
+            t = jnp.linspace(-max_angle, max_angle,
+                             int(max_angle * num * 2)) * jnp.pi / 180.0
+            x = jnp.arange(r, dtype=jnp.float32)
+            yy = (c + (x[None, :] * jnp.cos(t)[:, None])).astype(jnp.int32)
+            xx = (c - (x[None, :] * jnp.sin(t)[:, None])).astype(jnp.int32)
+            prof = mag[jnp.clip(yy, 0, n - 1),
+                       jnp.clip(xx, 0, n - 1)].sum(axis=1)
+            a = t[jnp.argmax(prof)] * 180.0 / jnp.pi
+            return jnp.where(jnp.isclose(a, -max_angle), 0.0, a)
+
+        fn = jax.jit(run)
+        _FFT_ANGLE_CACHE[key] = fn
+    return float(fn(jnp.asarray(gray, jnp.float32)))
+
+
+_FFT_ANGLE_CACHE: Dict[Any, Any] = {}
+
+
 def rotate_image(image: np.ndarray, angle: float,
                  border_value=(255, 255, 255)) -> np.ndarray:
     import cv2

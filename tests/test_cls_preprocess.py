@@ -53,6 +53,25 @@ class TestPreprocess:
         est = estimate_skew_angle(rot)
         assert abs(est - 4.0) < 1.5 or abs(est + 4.0) < 1.5
 
+    def test_skew_estimate_fft(self):
+        """Device-FFT radial-projection skew estimate (the reference's
+        image_angle_estimator.get_angle, shipped dormant): returns the
+        CORRECTION angle in rotate_image's convention."""
+        from pdf_table_tpu.tasks.preprocess import (estimate_skew_angle_fft,
+                                                    rotate_image)
+
+        rng = np.random.default_rng(0)
+        img = np.full((400, 400, 3), 255, np.uint8)
+        for y in range(40, 360, 28):
+            for seg in range(3):
+                x0 = 30 + seg * 120 + int(rng.integers(0, 20))
+                img[y:y + 10, x0:x0 + 90] = 20
+        for true in (-6.0, 3.0):
+            rot = rotate_image(img, true)
+            est = estimate_skew_angle_fft(rot)
+            assert abs(est + true) < 0.6, (true, est)
+        assert abs(estimate_skew_angle_fft(img)) < 0.6
+
     def test_rotate_90s(self):
         from pdf_table_tpu.tasks.preprocess import rotate_90s
 
