@@ -281,6 +281,16 @@ def tail_configs(bp, pages) -> dict:
             len(pages) / (time.perf_counter() - t0), 3)
     finally:
         bp.system._tsr = old_tsr
+
+    # steady state: 48 pages (6 chunks) keeps every lane saturated — the
+    # 16-page headline benefits from drain overlap; this is the number a
+    # long corpus sees (same programs, no new compiles)
+    long_pages = [pages[i % len(pages)] for i in range(48)]
+    bp.run(long_pages[:16])  # settle back to the wireless TSR programs
+    t0 = time.perf_counter()
+    bp.run(long_pages)
+    tail["steady_state_48p_pages_per_sec"] = round(
+        48 / (time.perf_counter() - t0), 3)
     return tail
 
 
