@@ -903,6 +903,23 @@ class BatchPipeline:
 
             rec_pool = cf.ThreadPoolExecutor(max_workers=1)
             tsr_pool = cf.ThreadPoolExecutor(max_workers=1)
+            # the TSR lane needs only layout + canvases — NOT detection —
+            # so every chunk's layout+TSR work submits before the main
+            # thread blocks on det D2H (that block cost ~285 ms/run and
+            # used to gate the heaviest lane's start)
+            tsr_futs = []
+            for ci, chunk in enumerate(chunks):
+                digital_info = {}
+                for k, gi in enumerate(chunk["indices"]):
+                    i = raster[gi]
+                    if i in digital_set:
+                        digital_info[k] = (pages[i]["pdf_page"],
+                                           pdf_scales[i])
+                tsr_futs.append(tsr_pool.submit(timed, "tsr_lane",
+                                                self._tables_for_chunk,
+                                                canvs[ci], chunk["shapes"],
+                                                layout_handles[ci],
+                                                digital_info))
             staged = []
             for ci, chunk in enumerate(chunks):
                 shp = chunk["images"].shape
@@ -923,16 +940,12 @@ class BatchPipeline:
                                       det_hw)
                 except Exception as e:
                     logger.exception("chunk %d detection failed", ci)
-                    staged.append((chunk, None, None, None, e))
+                    staged.append((chunk, None, tsr_futs[ci], None, e))
                     continue
                 # digital pages take vector text: no rec crops for them
-                digital_info = {}
                 for k, gi in enumerate(chunk["indices"]):
-                    i = raster[gi]
-                    if i in digital_set:
+                    if raster[gi] in digital_set:
                         quads[k] = np.zeros((0, 4, 2), np.float32)
-                        digital_info[k] = (pages[i]["pdf_page"],
-                                           pdf_scales[i])
                 page_imgs = [images[raster[k]] for k in chunk["indices"]]
                 use_dev = self.device_crops
                 if use_dev is None:
@@ -947,13 +960,13 @@ class BatchPipeline:
                     rec_fut = rec_pool.submit(timed, "rec_lane",
                                               self._recognize_all,
                                               page_imgs, quads)
-                tsr_fut = tsr_pool.submit(timed, "tsr_lane",
-                                          self._tables_for_chunk,
-                                          canvs[ci], chunk["shapes"],
-                                          layout_handles[ci], digital_info)
-                staged.append((chunk, quads, tsr_fut, rec_fut, None))
+                staged.append((chunk, quads, tsr_futs[ci], rec_fut, None))
             for chunk, quads, tsr_fut, fut, chunk_err in staged:
                 if chunk_err is not None:
+                    try:
+                        tsr_fut.result()   # drain the pre-submitted lane
+                    except Exception:
+                        pass
                     for gi in chunk["indices"]:
                         i = raster[gi]
                         results[i] = _error_output(pages[i].get("page", i),
