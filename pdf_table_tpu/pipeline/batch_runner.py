@@ -586,13 +586,13 @@ class BatchPipeline:
 
     # -- batched layout + TSR ------------------------------------------------
 
-    def _tables_for_chunk(self, canv_dev, page_shapes, layout_handle,
-                          digital_info: Optional[Dict[int, tuple]] = None):
-        """Finish layout, then run TSR over every table crop of the chunk
-        sampled straight from the device-resident canvases (the reference
-        loops per page and per crop, ocr_system_task.py:168-226). Returns
-        (layout_cells, table_results) per page; table_results entries are
-        (bbox, tsr_result).
+    def _layout_regions_for_chunk(self, page_shapes, layout_handle,
+                                  digital_info: Optional[Dict[int, tuple]]
+                                  = None):
+        """Stage A of the table path: block on the packed layout download,
+        extract table regions, and run digital pages' vector-line cells on
+        the host. Returns (cells_per_page, table_results, regions, owners)
+        for :meth:`_tsr_from_regions`.
 
         ``digital_info`` maps chunk positions of digital pages to
         (pdf_page, pdf_scale): their table cells come from vector lines on
@@ -612,7 +612,7 @@ class BatchPipeline:
         table_results: List[List] = [[] for _ in range(n)]
         tsr = self.system.tsr_task if self.system.config.use_table else None
         if tsr is None and not digital_info:
-            return cells_per_page, table_results
+            return cells_per_page, table_results, [], []
         from .system import filter_figure_tables
 
         regions, owners = [], []
@@ -637,6 +637,16 @@ class BatchPipeline:
                 if x2 - x1 >= 2 and y2 - y1 >= 2:
                     regions.append((pi, (x1, y1, x2, y2)))
                     owners.append((pi, c.bbox, (x1, y1)))
+        return cells_per_page, table_results, regions, owners
+
+    def _tsr_from_regions(self, canv_dev, prep):
+        """Stage B: LORE/SLANet/... inference over stage A's table crops,
+        sampled straight from the device-resident canvases (the reference
+        loops per page and per crop, ocr_system_task.py:168-226). Returns
+        (layout_cells, table_results) per page; table_results entries are
+        (bbox, tsr_result)."""
+        cells_per_page, table_results, regions, owners = prep
+        tsr = self.system.tsr_task if self.system.config.use_table else None
         if regions and tsr is not None:
             t_t = time.time()
             results = tsr.batch_infer_from_pages(canv_dev, regions)
@@ -645,6 +655,15 @@ class BatchPipeline:
                 r["offset"] = offset
                 table_results[pi].append((bbox, r))
         return cells_per_page, table_results
+
+    def _tables_for_chunk(self, canv_dev, page_shapes, layout_handle,
+                          digital_info: Optional[Dict[int, tuple]] = None):
+        """Single-threaded convenience: stage A then stage B (the batched
+        run() pipelines them on separate lanes)."""
+        return self._tsr_from_regions(
+            canv_dev, self._layout_regions_for_chunk(page_shapes,
+                                                     layout_handle,
+                                                     digital_info))
 
     @staticmethod
     def _digital_tables(pdf_page, pdf_scale: float, table_bboxes) -> List:
@@ -750,8 +769,8 @@ class BatchPipeline:
         t_start = time.time()
         stats: Dict[str, float] = {
             "rasterize": 0.0, "h2d_enqueue": 0.0, "det_wait_d2h": 0.0,
-            "det_host_post": 0.0, "rec_lane": 0.0, "tsr_lane": 0.0,
-            "html": 0.0, "digital_serial": 0.0}
+            "det_host_post": 0.0, "rec_lane": 0.0, "layout_lane": 0.0,
+            "tsr_lane": 0.0, "html": 0.0, "digital_serial": 0.0}
         results: List[Optional[OcrSystemModelOutput]] = [None] * len(pages)
 
         # rasterize on host threads
@@ -902,12 +921,16 @@ class BatchPipeline:
                     stats[key] += time.time() - t
 
             rec_pool = cf.ThreadPoolExecutor(max_workers=1)
+            layout_pool = cf.ThreadPoolExecutor(max_workers=1)
             tsr_pool = cf.ThreadPoolExecutor(max_workers=1)
-            # the TSR lane needs only layout + canvases — NOT detection —
-            # so every chunk's layout+TSR work submits before the main
-            # thread blocks on det D2H (that block cost ~285 ms/run and
-            # used to gate the heaviest lane's start)
-            tsr_futs = []
+            # the table path needs only layout + canvases — NOT detection —
+            # so every chunk's work submits before the main thread blocks
+            # on det D2H (that block cost ~285 ms/run and used to gate the
+            # heaviest lane's start). Layout-finish (D2H block + region
+            # extraction, ~33 ms/page) and TSR inference (~38 ms/page) run
+            # on SEPARATE lanes: chunk k's TSR infer overlaps chunk k+1's
+            # layout wait instead of paying their sum.
+            layout_futs, tsr_futs = [], []
             for ci, chunk in enumerate(chunks):
                 digital_info = {}
                 for k, gi in enumerate(chunk["indices"]):
@@ -915,11 +938,17 @@ class BatchPipeline:
                     if i in digital_set:
                         digital_info[k] = (pages[i]["pdf_page"],
                                            pdf_scales[i])
+                layout_futs.append(layout_pool.submit(
+                    timed, "layout_lane", self._layout_regions_for_chunk,
+                    chunk["shapes"], layout_handles[ci], digital_info))
+
+            def tsr_stage(ci):
+                return self._tsr_from_regions(canvs[ci],
+                                              layout_futs[ci].result())
+
+            for ci in range(len(chunks)):
                 tsr_futs.append(tsr_pool.submit(timed, "tsr_lane",
-                                                self._tables_for_chunk,
-                                                canvs[ci], chunk["shapes"],
-                                                layout_handles[ci],
-                                                digital_info))
+                                                tsr_stage, ci))
             staged = []
             for ci, chunk in enumerate(chunks):
                 shp = chunk["images"].shape
@@ -1022,6 +1051,7 @@ class BatchPipeline:
                                                    e)
                 stats["html"] += time.time() - t0
             rec_pool.shutdown(wait=True)
+            layout_pool.shutdown(wait=True)
             tsr_pool.shutdown(wait=True)
 
         dt = time.time() - t_start
