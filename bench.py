@@ -294,8 +294,32 @@ def tail_configs(bp, pages) -> dict:
     return tail
 
 
+def _check_device_responsive(timeout_s: float = 300.0) -> bool:
+    """The tunneled chip's first jax.devices() can BLOCK FOREVER if a dead
+    client still holds the pool claim (axon grant queue) — a hang, not an
+    exception, so bench() would never reach its error handler. Probe device
+    init on a daemon thread so the driver always gets a JSON line."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> int:
     try:
+        if not _check_device_responsive():
+            raise TimeoutError(
+                "device init blocked >300s (tunnel claim wedged?)")
         result = bench()
     except Exception as e:  # never crash the driver
         result = {"metric":
