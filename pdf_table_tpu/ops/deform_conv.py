@@ -100,6 +100,15 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
     # otherwise split to bound peak memory
     bytes_per_tap = B * Ho * Wo * 4 * Cin * jnp.dtype(gdt).itemsize
     tap_chunk = max(1, min(K, int(1.5e9 // max(bytes_per_tap, 1))))
+    # fused Pallas back half (blend + implicit im2col + matmul in VMEM,
+    # ops/pallas/deform_blend.py): the XLA form materializes the blended
+    # im2col tensor in a (..., T, 4, Cin) layout whose trailing dims pad
+    # 3.6x on TPU tiles. bf16-only (the production compute dtype) — the
+    # f32 path below stays bit-stable for the C++ oracle parity tests.
+    from .pallas.deform_blend import blend_matmul, blend_matmul_supported
+    Np = B * Ho * Wo
+    use_pallas = (gdt == jnp.bfloat16
+                  and blend_matmul_supported(Np, 4 * Cin * K, Cout, gdt))
     out = jnp.zeros((B * Ho * Wo, Cout), jnp.float32)
     for t0 in range(0, K, tap_chunk):
         t1 = min(t0 + tap_chunk, K)
@@ -113,7 +122,6 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
         xi = x0.astype(jnp.int32)
         base = ((yi % H) * W + (xi % W)).reshape(B, Ho * Wo * T)
         g = jnp.take_along_axis(xq, base[:, :, None], axis=1)
-        g = g.reshape(B, Ho, Wo, T, 4, Cin)
         in_y0 = (yi >= 0) & (yi < H)
         in_y1 = (yi + 1 >= 0) & (yi + 1 < H)
         in_x0 = (xi >= 0) & (xi < W)
@@ -124,6 +132,22 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
              wy * (1 - wx) * (in_y1 & in_x0),
              wy * wx * (in_y1 & in_x1)], axis=-1)      # (B, Ho, Wo, T, 4)
         w4 = w4 * mask32[..., t0:t1, None]
+        if use_pallas and T * 4 * Cin % 128 == 0:
+            # corner-major flat layouts, no sub-128 trailing dims anywhere:
+            # g2 (Np, T*4C) is the gather output's natural reshape; w4e
+            # repeats each corner weight across its Cin channels; wrep
+            # replicates each tap's weights over the 4 corners so the
+            # corner reduction rides the MXU contraction.
+            g2 = g.reshape(B, Ho * Wo, T * 4 * Cin
+                           ).reshape(Np, T * 4 * Cin)
+            w4e = jnp.repeat(
+                w4.reshape(Np, T * 4), Cin, axis=-1).astype(gdt)
+            wrep = jnp.broadcast_to(
+                wmat[t0:t1].reshape(T, 1, Cin, Cout),
+                (T, 4, Cin, Cout)).reshape(T * 4 * Cin, Cout).astype(gdt)
+            out = out + blend_matmul(g2, w4e, wrep)
+            continue
+        g = g.reshape(B, Ho, Wo, T, 4, Cin)
         # ONE matmul per chunk over the (T*Cin) contraction instead of a
         # per-tap loop: T separate (N, Cin)x(Cin, Cout) dots paid T f32
         # accumulation round trips over the (N, Cout) output and ran the

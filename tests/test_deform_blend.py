@@ -1,0 +1,96 @@
+"""Fused Pallas blend+matmul for DCNv2 (ops/pallas/deform_blend.py):
+interpret-mode parity with the XLA reference form, and VJP correctness
+(training path). The on-TPU timing lives in docs/performance.md."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdf_table_tpu.ops.pallas import deform_blend as db
+
+
+def _mk(np_=512, k=9, c=64, co=64, seed=0):
+    rng = np.random.default_rng(seed)
+    kc = k * 4 * c
+    g2 = jnp.asarray(rng.standard_normal((np_, kc)), jnp.bfloat16)
+    w4e = jnp.asarray(rng.random((np_, kc)), jnp.bfloat16)
+    wrep = jnp.asarray(rng.standard_normal((kc, co)) * 0.1, jnp.bfloat16)
+    return g2, w4e, wrep
+
+
+class TestDeformBlend:
+    def test_interpret_matches_xla(self, monkeypatch):
+        g2, w4e, wrep = _mk()
+        want = np.asarray(db.blend_matmul_xla(g2, w4e, wrep))
+
+        import jax.experimental.pallas as pl
+
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pl, "pallas_call", interp)
+        got = np.asarray(db._blend_matmul_fwd_impl(g2, w4e, wrep))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_vjp_matches_xla_grads(self):
+        # the custom VJP must equal autodiff of the unfused XLA form
+        g2, w4e, wrep = _mk(np_=256, k=2, c=64, co=32)
+        g2f = g2.astype(jnp.float32)
+        w4f = w4e.astype(jnp.float32)
+        wrf = wrep.astype(jnp.float32)
+
+        def loss_xla(g, w, wm):
+            return jnp.sum(db.blend_matmul_xla(
+                g.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                wm.astype(jnp.bfloat16)) ** 2)
+
+        want = jax.grad(loss_xla, argnums=(0, 1, 2))(g2f, w4f, wrf)
+        got = db._bwd(
+            (g2, w4e, wrep),
+            2.0 * db.blend_matmul_xla(g2, w4e, wrep))
+        for a, b in zip(got, want):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            # both sides are bf16-rounded estimates of the same gradient;
+            # compare relative to the gradient's scale
+            np.testing.assert_allclose(a, b, rtol=5e-2,
+                                       atol=2e-2 * float(np.abs(b).max()))
+
+    def test_integration_packing_matches_unfused(self, monkeypatch):
+        """Route the deform_conv2d pallas branch through the XLA twin on
+        CPU: validates the g2 / w4e / wrep packing (tap + corner + channel
+        order) independently of TPU hardware."""
+        import pdf_table_tpu.ops.deform_conv as dc
+        from pdf_table_tpu.ops.pallas import deform_blend as dbm
+
+        rng = np.random.default_rng(3)
+        B, H, W, C, Co = 2, 16, 8, 32, 16  # Np=256 rows, K*4C=1152 (%128)
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+        off = jnp.asarray(rng.standard_normal((B, H, W, 18)) * 1.5,
+                          jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, 9)), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((3, 3, C, Co)) * 0.1,
+                          jnp.float32)
+        want = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
+
+        monkeypatch.setattr(dbm, "blend_matmul_supported",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(dbm, "blend_matmul", dbm.blend_matmul_xla)
+        dc.deform_conv2d.clear_cache()
+        got = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
+        dc.deform_conv2d.clear_cache()
+        scale = float(np.abs(want).max()) + 1e-6
+        # bf16 blend vs f32 blend: small quantization delta only
+        assert float(np.abs(got - want).max()) / scale < 2e-2
+        assert got.shape == want.shape
+
+    def test_supported_gate(self):
+        assert not db.blend_matmul_supported(255, 2304, 64, jnp.bfloat16)
+        assert not db.blend_matmul_supported(512, 100, 64, jnp.bfloat16)
+        assert not db.blend_matmul_supported(512, 2304, 64, jnp.float32)
+        # TPU-only gate: on the CPU test backend it must refuse
+        assert not db.blend_matmul_supported(512, 2304, 64, jnp.bfloat16) \
+            or jax.default_backend() == "tpu"
