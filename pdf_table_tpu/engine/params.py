@@ -38,6 +38,47 @@ def save_params(variables, ckpt_dir: str) -> None:
     logger.info("saved params to %s", ckpt_dir)
 
 
+_async_ckptr = None
+
+
+def save_params_async(variables, ckpt_dir: str):
+    """Non-blocking checkpoint save: the device->host transfer is enqueued
+    here (async dispatch) and orbax's AsyncCheckpointer writes on a
+    background thread, so the train loop's next step overlaps the ~seconds
+    of D2H + filesystem time a synchronous save costs (the reference
+    trainer saves synchronously through HF Trainer, basic_trainer.py:87).
+    Returns the checkpointer; call :func:`wait_for_async_saves` (or the
+    returned object's ``wait_until_finished``) before reading the
+    checkpoint or exiting."""
+    global _async_ckptr
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(os.path.dirname(ckpt_dir), exist_ok=True)
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    else:
+        # one save in flight at a time: orbax requires the previous
+        # commit to finish before the next save on the same checkpointer
+        _async_ckptr.wait_until_finished()
+    # start every leaf's D2H now (async dispatch) so orbax's background
+    # thread finds ready host copies instead of serializing transfers;
+    # converting with np.asarray HERE would block the train loop instead
+    for leaf in jax.tree.leaves(variables):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            pass
+    _async_ckptr.save(ckpt_dir, variables, force=True)
+    logger.info("async save started -> %s", ckpt_dir)
+    return _async_ckptr
+
+
+def wait_for_async_saves() -> None:
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def load_params(ckpt_dir: str):
     import orbax.checkpoint as ocp
 

@@ -127,19 +127,37 @@ class LoreTrainer:
                 self.best_loss = metrics["loss"]
             if self.args.save_every and step > 0 \
                     and step % self.args.save_every == 0:
-                self.save_checkpoint()
+                self.save_checkpoint(blocking=False)
+        # a non-blocking save may still be committing; make fit()'s
+        # checkpoints durable before returning
+        from ..engine.params import wait_for_async_saves
+        wait_for_async_saves()
         return self.history
 
     # -- checkpointing ------------------------------------------------------
 
-    def save_checkpoint(self, path: Optional[str] = None) -> str:
-        from ..engine.params import save_params
-
+    def save_checkpoint(self, path: Optional[str] = None,
+                        blocking: bool = True) -> str:
+        """``blocking=False`` overlaps the D2H + write with subsequent
+        train steps (orbax AsyncCheckpointer); fit() uses it for its
+        periodic saves and waits once at the end. The reference's HF
+        trainer saves synchronously (basic_trainer.py:87-114)."""
         path = path or os.path.join(self.args.output_dir, "checkpoint")
-        variables = {"params": jax.device_get(self.state.params)}
-        if self.state.batch_stats:
-            variables["batch_stats"] = jax.device_get(self.state.batch_stats)
-        save_params(variables, path)
+        if blocking:
+            from ..engine.params import save_params
+
+            variables = {"params": jax.device_get(self.state.params)}
+            if self.state.batch_stats:
+                variables["batch_stats"] = jax.device_get(
+                    self.state.batch_stats)
+            save_params(variables, path)
+        else:
+            from ..engine.params import save_params_async
+
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
+            save_params_async(variables, path)
         return path
 
     def restore_checkpoint(self, path: str) -> None:

@@ -140,6 +140,51 @@ class TestLoreLossAndTrainer:
         ckpt = trainer.save_checkpoint(str(tmp_path / "ck"))
         trainer.restore_checkpoint(ckpt)
 
+    def test_async_checkpoint_roundtrip(self, tmp_path):
+        """Non-blocking save (orbax AsyncCheckpointer): training continues
+        while the checkpoint commits; after the wait barrier the restored
+        params equal the saved ones."""
+        import jax
+
+        from pdf_table_tpu.engine.params import wait_for_async_saves
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        args = LoreTrainArgs(learning_rate=1e-3, batch_size=1,
+                             total_steps=4, save_every=0,
+                             output_dir=str(tmp_path))
+        trainer = LoreTrainer(cfg, args)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((1, 16, 16, 2), np.float32),
+            "hm_ind": np.zeros((1, 4), np.int64),
+            "hm_mask": np.ones((1, 4), np.float32),
+            "wh": np.ones((1, 4, 8), np.float32),
+            "reg": np.zeros((1, 4, 2), np.float32),
+            "logic": np.ones((1, 4, 4), np.float32),
+            "gt_dets": np.ones((1, 4, 8), np.float32),
+        }
+        batch["hm"][0, 4, 4, 0] = 1.0
+        trainer.train_step(batch)
+        ckpt = trainer.save_checkpoint(str(tmp_path / "ck_async"),
+                                       blocking=False)
+        saved = jax.device_get(trainer.state.params)
+        trainer.train_step(batch)  # train continues during the commit
+        wait_for_async_saves()
+        trainer.restore_checkpoint(ckpt)
+        restored = jax.device_get(trainer.state.params)
+        a = jax.tree.leaves(saved)
+        b = jax.tree.leaves(restored)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
 
 class TestSpatialShardedTrainStep:
     def test_dp_tp_sp_mesh_step(self, cpu_mesh3d):
