@@ -102,8 +102,15 @@ blend_matmul.defvjp(_fwd, _bwd)
 def blend_matmul_supported(np_: int, kc: int, co: int,
                            dtype) -> bool:
     """Shapes the kernel's static tiling handles (128-lane alignment and
-    row-tile divisibility); callers fall back to the XLA form otherwise."""
-    return (dtype == jnp.bfloat16 and np_ % TILE_ROWS == 0
+    row-tile divisibility); callers fall back to the XLA form otherwise.
+
+    Opt-in via PDFTABLE_PALLAS_DCN=1 until the kernel has an on-chip
+    A/B record: a Mosaic lowering failure surfaces at first compile and
+    would take the whole LORE path down with it."""
+    import os
+
+    return (os.environ.get("PDFTABLE_PALLAS_DCN", "0") == "1"
+            and dtype == jnp.bfloat16 and np_ % TILE_ROWS == 0
             and kc % 128 == 0 and co >= 1
             and jax.default_backend() == "tpu")
 
