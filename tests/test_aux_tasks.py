@@ -267,3 +267,33 @@ class TestTableImageMisdetection:
         outside = (10, 10, 80, 60)
         assert table_bbox_is_pdf_image(inside, page, scale)
         assert not table_bbox_is_pdf_image(outside, page, scale)
+
+
+class TestOcrDocumentLegacy:
+    """Legacy OcrDocument output contract (reference
+    modeling_ocr_pdf.py:313-360): reading-order det polygons, indexed
+    ocr records, per-stage metrics, DataFrame view, debug artifacts."""
+
+    def test_call_triple_and_debug_artifacts(self, tmp_path):
+        import numpy as np
+
+        from pdf_table_tpu.pipeline.ocr_document import OcrDocument
+
+        doc = OcrDocument(output_dir=str(tmp_path))
+        img = np.full((96, 128, 3), 255, np.uint8)
+        img[20:34, 20:100] = 40
+        img[60:74, 30:90] = 40
+        det, ocr, metric = doc(img)
+        assert det.ndim == 2 and det.shape[1] == 8
+        assert all(set(r) == {"index", "text", "bbox"} for r in ocr)
+        assert [r["index"] for r in ocr] == list(range(1, len(ocr) + 1))
+        if len(det) >= 2:  # reading order: mean y ascending
+            ys = det[:, 1::2].mean(axis=1)
+            assert (np.diff(ys) > -10).all()
+        assert "detection" in metric and "recognition" in metric
+        df = doc.show_ocr_result(ocr)
+        assert list(df.columns) == ["box_index", "text", "bbox"]
+        import glob
+        assert glob.glob(str(tmp_path / "ocr_*.png"))
+        assert glob.glob(str(tmp_path / "ocr_*.json"))
+        assert glob.glob(str(tmp_path / "ocr_*.txt"))
