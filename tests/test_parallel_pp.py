@@ -81,3 +81,34 @@ class TestGPipe:
         want = sequential_apply(mlp_stage, params, mb)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestMultihostSharding:
+    """parallel/multihost.py: corpus sharding math (SURVEY §5 distributed
+    backend — DCN shards input, ICI carries collectives)."""
+
+    def test_bounds_partition_exactly(self):
+        from pdf_table_tpu.parallel.multihost import shard_bounds
+
+        for n in (0, 1, 7, 8, 9, 100):
+            for pc in (1, 2, 3, 8):
+                spans = [shard_bounds(n, i, pc) for i in range(pc)]
+                assert spans[0][0] == 0 and spans[-1][1] == n
+                for (a, b), (c, d) in zip(spans, spans[1:]):
+                    assert b == c  # contiguous, no gap/overlap
+                sizes = [b - a for a, b in spans]
+                assert max(sizes) - min(sizes) <= 1
+
+    def test_shard_and_merge_roundtrip(self):
+        from pdf_table_tpu.parallel.multihost import (merge_sharded_results,
+                                                      shard_pages)
+
+        pages = [f"p{i}" for i in range(11)]
+        shards = [shard_pages(pages, i, 3) for i in range(3)]
+        assert merge_sharded_results(shards) == pages
+
+    def test_initialize_single_host(self):
+        from pdf_table_tpu.parallel.multihost import initialize
+
+        idx, cnt = initialize()
+        assert idx == 0 and cnt >= 1
