@@ -291,7 +291,46 @@ def tail_configs(bp, pages) -> dict:
     bp.run(long_pages)
     tail["steady_state_48p_pages_per_sec"] = round(
         48 / (time.perf_counter() - t0), 3)
+
+    # born-digital corpus: vector text + LineCellPdf tables ride the
+    # batched chunks (host text, batched layout, no det crops / no TSR
+    # model) — the reference's dominant real-world input class
+    try:
+        tail["digital_pages_per_sec"] = digital_tail(bp)
+    except Exception as e:  # keep the primary metric alive
+        tail["digital_pages_per_sec"] = f"error: {type(e).__name__}: {e}"
     return tail
+
+
+def digital_tail(bp, n_pages: int = 16) -> float:
+    import os
+    import tempfile
+
+    from pdf_table_tpu.pdfio import writer
+    from pdf_table_tpu.pdfio.reader import PdfDocument
+
+    doc = writer.PdfWriter()
+    for i in range(n_pages):
+        pg = doc.add_page(612, 792)
+        y = 740
+        for j in range(12):
+            pg.text(60, y, f"paragraph line {i}-{j} with running text")
+            y -= 22
+        pg.table(60, 430, [110, 90, 90, 90], 24,
+                 [[f"r{r}c{c}" for c in range(4)] for r in range(8)])
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "digital.pdf")
+        doc.save(path)
+        pdf = PdfDocument.open(path)
+        pages = [{"pdf_page": pdf.load_page(i), "pdf_doc": pdf, "page": i}
+                 for i in range(n_pages)]
+        bp.run(pages)   # settle (rasterize cache cold, layout warm)
+        t0 = time.perf_counter()
+        res = bp.run(pages)
+        dt = time.perf_counter() - t0
+        n_tables = sum(len(r.table_html) for r in res)
+        assert n_tables >= n_pages // 2, f"only {n_tables} tables extracted"
+    return round(n_pages / dt, 3)
 
 
 def _check_device_responsive(timeout_s: float = 300.0) -> bool:
