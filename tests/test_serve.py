@@ -1,0 +1,105 @@
+"""HTTP serving (pdf_table_tpu/serve.py): dynamic batching over the
+batched pipeline, health/metrics endpoints, error containment."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from pdf_table_tpu.pipeline.system import OcrSystemConfig
+    from pdf_table_tpu.serve import ExtractionService, make_server
+
+    cfg = OcrSystemConfig(use_layout=False, use_table=True,
+                          use_orientation_cls=False)
+    service = ExtractionService(cfg, batch_pages=4, max_wait_ms=50.0,
+                                warm=False)
+    srv = make_server(service, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield port, service
+    srv.shutdown()
+    service.close()
+
+
+def _post(port, body, ctype):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    conn.request("POST", "/v1/extract", body,
+                 {"Content-Type": ctype})
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def _digital_pdf_bytes(n_pages=1):
+    import io
+    import os
+    import tempfile
+
+    from pdf_table_tpu.pdfio import writer
+
+    doc = writer.PdfWriter()
+    for i in range(n_pages):
+        pg = doc.add_page(300, 240)
+        pg.text(20, 200, f"served page {i}")
+        pg.table(20, 160, [80, 80], 24, [["A", "B"], ["1", "2"]])
+    fd, path = tempfile.mkstemp(suffix=".pdf")
+    os.close(fd)
+    doc.save(path)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    return data
+
+
+class TestServe:
+    def test_healthz_and_metrics(self, server):
+        port, _svc = server
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())["ok"]
+        conn.request("GET", "/metrics")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert "counters" in json.loads(r.read())
+
+    def test_extract_digital_pdf(self, server):
+        port, _svc = server
+        status, out = _post(port, _digital_pdf_bytes(2), "application/pdf")
+        assert status == 200
+        assert len(out["pages"]) == 2
+        assert any("served page" in p["html"] for p in out["pages"])
+        assert any("<table" in t for p in out["pages"]
+                   for t in p["tables"]) or \
+            any("<table" in p["html"] for p in out["pages"])
+
+    def test_bad_payload_contained(self, server):
+        port, svc = server
+        status, out = _post(port, b"not an image", "image/png")
+        assert status == 500 and "error" in out
+        # the service survives and keeps serving
+        status, _ = _post(port, _digital_pdf_bytes(1), "application/pdf")
+        assert status == 200
+
+    def test_concurrent_requests_batch_together(self, server):
+        port, svc = server
+        before = svc.counters["batches"]
+        body = _digital_pdf_bytes(1)
+        results = []
+
+        def post():
+            results.append(_post(port, body, "application/pdf"))
+
+        ts = [threading.Thread(target=post) for _ in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=600)
+        assert all(s == 200 for s, _ in results) and len(results) == 3
+        # 3 one-page requests arriving together should use fewer than 3
+        # pipeline batches (dynamic batching); allow 2 for scheduling luck
+        assert svc.counters["batches"] - before <= 2
