@@ -59,6 +59,35 @@ class TestDeformBlend:
             np.testing.assert_allclose(a, b, rtol=5e-2,
                                        atol=2e-2 * float(np.abs(b).max()))
 
+    def test_grad_through_kernel_interpret(self, monkeypatch):
+        """jax.grad through blend_matmul itself (custom_vjp wiring) with
+        the forward in interpret mode — the path a TPU train step takes."""
+        import jax.experimental.pallas as pl
+
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pl, "pallas_call", interp)
+        g2, w4e, wrep = _mk(np_=256, k=2, c=64, co=32, seed=1)
+
+        def loss(g, w, wm):
+            return jnp.sum(db.blend_matmul(g, w, wm) ** 2)
+
+        got = jax.grad(loss, argnums=(0, 1, 2))(g2, w4e, wrep)
+
+        def loss_ref(g, w, wm):
+            return jnp.sum(db.blend_matmul_xla(g, w, wm) ** 2)
+
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(g2, w4e, wrep)
+        for a, b in zip(got, want):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            np.testing.assert_allclose(
+                a, b, rtol=5e-2, atol=2e-2 * float(np.abs(b).max() + 1e-6))
+
     def test_integration_packing_matches_unfused(self, monkeypatch):
         """Route the deform_conv2d pallas branch through the XLA twin on
         CPU: validates the g2 / w4e / wrep packing (tap + corner + channel
