@@ -96,9 +96,13 @@ class ExtractionService:
             tmp = tempfile.NamedTemporaryFile(suffix=".pdf", delete=False)
             tmp.write(req.payload)
             tmp.close()
-            doc = PdfDocument.open(tmp.name)
-            pages = [{"pdf_page": doc.load_page(i), "pdf_doc": doc,
-                      "page": i} for i in range(doc.page_count)]
+            try:
+                doc = PdfDocument.open(tmp.name)
+                pages = [{"pdf_page": doc.load_page(i), "pdf_doc": doc,
+                          "page": i} for i in range(doc.page_count)]
+            except Exception:
+                os.unlink(tmp.name)
+                raise
             for p in pages:
                 p["_tmp_path"] = tmp.name
             return pages
