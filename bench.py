@@ -299,7 +299,63 @@ def tail_configs(bp, pages) -> dict:
         tail["digital_pages_per_sec"] = digital_tail(bp)
     except Exception as e:  # keep the primary metric alive
         tail["digital_pages_per_sec"] = f"error: {type(e).__name__}: {e}"
+
+    # fused Pallas DCN back half A/B at the LORE IDAUp shape — records
+    # the on-chip number that decides PDFTABLE_PALLAS_DCN's default
+    # (ops/pallas/deform_blend.py; gated off until this shows a win)
+    try:
+        tail["dcn_pallas_ab"] = dcn_pallas_ab()
+    except Exception as e:
+        tail["dcn_pallas_ab"] = f"error: {type(e).__name__}: {e}"
     return tail
+
+
+def dcn_pallas_ab() -> dict:
+    import os
+
+    import jax.numpy as jnp
+
+    import pdf_table_tpu.ops.deform_conv as dc
+    from pdf_table_tpu.ops.pallas import deform_blend as db
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 8, 256, 256, 64
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+    off = jnp.asarray(rng.standard_normal((B, H, W, 18)) * 2, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H, W, 9)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+
+    def timed(n=6):
+        # block_until_ready does not synchronize on axon handles: queue N
+        # executions and force a scalar D2H off the last
+        r = dc.deform_conv2d(x, off, mask, wgt)
+        _ = float(jnp.asarray(r).ravel()[0])
+        t0 = time.perf_counter()
+        last = None
+        for _i in range(n):
+            last = dc.deform_conv2d(x, off, mask, wgt)
+        _ = float(jnp.asarray(last).ravel()[0])
+        return round((time.perf_counter() - t0) / n * 1000, 2), \
+            np.asarray(last)
+
+    out = {}
+    prev = os.environ.get("PDFTABLE_PALLAS_DCN")
+    try:
+        os.environ["PDFTABLE_PALLAS_DCN"] = "0"
+        dc.deform_conv2d.clear_cache()
+        out["xla_ms"], a = timed()
+        os.environ["PDFTABLE_PALLAS_DCN"] = "1"
+        dc.deform_conv2d.clear_cache()
+        out["pallas_ms"], b = timed()
+        out["rel_err"] = round(float(
+            np.abs(a - b).max() / (np.abs(a).max() + 1e-6)), 5)
+    finally:
+        if prev is None:
+            os.environ.pop("PDFTABLE_PALLAS_DCN", None)
+        else:
+            os.environ["PDFTABLE_PALLAS_DCN"] = prev
+        dc.deform_conv2d.clear_cache()
+    return out
 
 
 def digital_tail(bp, n_pages: int = 16) -> float:
