@@ -40,6 +40,11 @@ class LoreTrainArgs:
     output_dir: str = "lore_train"
     save_every: int = 500
     log_every: int = 50
+    # rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for dropping all intermediate
+    # activations from HBM — the standard TPU lever for raising LORE's
+    # 1024^2 per-chip batch size (activations, not params, bound it)
+    remat: bool = False
 
 
 def build_lr_schedule(args: LoreTrainArgs):
@@ -92,6 +97,11 @@ class LoreTrainer:
                 cc_match=batch.get("cc_match"),
                 method=LoreModel.train_forward)
             return out, variables.get("batch_stats", {})
+
+        if self.args.remat:
+            # default policy (save nothing): maximal activation savings,
+            # one recompute of the forward inside the backward
+            apply_fn = jax.checkpoint(apply_fn)
 
         def loss_fn(outputs, batch):
             return lore_loss(outputs, batch,

@@ -186,6 +186,45 @@ class TestLoreLossAndTrainer:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+    def test_remat_matches_plain_grads(self, tmp_path):
+        """jax.checkpoint train step: same loss and same updated params
+        as the non-remat step (activation memory is the only difference)."""
+        import jax
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((1, 16, 16, 2), np.float32),
+            "hm_ind": np.zeros((1, 4), np.int64),
+            "hm_mask": np.ones((1, 4), np.float32),
+            "wh": np.ones((1, 4, 8), np.float32),
+            "reg": np.zeros((1, 4, 2), np.float32),
+            "logic": np.ones((1, 4, 4), np.float32),
+            "gt_dets": np.ones((1, 4, 8), np.float32),
+        }
+        batch["hm"][0, 4, 4, 0] = 1.0
+        metrics, params = {}, {}
+        for remat in (False, True):
+            args = LoreTrainArgs(learning_rate=1e-3, batch_size=1,
+                                 save_every=0, output_dir=str(tmp_path),
+                                 remat=remat)
+            tr = LoreTrainer(cfg, args)
+            metrics[remat] = tr.train_step(batch)
+            params[remat] = jax.device_get(tr.state.params)
+        assert abs(metrics[False]["loss"] - metrics[True]["loss"]) < 1e-5
+        for a, b in zip(jax.tree.leaves(params[False]),
+                        jax.tree.leaves(params[True])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
 class TestSpatialShardedTrainStep:
     def test_dp_tp_sp_mesh_step(self, cpu_mesh3d):
         """3-axis mesh: batch over dp, wide kernels over tp, image height
