@@ -216,9 +216,13 @@ def make_server(service: ExtractionService, host: str = "127.0.0.1",
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/v1/extract":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/v1/extract":
                 self._send(404, {"error": "not found"})
                 return
+            fmt = parse_qs(url.query).get("format", ["json"])[0]
             length = int(self.headers.get("Content-Length", 0))
             payload = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
@@ -226,6 +230,29 @@ def make_server(service: ExtractionService, host: str = "127.0.0.1",
                              or payload[:5] == b"%PDF-") else "image"
             try:
                 result = service.submit(kind, payload)
+                if fmt == "xlsx":
+                    # every extracted table as a base64 xlsx workbook
+                    # (reference OcrTableTask.to_excel analog over HTTP)
+                    import base64
+                    import os
+                    import tempfile
+
+                    from .utils.xlsx_writer import html_table_to_xlsx
+
+                    books = []
+                    for p in result["pages"]:
+                        for t in p["tables"]:
+                            fd, path = tempfile.mkstemp(suffix=".xlsx")
+                            os.close(fd)
+                            try:
+                                html_table_to_xlsx(t, path)
+                                books.append({
+                                    "page": p["page"],
+                                    "xlsx_b64": base64.b64encode(
+                                        open(path, "rb").read()).decode()})
+                            finally:
+                                os.unlink(path)
+                    result = {"tables": books}
                 self._send(200, result)
             except Exception as e:
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})

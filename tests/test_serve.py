@@ -103,3 +103,17 @@ class TestServe:
         # 3 one-page requests arriving together should use fewer than 3
         # pipeline batches (dynamic batching); allow 2 for scheduling luck
         assert svc.counters["batches"] - before <= 2
+
+    def test_xlsx_format(self, server):
+        port, _svc = server
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/v1/extract?format=xlsx",
+                     _digital_pdf_bytes(1),
+                     {"Content-Type": "application/pdf"})
+        r = conn.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        assert out["tables"], "expected at least one xlsx table"
+        import base64
+        blob = base64.b64decode(out["tables"][0]["xlsx_b64"])
+        assert blob[:2] == b"PK"  # zip container
