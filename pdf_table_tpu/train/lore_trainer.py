@@ -45,6 +45,10 @@ class LoreTrainArgs:
     # activations from HBM — the standard TPU lever for raising LORE's
     # 1024^2 per-chip batch size (activations, not params, bound it)
     remat: bool = False
+    # >1: split the batch into this many scanned microbatches, average
+    # gradients, update once — effective batch B at the activation
+    # memory of B/k (composes with remat for the full memory ladder)
+    grad_accum_steps: int = 1
 
 
 def build_lr_schedule(args: LoreTrainArgs):
@@ -107,8 +111,9 @@ class LoreTrainer:
             return lore_loss(outputs, batch,
                              wiz_stacking=self.config.wiz_stacking)
 
-        self._step_fn = make_train_step(apply_fn, loss_fn, self.tx,
-                                        mesh=self.mesh)
+        self._step_fn = make_train_step(
+            apply_fn, loss_fn, self.tx, mesh=self.mesh,
+            accum_steps=self.args.grad_accum_steps)
 
     # -- loop ---------------------------------------------------------------
 

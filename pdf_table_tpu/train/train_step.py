@@ -57,26 +57,60 @@ def make_param_shardings(mesh: Mesh, params,
 
 def make_train_step(apply_fn: Callable, loss_fn: Callable, tx,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    accum_steps: int = 1) -> Callable:
     """Returns jitted ``step(state, batch) -> (state, metrics)``.
 
     apply_fn(variables, batch, train=True) -> (outputs, new_batch_stats)
     loss_fn(outputs, batch) -> {'loss': scalar, ...}
     With a mesh: batch dim 0 shards over 'dp', params/opt state follow
     make_param_shardings.
+    ``accum_steps > 1``: the leading batch dim splits into that many
+    microbatches run under ONE lax.scan (one compiled forward/backward,
+    peak activation memory of a single microbatch), gradients average,
+    the optimizer updates once — effective batch B with the HBM of B/k.
     """
 
-    def step(state: TrainState, batch: Dict[str, jax.Array]):
-        def compute(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+    def grads_of(params, batch_stats, batch):
+        def compute(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
             outputs, new_stats = apply_fn(variables, batch)
             losses = loss_fn(outputs, batch)
             return losses["loss"], (losses, new_stats)
 
-        (loss, (losses, new_stats)), grads = jax.value_and_grad(
-            compute, has_aux=True)(state.params)
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            compute, has_aux=True)(params)
+        return grads, losses, new_stats
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        if accum_steps > 1:
+            micro = jax.tree.map(
+                lambda x: x.reshape((accum_steps, -1) + x.shape[1:]),
+                batch)
+
+            def body(carry, mb):
+                g_acc, l_acc, _stats = carry
+                grads, losses, new_stats = grads_of(state.params,
+                                                    state.batch_stats, mb)
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                l_acc = jax.tree.map(jnp.add, l_acc, losses)
+                return (g_acc, l_acc, new_stats), None
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            mb0 = jax.tree.map(lambda x: x[0], micro)
+            _, l_shape, s_shape = jax.eval_shape(
+                grads_of, state.params, state.batch_stats, mb0)
+            zeros = lambda t: jax.tree.map(  # noqa: E731
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), t)
+            (grads, losses, new_stats), _ = jax.lax.scan(
+                body, (g0, zeros(l_shape), zeros(s_shape)), micro)
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            losses = jax.tree.map(lambda v: v / accum_steps, losses)
+        else:
+            grads, losses, new_stats = grads_of(state.params,
+                                                state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,

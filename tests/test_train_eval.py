@@ -225,6 +225,46 @@ class TestLoreLossAndTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_grad_accum_matches_full_batch(self, tmp_path):
+        """accum_steps=2 over a batch of two identical halves produces the
+        same update as one full-batch step (mean-of-means == full mean)."""
+        import jax
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        rng = np.random.default_rng(0)
+        one = {
+            "image": rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((1, 16, 16, 2), np.float32),
+            "hm_ind": np.zeros((1, 4), np.int64),
+            "hm_mask": np.ones((1, 4), np.float32),
+            "wh": np.ones((1, 4, 8), np.float32),
+            "reg": np.zeros((1, 4, 2), np.float32),
+            "logic": np.ones((1, 4, 4), np.float32),
+            "gt_dets": np.ones((1, 4, 8), np.float32),
+        }
+        one["hm"][0, 4, 4, 0] = 1.0
+        batch = {k: np.concatenate([v, v]) for k, v in one.items()}
+        params = {}
+        for accum in (1, 2):
+            args = LoreTrainArgs(learning_rate=1e-3, batch_size=2,
+                                 save_every=0, output_dir=str(tmp_path),
+                                 grad_accum_steps=accum)
+            tr = LoreTrainer(cfg, args)
+            m = tr.train_step(batch)
+            assert np.isfinite(m["loss"])
+            params[accum] = jax.device_get(tr.state.params)
+        for a, b in zip(jax.tree.leaves(params[1]),
+                        jax.tree.leaves(params[2])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
 class TestSpatialShardedTrainStep:
     def test_dp_tp_sp_mesh_step(self, cpu_mesh3d):
         """3-axis mesh: batch over dp, wide kernels over tp, image height
