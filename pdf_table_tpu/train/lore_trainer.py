@@ -185,3 +185,46 @@ class LoreTrainer:
             self.state = self.state.replace(
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats", {}))
+
+    # -- full-state resume ----------------------------------------------------
+
+    def save_train_state(self, path: Optional[str] = None) -> str:
+        """Checkpoint the FULL TrainState — params, batch_stats, optimizer
+        moments and step — so training resumes mid-run bit-exactly (the
+        reference relies on HF Trainer's checkpoint dirs,
+        basic_trainer.py:87; params-only checkpoints silently reset adam
+        moments and the LR schedule position)."""
+        import jax
+
+        from ..engine.params import save_params
+
+        path = path or os.path.join(self.args.output_dir, "train_state")
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step}
+        save_params(jax.device_get(tree), path)
+        return path
+
+    def restore_train_state(self, path: str,
+                            sample_batch=None) -> None:
+        """Inverse of :meth:`save_train_state`. Needs an initialized state
+        (or a sample_batch to build one) so the optimizer pytree structure
+        exists to pour the restored leaves into."""
+        import jax
+
+        from ..engine.params import load_params
+
+        if self.state is None:
+            if sample_batch is None:
+                raise ValueError("restore_train_state before init: pass "
+                                 "sample_batch to build the state skeleton")
+            self.init_state(sample_batch)
+        tree = load_params(path)
+        flat_new = jax.tree.leaves(tree["opt_state"])
+        treedef = jax.tree.structure(self.state.opt_state)
+        self.state = self.state.replace(
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats", {}) or {},
+            opt_state=jax.tree.unflatten(treedef, flat_new),
+            step=jnp.asarray(tree["step"], jnp.int32))

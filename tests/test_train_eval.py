@@ -265,6 +265,56 @@ class TestLoreLossAndTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
 
+    def test_full_state_resume_bit_exact(self, tmp_path):
+        """save_train_state/restore_train_state: 2 steps + save + 2 steps
+        equals restore-into-a-fresh-trainer + 2 steps (optimizer moments
+        and the LR-schedule position survive; params-only restore would
+        diverge)."""
+        import jax
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((1, 16, 16, 2), np.float32),
+            "hm_ind": np.zeros((1, 4), np.int64),
+            "hm_mask": np.ones((1, 4), np.float32),
+            "wh": np.ones((1, 4, 8), np.float32),
+            "reg": np.zeros((1, 4, 2), np.float32),
+            "logic": np.ones((1, 4, 4), np.float32),
+            "gt_dets": np.ones((1, 4, 8), np.float32),
+        }
+        batch["hm"][0, 4, 4, 0] = 1.0
+
+        def mk():
+            return LoreTrainer(cfg, LoreTrainArgs(
+                learning_rate=1e-3, batch_size=1, save_every=0,
+                warmup_steps=3, output_dir=str(tmp_path)))
+
+        a = mk()
+        a.train_step(batch)
+        a.train_step(batch)
+        ck = a.save_train_state(str(tmp_path / "ts"))
+        a.train_step(batch)
+        a.train_step(batch)
+
+        b = mk()
+        b.restore_train_state(ck, sample_batch=batch)
+        assert int(b.state.step) == 2
+        b.train_step(batch)
+        b.train_step(batch)
+        for x, y in zip(jax.tree.leaves(jax.device_get(a.state.params)),
+                        jax.tree.leaves(jax.device_get(b.state.params))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+
 class TestSpatialShardedTrainStep:
     def test_dp_tp_sp_mesh_step(self, cpu_mesh3d):
         """3-axis mesh: batch over dp, wide kernels over tp, image height
