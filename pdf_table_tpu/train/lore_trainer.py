@@ -124,25 +124,69 @@ class LoreTrainer:
         return {k: float(v) for k, v in metrics.items()}
 
     def fit(self, dataset, steps: int, indices: Optional[Iterable[int]] = None,
-            rng_seed: int = 0) -> List[Dict[str, float]]:
+            rng_seed: int = 0, eval_fn=None, eval_every: int = 0,
+            prefetch: int = 2) -> List[Dict[str, float]]:
+        """Train loop. TPU shape: host batch prep (cv2 aug + CenterNet
+        target building in dataset.batch) runs on a PREFETCH thread so the
+        accelerator never waits on the host (the reference's HF Trainer
+        loads synchronously); jax's async dispatch overlaps the device
+        step with the next prep. ``eval_fn(trainer) -> {metric: float}``
+        every ``eval_every`` steps mirrors the reference's eval hook +
+        best-model save (basic_trainer.py:87,116) — the FULL train state
+        is checkpointed at the best eval metric so the best model resumes
+        exactly."""
+        import queue as _queue
+        import threading
+
         rng = np.random.default_rng(rng_seed)
         n = len(dataset)
         bs = self.args.batch_size
-        for step in range(steps):
-            idx = rng.choice(n, size=min(bs, n), replace=n < bs)
-            batch = dataset.batch(list(idx))
-            t0 = time.perf_counter()
-            metrics = self.train_step(batch)
-            metrics["step_time"] = time.perf_counter() - t0
-            self.history.append(metrics)
-            if step % self.args.log_every == 0:
-                logger.info("step %d: %s", step,
-                            {k: round(v, 4) for k, v in metrics.items()})
-            if metrics["loss"] < self.best_loss:
-                self.best_loss = metrics["loss"]
-            if self.args.save_every and step > 0 \
-                    and step % self.args.save_every == 0:
-                self.save_checkpoint(blocking=False)
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, prefetch))
+        stop = threading.Event()
+
+        def producer():
+            for _ in range(steps):
+                if stop.is_set():
+                    return
+                idx = rng.choice(n, size=min(bs, n), replace=n < bs)
+                q.put(dataset.batch(list(idx)))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        best_eval = float("inf")
+        try:
+            for step in range(steps):
+                batch = q.get()
+                t0 = time.perf_counter()
+                metrics = self.train_step(batch)
+                metrics["step_time"] = time.perf_counter() - t0
+                self.history.append(metrics)
+                if step % self.args.log_every == 0:
+                    logger.info("step %d: %s", step,
+                                {k: round(v, 4) for k, v in metrics.items()})
+                if metrics["loss"] < self.best_loss:
+                    self.best_loss = metrics["loss"]
+                if eval_fn is not None and eval_every \
+                        and step > 0 and step % eval_every == 0:
+                    ev = eval_fn(self)
+                    self.history[-1].update(
+                        {f"eval_{k}": float(v) for k, v in ev.items()})
+                    key = ev.get("loss", next(iter(ev.values())))
+                    if float(key) < best_eval:
+                        best_eval = float(key)
+                        self.save_train_state(
+                            os.path.join(self.args.output_dir,
+                                         "best_model"))
+                if self.args.save_every and step > 0 \
+                        and step % self.args.save_every == 0:
+                    self.save_checkpoint(blocking=False)
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer stuck on put()
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    break
         # a non-blocking save may still be committing; make fit()'s
         # checkpoints durable before returning
         from ..engine.params import wait_for_async_saves

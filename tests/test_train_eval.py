@@ -315,6 +315,56 @@ class TestLoreLossAndTrainer:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-6, atol=1e-7)
 
+    def test_fit_prefetch_and_eval_hook(self, tmp_path):
+        """fit(): prefetch-threaded batches, eval hook + best-model full
+        train-state save at the best eval metric."""
+        import os
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        rng = np.random.default_rng(0)
+        item = {
+            "image": rng.normal(size=(64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((16, 16, 2), np.float32),
+            "hm_ind": np.zeros((4,), np.int64),
+            "hm_mask": np.ones((4,), np.float32),
+            "wh": np.ones((4, 8), np.float32),
+            "reg": np.zeros((4, 2), np.float32),
+            "logic": np.ones((4, 4), np.float32),
+            "gt_dets": np.ones((4, 8), np.float32),
+        }
+        item["hm"][4, 4, 0] = 1.0
+
+        class Stub:
+            def __len__(self):
+                return 4
+
+            def batch(self, idx):
+                return {k: np.stack([v] * len(idx)) for k, v in
+                        item.items()}
+
+        args = LoreTrainArgs(learning_rate=1e-3, batch_size=1,
+                             save_every=0, log_every=100,
+                             output_dir=str(tmp_path))
+        tr = LoreTrainer(cfg, args)
+        evals = []
+
+        def eval_fn(trainer):
+            evals.append(int(trainer.state.step))
+            return {"loss": float(trainer.history[-1]["loss"])}
+
+        hist = tr.fit(Stub(), steps=5, eval_fn=eval_fn, eval_every=2)
+        assert len(hist) == 5
+        assert evals == [3, 5]  # steps 2 and 4 fire after the step ran
+        assert any("eval_loss" in h for h in hist)
+        assert os.path.isdir(os.path.join(str(tmp_path), "best_model"))
+
 class TestSpatialShardedTrainStep:
     def test_dp_tp_sp_mesh_step(self, cpu_mesh3d):
         """3-axis mesh: batch over dp, wide kernels over tp, image height
