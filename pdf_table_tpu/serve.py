@@ -219,6 +219,28 @@ def make_server(service: ExtractionService, host: str = "127.0.0.1",
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
+            if url.path == "/debug/profile":
+                # capture a jax.profiler trace of the next N seconds of
+                # serving into a directory (tensorboard-readable) — the
+                # production analog of bench.py's PDFTABLE_BENCH_PROFILE
+                import tempfile
+
+                q = parse_qs(url.query)
+                secs = min(float(q.get("seconds", ["3"])[0]), 60.0)
+                out_dir = q.get("dir", [tempfile.mkdtemp(
+                    prefix="serve_profile_")])[0]
+                try:
+                    import jax
+
+                    jax.profiler.start_trace(out_dir)
+                    time.sleep(secs)
+                    jax.profiler.stop_trace()
+                    self._send(200, {"trace_dir": out_dir,
+                                     "seconds": secs})
+                except Exception as e:
+                    self._send(500, {"error":
+                                     f"{type(e).__name__}: {e}"})
+                return
             if url.path != "/v1/extract":
                 self._send(404, {"error": "not found"})
                 return
@@ -276,6 +298,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                                 warm=not args.no_warm)
     server = make_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port}", flush=True)
+
+    import signal
+
+    def _term(_sig, _frm):  # drain in-flight work, then exit cleanly
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

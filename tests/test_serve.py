@@ -117,3 +117,14 @@ class TestServe:
         import base64
         blob = base64.b64decode(out["tables"][0]["xlsx_b64"])
         assert blob[:2] == b"PK"  # zip container
+
+    def test_profile_endpoint(self, server, tmp_path):
+        port, _svc = server
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST",
+                     f"/debug/profile?seconds=0.2&dir={tmp_path}/prof")
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        import os
+        assert os.path.isdir(out["trace_dir"])
