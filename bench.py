@@ -316,7 +316,6 @@ def dcn_pallas_ab() -> dict:
     import jax.numpy as jnp
 
     import pdf_table_tpu.ops.deform_conv as dc
-    from pdf_table_tpu.ops.pallas import deform_blend as db
 
     rng = np.random.default_rng(0)
     B, H, W, C = 8, 256, 256, 64

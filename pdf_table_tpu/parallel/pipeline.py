@@ -17,7 +17,7 @@ Design notes (TPU-first):
   shard_map, so each device touches only its own slice (no all-gather);
 * fully differentiable: the VJP of ppermute is the reverse ring, so
   ``jax.grad`` through the pipeline gives exact data-parallel-equivalent
-  gradients (tested in tests/test_parallel.py).
+  gradients (tested in tests/test_parallel_pp.py).
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _pp_body(stage_fn: Callable, axis_name: str, my_params, microbatches):
