@@ -28,6 +28,12 @@ def main() -> int:
     p.add_argument("--output_dir", default="lore_train")
     p.add_argument("--mesh", default=None, help="e.g. dp=8")
     p.add_argument("--eval_every", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="train_state dir from a previous run "
+                        "(save_train_state); resumes optimizer + step")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the forward (bigger batches)")
+    p.add_argument("--grad_accum_steps", type=int, default=1)
     args = p.parse_args()
 
     from pdf_table_tpu.data import WtwDataset
@@ -50,10 +56,17 @@ def main() -> int:
     train_args = LoreTrainArgs(learning_rate=args.learning_rate,
                                batch_size=args.batch_size,
                                total_steps=args.steps,
-                               output_dir=args.output_dir)
+                               output_dir=args.output_dir,
+                               remat=args.remat,
+                               grad_accum_steps=args.grad_accum_steps)
     trainer = LoreTrainer(cfg, train_args, mesh=mesh)
+    if args.resume:
+        trainer.restore_train_state(
+            args.resume, sample_batch=ds.batch([0] * args.batch_size))
+        print(f"resumed at step {int(trainer.state.step)}")
     history = trainer.fit(ds, args.steps)
     trainer.save_checkpoint()
+    trainer.save_train_state()
     with open(os.path.join(args.output_dir, "history.json"), "w") as f:
         json.dump(history, f)
     print(f"done; best loss {trainer.best_loss:.4f}")
