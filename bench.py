@@ -243,10 +243,21 @@ def serial_probe(bp, pages) -> dict:
             for k, v in probe.items()}
 
 
-def tail_configs(bp, pages) -> dict:
+def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
     """Secondary numbers (VERDICT r2 #7) on the SAME warm pipeline: the
     system-default wtw-LORE TSR config at bench load, and a run through
-    the REAL DB box path (no injected quads)."""
+    the REAL DB box path (no injected quads). Each entry checks the wall
+    budget first — the later ones compile fresh programs (wtw TSR, the
+    digital 612x792 canvas bucket, the DCN A/B) and the driver's bench
+    run must always reach its JSON line."""
+    t_tail0 = time.perf_counter()
+
+    def over_budget(label: str) -> bool:
+        if time.perf_counter() - t_tail0 > wall_budget_s:
+            tail[label] = "skipped (tail wall budget)"
+            return True
+        return False
+
     from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
 
     tail = {}
@@ -270,6 +281,8 @@ def tail_configs(bp, pages) -> dict:
 
     # default config: wtw LORE 1024^2 + host corner refine, same load —
     # swap only the TSR task; det/layout/rec programs stay warm
+    if over_budget("wtw_default_pages_per_sec"):
+        return tail
     old_tsr = bp.system._tsr
     try:
         bp.system._tsr = OcrTableStructureTask(model="Lore",
@@ -285,6 +298,8 @@ def tail_configs(bp, pages) -> dict:
     # steady state: 48 pages (6 chunks) keeps every lane saturated — the
     # 16-page headline benefits from drain overlap; this is the number a
     # long corpus sees (same programs, no new compiles)
+    if over_budget("steady_state_48p_pages_per_sec"):
+        return tail
     long_pages = [pages[i % len(pages)] for i in range(48)]
     bp.run(long_pages[:16])  # settle back to the wireless TSR programs
     t0 = time.perf_counter()
@@ -295,6 +310,8 @@ def tail_configs(bp, pages) -> dict:
     # born-digital corpus: vector text + LineCellPdf tables ride the
     # batched chunks (host text, batched layout, no det crops / no TSR
     # model) — the reference's dominant real-world input class
+    if over_budget("digital_pages_per_sec"):
+        return tail
     try:
         tail["digital_pages_per_sec"] = digital_tail(bp)
     except Exception as e:  # keep the primary metric alive
@@ -303,6 +320,8 @@ def tail_configs(bp, pages) -> dict:
     # fused Pallas DCN back half A/B at the LORE IDAUp shape — records
     # the on-chip number that decides PDFTABLE_PALLAS_DCN's default
     # (ops/pallas/deform_blend.py; gated off until this shows a win)
+    if over_budget("dcn_pallas_ab"):
+        return tail
     try:
         tail["dcn_pallas_ab"] = dcn_pallas_ab()
     except Exception as e:
