@@ -89,11 +89,33 @@ class PdfTableCli:
 
     # -- page iteration ------------------------------------------------------
 
+    @staticmethod
+    def resolve_input(src: str, cache_dir: str) -> str:
+        """http(s) inputs download to ``cache_dir`` once and reuse the
+        local copy (reference PdfUtils.download_pdf_before_check,
+        utils/pdf_utils.py:247); local paths pass through."""
+        if not src.lower().startswith(("http://", "https://")):
+            return src
+        import urllib.parse
+        import urllib.request
+
+        name = os.path.basename(
+            urllib.parse.urlparse(src).path) or "download.pdf"
+        local = os.path.join(cache_dir, name)
+        if not os.path.exists(local):
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = local + ".part"
+            urllib.request.urlretrieve(src, tmp)
+            os.replace(tmp, local)
+            logger.info("downloaded %s -> %s", src, local)
+        return local
+
     def run_extract_pdf_table(self) -> Dict[str, Any]:
         args = self.args
-        src = args.file_path_or_url
         out_dir = args.output_dir or Constants.OUTPUT_DIR
         os.makedirs(out_dir, exist_ok=True)
+        src = self.resolve_input(args.file_path_or_url,
+                                 os.path.join(out_dir, "downloads"))
 
         t_start = time.time()
         page_results = []

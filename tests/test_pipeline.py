@@ -479,3 +479,42 @@ class TestWidenTableRegions:
 
         out = widen_table_regions([], [(120, 100, 400, 200)], 600)
         assert out[0][0] == 0 and out[0][2] == 600
+
+
+class TestCliUrlInput:
+    """--file_path_or_url with a real URL downloads once then processes
+    (reference download_pdf_before_check, utils/pdf_utils.py:247)."""
+
+    def test_url_download_and_cache(self, tmp_path):
+        import functools
+        import http.server
+        import threading
+
+        from pdf_table_tpu.cli.main import PdfTableCli
+        from pdf_table_tpu.pdfio import writer
+
+        doc = writer.PdfWriter()
+        pg = doc.add_page(200, 120)
+        pg.text(20, 80, "from a url")
+        (tmp_path / "srv").mkdir()
+        doc.save(str(tmp_path / "srv" / "u.pdf"))
+
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler,
+            directory=str(tmp_path / "srv"))
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{httpd.server_address[1]}/u.pdf"
+            cache = str(tmp_path / "cache")
+            local = PdfTableCli.resolve_input(url, cache)
+            assert local.endswith("u.pdf")
+            import os
+            assert os.path.exists(local)
+            mtime = os.path.getmtime(local)
+            assert PdfTableCli.resolve_input(url, cache) == local
+            assert os.path.getmtime(local) == mtime  # cached, no re-download
+            # local paths pass through untouched
+            assert PdfTableCli.resolve_input("/x/y.pdf", cache) == "/x/y.pdf"
+        finally:
+            httpd.shutdown()
