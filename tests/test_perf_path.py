@@ -68,6 +68,40 @@ class TestBatchPipeline:
         for r in results:
             assert r.page_html is not None
 
+    def test_two_canvas_buckets_one_run(self):
+        """Pages spanning two canvas buckets in ONE run(): chunk grouping,
+        per-bucket det programs and result re-ordering all hold."""
+        from pdf_table_tpu.models.rec_ctc import RecConfig
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.tasks.detection import OcrDetectionTask
+        from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False,
+                              use_textline_cls=False)
+        bp = BatchPipeline(cfg)
+        bp.system._det = OcrDetectionTask(model="PP-OCRv4_det",
+                                          inner_channels=48,
+                                          limit_side_len=96)
+        bp.system._rec = OcrRecognitionTask(
+            config=RecConfig(width_buckets=(80,)))
+
+        small = np.full((120, 100, 3), 255, np.uint8)
+        small[30:42, 10:90] = 30
+        big = np.full((1300, 1000, 3), 255, np.uint8)
+        big[100:130, 100:900] = 30
+        pages = [{"image": small}, {"image": big},
+                 {"image": small.copy()}]
+        results = bp.run(pages)
+        assert len(results) == 3
+        # outputs keep input order and carry each page's own geometry
+        assert results[0].image_shape == (120, 100)
+        assert results[1].image_shape == (1300, 1000)
+        assert results[2].image_shape == (120, 100)
+        for r in results:
+            assert r.page_html is not None
+
     def test_mixed_digital_and_raster(self, tmp_path):
         from pdf_table_tpu.pdfio.reader import PdfDocument
         from pdf_table_tpu.pdfio.writer import PdfWriter
