@@ -128,3 +128,17 @@ class TestServe:
         assert r.status == 200, out
         import os
         assert os.path.isdir(out["trace_dir"])
+
+    def test_extract_image_payload(self, server):
+        import cv2
+        import numpy as np
+
+        port, _svc = server
+        img = np.full((120, 100, 3), 255, np.uint8)
+        img[30:42, 10:90] = 30
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        status, out = _post(port, buf.tobytes(), "image/png")
+        assert status == 200
+        assert len(out["pages"]) == 1
+        assert "html" in out["pages"][0]
