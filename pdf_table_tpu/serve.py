@@ -204,6 +204,12 @@ def make_server(service: ExtractionService, host: str = "127.0.0.1",
 
                 self._send(200, {"ok": True,
                                  "platform": jax.default_backend()})
+            elif self.path == "/v1/models":
+                from .models import registry
+
+                self._send(200, {t: registry.list_models(t) for t in
+                                 ("detection", "recognition", "layout",
+                                  "table_structure", "cls")})
             elif self.path == "/metrics":
                 stats = service.pipeline.last_stats or {}
                 n = max(stats.get("n_pages", 1.0), 1.0)

@@ -142,3 +142,13 @@ class TestServe:
         assert status == 200
         assert len(out["pages"]) == 1
         assert "html" in out["pages"][0]
+
+    def test_models_endpoint(self, server):
+        port, _svc = server
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/v1/models")
+        r = conn.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        assert "Lore" in out["table_structure"]
+        assert "PP-OCRv4_det" in out["detection"]
