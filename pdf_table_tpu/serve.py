@@ -45,12 +45,13 @@ class ExtractionService:
     tests (and other front ends, e.g. a gRPC shim) drive it directly."""
 
     def __init__(self, config=None, batch_pages: int = 8,
-                 max_wait_ms: float = 25.0, warm: bool = False):
+                 max_wait_ms: float = 25.0, warm: bool = False,
+                 mesh=None):
         from .pipeline.batch_runner import BatchPipeline
         from .pipeline.system import OcrSystemConfig
 
         self.pipeline = BatchPipeline(config or OcrSystemConfig(),
-                                      batch_pages=batch_pages)
+                                      batch_pages=batch_pages, mesh=mesh)
         self.batch_pages = batch_pages
         self.max_wait_ms = max_wait_ms
         self.queue: "Queue[_Request]" = Queue()
@@ -298,10 +299,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--max_wait_ms", type=float, default=25.0)
     ap.add_argument("--no_warm", action="store_true",
                     help="skip compile warmup at startup")
+    ap.add_argument("--mesh", default=None,
+                    help="dp=N: shard page batches over N chips "
+                         "(parallel/mesh.py)")
     args = ap.parse_args(argv)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(int(args.mesh.split("=")[1]))
     service = ExtractionService(batch_pages=args.batch_pages,
                                 max_wait_ms=args.max_wait_ms,
-                                warm=not args.no_warm)
+                                warm=not args.no_warm, mesh=mesh)
     server = make_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port}", flush=True)
 
