@@ -109,6 +109,18 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
     Np = B * Ho * Wo
     use_pallas = (gdt == jnp.bfloat16
                   and blend_matmul_supported(Np, 4 * Cin * K, Cout, gdt))
+    # Wide-gather variant (PDFTABLE_DCN_WIDE_GATHER=1): gather 1 KB rows
+    # from a PAIRED view of xq — row (y*W+x)//2 holds the quads for both
+    # x=2m and x=2m+1, and the wrong half's blend weights zero out by x
+    # parity. Same row COUNT, double width: wins iff the gather is
+    # byte-efficiency-bound in row width (measured 84 GB/s @512 B vs 131
+    # @2 KB) rather than purely row-rate-bound. Gated off pending an
+    # on-chip A/B.
+    import os as _os
+    wide = (_os.environ.get("PDFTABLE_DCN_WIDE_GATHER", "0") == "1"
+            and W % 2 == 0)
+    if wide:
+        xq2 = xq.reshape(B, H * W // 2, 8 * Cin)
     out = jnp.zeros((B * Ho * Wo, Cout), jnp.float32)
     for t0 in range(0, K, tap_chunk):
         t1 = min(t0 + tap_chunk, K)
@@ -121,7 +133,6 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
         yi = y0.astype(jnp.int32)
         xi = x0.astype(jnp.int32)
         base = ((yi % H) * W + (xi % W)).reshape(B, Ho * Wo * T)
-        g = jnp.take_along_axis(xq, base[:, :, None], axis=1)
         in_y0 = (yi >= 0) & (yi < H)
         in_y1 = (yi + 1 >= 0) & (yi + 1 < H)
         in_x0 = (xi >= 0) & (xi < W)
@@ -132,6 +143,33 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
              wy * (1 - wx) * (in_y1 & in_x0),
              wy * wx * (in_y1 & in_x1)], axis=-1)      # (B, Ho, Wo, T, 4)
         w4 = w4 * mask32[..., t0:t1, None]
+        if wide:
+            parity = (base % 2).astype(jnp.float32).reshape(
+                B, Ho, Wo, T, 1)
+            # 8 slots: [quad @ even x | quad @ odd x], wrong half zeroed
+            w8 = jnp.concatenate([w4 * (1.0 - parity), w4 * parity],
+                                 axis=-1)              # (B, Ho, Wo, T, 8)
+            g = jnp.take_along_axis(xq2, (base // 2)[:, :, None], axis=1)
+            if use_pallas and T * 8 * Cin % 128 == 0:
+                g2 = g.reshape(B, Ho * Wo, T * 8 * Cin
+                               ).reshape(Np, T * 8 * Cin)
+                w8e = jnp.repeat(
+                    w8.reshape(Np, T * 8), Cin, axis=-1).astype(gdt)
+                wrep = jnp.broadcast_to(
+                    wmat[t0:t1].reshape(T, 1, Cin, Cout),
+                    (T, 8, Cin, Cout)).reshape(T * 8 * Cin,
+                                               Cout).astype(gdt)
+                out = out + blend_matmul(g2, w8e, wrep)
+                continue
+            g = g.reshape(B, Ho, Wo, T, 8, Cin)
+            s = (g.astype(jnp.float32) * w8[..., None]).sum(axis=-2)
+            out = out + jnp.dot(
+                s.reshape(B * Ho * Wo, T * Cin),
+                wmat[t0:t1].reshape(T * Cin, Cout),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            continue
+        g = jnp.take_along_axis(xq, base[:, :, None], axis=1)
         if use_pallas and T * 4 * Cin % 128 == 0:
             # corner-major flat layouts, no sub-128 trailing dims anywhere:
             # g2 (Np, T*4C) is the gather output's natural reshape; w4e
