@@ -357,21 +357,31 @@ def dcn_pallas_ab() -> dict:
             np.asarray(last)
 
     out = {}
-    prev = os.environ.get("PDFTABLE_PALLAS_DCN")
+    prev = {k: os.environ.get(k) for k in
+            ("PDFTABLE_PALLAS_DCN", "PDFTABLE_DCN_WIDE_GATHER")}
+    base_arr = None
     try:
-        os.environ["PDFTABLE_PALLAS_DCN"] = "0"
-        dc.deform_conv2d.clear_cache()
-        out["xla_ms"], a = timed()
-        os.environ["PDFTABLE_PALLAS_DCN"] = "1"
-        dc.deform_conv2d.clear_cache()
-        out["pallas_ms"], b = timed()
-        out["rel_err"] = round(float(
-            np.abs(a - b).max() / (np.abs(a).max() + 1e-6)), 5)
+        # 2x2: fused-pallas blend x wide (1KB-row) gather
+        for label, pal, wide in (("xla_ms", "0", "0"),
+                                 ("pallas_ms", "1", "0"),
+                                 ("wide_ms", "0", "1"),
+                                 ("wide_pallas_ms", "1", "1")):
+            os.environ["PDFTABLE_PALLAS_DCN"] = pal
+            os.environ["PDFTABLE_DCN_WIDE_GATHER"] = wide
+            dc.deform_conv2d.clear_cache()
+            out[label], arr = timed()
+            if base_arr is None:
+                base_arr = arr
+            else:
+                out[label.replace("_ms", "_rel_err")] = round(float(
+                    np.abs(arr - base_arr).max()
+                    / (np.abs(base_arr).max() + 1e-6)), 5)
     finally:
-        if prev is None:
-            os.environ.pop("PDFTABLE_PALLAS_DCN", None)
-        else:
-            os.environ["PDFTABLE_PALLAS_DCN"] = prev
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         dc.deform_conv2d.clear_cache()
     return out
 
