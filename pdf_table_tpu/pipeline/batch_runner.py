@@ -909,10 +909,10 @@ class BatchPipeline:
                         pass
                 layout_handles.append(lh)
             stats["h2d_enqueue"] = time.time() - t0
-            # three-lane software pipeline: a rec worker runs chunk k's
-            # recognition and a TSR worker runs chunk k's layout+TSR (both
-            # device + tunnel IO, GIL released) while the main thread does
-            # chunk k+1's host DB postprocess
+            # four-lane software pipeline: the main thread walks det D2H +
+            # host boxes per chunk while a rec worker, a layout-finish
+            # worker and a TSR-infer worker (device + tunnel IO, GIL
+            # released) each run their own chunk stream
             def timed(key, fn, *a):
                 t = time.time()
                 try:
