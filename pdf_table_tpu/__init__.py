@@ -13,7 +13,8 @@ assembly, and classical OpenCV-lineage extraction.
 
 from .version import __version__
 
-__all__ = ["__version__", "read_pdf", "OcrSystemTask", "OcrSystemConfig"]
+__all__ = ["__version__", "read_pdf", "OcrSystemTask", "OcrSystemConfig",
+           "BatchPipeline", "ExtractionService"]
 
 
 def __getattr__(name):
@@ -25,6 +26,12 @@ def __getattr__(name):
     if name in ("OcrSystemTask", "OcrSystemConfig"):
         from . import pipeline
         return getattr(pipeline, name)
+    if name == "BatchPipeline":
+        from .pipeline.batch_runner import BatchPipeline
+        return BatchPipeline
+    if name == "ExtractionService":
+        from .serve import ExtractionService
+        return ExtractionService
     if name in ("entity", "utils", "models", "tasks", "pipeline",
                 "pdf_table", "ops", "eval", "data", "train", "convert",
                 "pdfio", "parallel"):
