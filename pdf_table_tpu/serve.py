@@ -253,6 +253,9 @@ def make_server(service: ExtractionService, host: str = "127.0.0.1",
                 return
             fmt = parse_qs(url.query).get("format", ["json"])[0]
             length = int(self.headers.get("Content-Length", 0))
+            if length > 256 * 1024 * 1024:  # one request != one corpus
+                self._send(413, {"error": "payload too large (256MB cap)"})
+                return
             payload = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
             kind = "pdf" if ("pdf" in ctype

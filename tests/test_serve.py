@@ -152,3 +152,13 @@ class TestServe:
         out = json.loads(r.read())
         assert "Lore" in out["table_structure"]
         assert "PP-OCRv4_det" in out["detection"]
+
+    def test_payload_cap(self, server):
+        port, _svc = server
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/v1/extract")
+        conn.putheader("Content-Type", "application/pdf")
+        conn.putheader("Content-Length", str(300 * 1024 * 1024))
+        conn.endheaders()
+        r = conn.getresponse()
+        assert r.status == 413
