@@ -67,6 +67,9 @@ def encode_pages(canvases: np.ndarray, mode: str = "auto"
         return {"y": y16.astype(np.uint8)}, "gray"
     if mode != "yuv420":
         raise ValueError(f"unknown page codec mode: {mode}")
+    if canvases.shape[1] % 2 or canvases.shape[2] % 2:
+        raise ValueError("yuv420 needs even H and W (canvas buckets are "
+                         f"even by construction); got {canvases.shape}")
     r = canvases[..., 0].astype(np.uint16)
     g = canvases[..., 1].astype(np.uint16)
     b = canvases[..., 2].astype(np.uint16)
