@@ -80,6 +80,16 @@ class ExtractionService:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail whatever is still queued so parked handlers return now
+        # instead of riding out their submit timeout
+        while True:
+            try:
+                req = self.queue.get_nowait()
+            except Empty:
+                break
+            req.error = "service shutting down"
+            self.counters["errors"] += 1
+            req.done.set()
 
     # -- batch side -----------------------------------------------------------
 

@@ -162,3 +162,20 @@ class TestServe:
         conn.endheaders()
         r = conn.getresponse()
         assert r.status == 413
+
+
+class TestServeShutdown:
+    def test_close_fails_pending_requests(self):
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.serve import ExtractionService, _Request
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False)
+        svc = ExtractionService(cfg, batch_pages=2, max_wait_ms=5.0,
+                                warm=False)
+        svc._stop.set()          # wedge the batcher first
+        svc._thread.join(timeout=5)
+        req = _Request("pdf", b"%PDF-bogus")
+        svc.queue.put(req)
+        svc.close()
+        assert req.done.is_set() and req.error == "service shutting down"
