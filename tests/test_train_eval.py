@@ -365,6 +365,47 @@ class TestLoreLossAndTrainer:
         assert any("eval_loss" in h for h in hist)
         assert os.path.isdir(os.path.join(str(tmp_path), "best_model"))
 
+    def test_remat_and_accum_compose(self, tmp_path):
+        """remat + grad accumulation together: still matches the plain
+        full-batch step on duplicated halves."""
+        import jax
+
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.train.lore_trainer import (LoreTrainArgs,
+                                                      LoreTrainer)
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         max_objs=4, hidden_size=32, head_conv=16,
+                         tsfm_layers=1, stacking_layers=1, num_heads=4,
+                         max_fmp_size=64)
+        rng = np.random.default_rng(2)
+        one = {
+            "image": rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+            "hm": np.zeros((1, 16, 16, 2), np.float32),
+            "hm_ind": np.zeros((1, 4), np.int64),
+            "hm_mask": np.ones((1, 4), np.float32),
+            "wh": np.ones((1, 4, 8), np.float32),
+            "reg": np.zeros((1, 4, 2), np.float32),
+            "logic": np.ones((1, 4, 4), np.float32),
+            "gt_dets": np.ones((1, 4, 8), np.float32),
+        }
+        one["hm"][0, 4, 4, 0] = 1.0
+        batch = {k: np.concatenate([v, v]) for k, v in one.items()}
+        params = {}
+        for label, remat, accum in (("plain", False, 1),
+                                    ("ladder", True, 2)):
+            args = LoreTrainArgs(learning_rate=1e-3, batch_size=2,
+                                 save_every=0, output_dir=str(tmp_path),
+                                 remat=remat, grad_accum_steps=accum)
+            tr = LoreTrainer(cfg, args)
+            m = tr.train_step(batch)
+            assert np.isfinite(m["loss"])
+            params[label] = jax.device_get(tr.state.params)
+        for a, b in zip(jax.tree.leaves(params["plain"]),
+                        jax.tree.leaves(params["ladder"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
 class TestSpatialShardedTrainStep:
     def test_dp_tp_sp_mesh_step(self, cpu_mesh3d):
         """3-axis mesh: batch over dp, wide kernels over tp, image height
