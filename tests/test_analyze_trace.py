@@ -25,3 +25,10 @@ def test_analyze_trace_reports_ops(tmp_path, capsys):
     tops = s["per_op_s"].most_common(5)
     assert tops and all(tops[i][1] >= tops[i + 1][1]
                         for i in range(len(tops) - 1))
+
+
+def test_analyze_empty_dir(tmp_path, capsys):
+    import analyze_trace
+
+    assert analyze_trace.analyze(str(tmp_path)) == []
+    assert "no planes matched" in capsys.readouterr().err
