@@ -150,6 +150,24 @@ class TestCli:
         metrics = json.load(open(os.path.join(out_dir, "doc_metrics.json")))
         assert metrics["pages"]
 
+    def test_cli_on_image(self, tmp_path):
+        import cv2
+        import numpy as np
+
+        from pdf_table_tpu.cli.main import main
+
+        img = np.full((120, 100, 3), 255, np.uint8)
+        img[30:42, 10:90] = 30
+        p = str(tmp_path / "page.png")
+        cv2.imwrite(p, img)
+        out_dir = str(tmp_path / "out")
+        rc = main(["--file_path_or_url", p, "--output_dir", out_dir,
+                   "--layout_model", "none"])
+        assert rc == 0
+        html_path = os.path.join(out_dir, "page.html")
+        assert os.path.exists(html_path)
+        assert "<html>" in open(html_path).read()
+
     def test_parse_pages(self):
         from pdf_table_tpu.cli.main import parse_pages
 
