@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -123,7 +123,7 @@ class LoreTrainer:
         self.state, metrics = self._step_fn(self.state, batch)
         return {k: float(v) for k, v in metrics.items()}
 
-    def fit(self, dataset, steps: int, indices: Optional[Iterable[int]] = None,
+    def fit(self, dataset, steps: int,
             rng_seed: int = 0, eval_fn=None, eval_every: int = 0,
             prefetch: int = 2) -> List[Dict[str, float]]:
         """Train loop. TPU shape: host batch prep (cv2 aug + CenterNet
