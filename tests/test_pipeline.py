@@ -534,5 +534,9 @@ class TestCliUrlInput:
             assert os.path.getmtime(local) == mtime  # cached, no re-download
             # local paths pass through untouched
             assert PdfTableCli.resolve_input("/x/y.pdf", cache) == "/x/y.pdf"
+            # query strings don't leak into the cached filename
+            url_q = url + "?version=2&token=abc"
+            local_q = PdfTableCli.resolve_input(url_q, cache)
+            assert local_q.endswith("u.pdf") and "?" not in local_q
         finally:
             httpd.shutdown()
