@@ -330,6 +330,10 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
 
 
 def dcn_pallas_ab() -> dict:
+    """Regression check of the shipped default: the fused Pallas blend
+    (auto-on at kc<=2304 since the 2026-08-18 v5e A/B; the losing wide-
+    gather variant was deleted) must still beat the forced-XLA form at
+    the hot stride-4 LORE shape."""
     import os
 
     import jax.numpy as jnp
@@ -357,17 +361,11 @@ def dcn_pallas_ab() -> dict:
             np.asarray(last)
 
     out = {}
-    prev = {k: os.environ.get(k) for k in
-            ("PDFTABLE_PALLAS_DCN", "PDFTABLE_DCN_WIDE_GATHER")}
+    prev = os.environ.get("PDFTABLE_PALLAS_DCN")
     base_arr = None
     try:
-        # 2x2: fused-pallas blend x wide (1KB-row) gather
-        for label, pal, wide in (("xla_ms", "0", "0"),
-                                 ("pallas_ms", "1", "0"),
-                                 ("wide_ms", "0", "1"),
-                                 ("wide_pallas_ms", "1", "1")):
+        for label, pal in (("xla_ms", "0"), ("pallas_default_ms", "auto")):
             os.environ["PDFTABLE_PALLAS_DCN"] = pal
-            os.environ["PDFTABLE_DCN_WIDE_GATHER"] = wide
             dc.deform_conv2d.clear_cache()
             out[label], arr = timed()
             if base_arr is None:
@@ -377,11 +375,10 @@ def dcn_pallas_ab() -> dict:
                     np.abs(arr - base_arr).max()
                     / (np.abs(base_arr).max() + 1e-6)), 5)
     finally:
-        for k, v in prev.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+        if prev is None:
+            os.environ.pop("PDFTABLE_PALLAS_DCN", None)
+        else:
+            os.environ["PDFTABLE_PALLAS_DCN"] = prev
         dc.deform_conv2d.clear_cache()
     return out
 

@@ -11,15 +11,16 @@ loop keeps peak HLO-temp memory K x below a one-shot im2col (which OOMs a
 through gather/matmul autodiff (training parity with the reference's
 backward kernels).
 
-Pallas-kernel evaluation (2026-08, v5e): Mosaic has no per-element 2D
-gather (jnp.take_along_axis fails to lower; one-hot matmul needs
-128-aligned selector tiles and blows VMEM at these sizes; per-row dynamic
-slices can't express per-position sample coordinates). Meanwhile this XLA
-formulation measures <0.1 ms for LORE's hottest deform-conv shape
-(1x192x192x256 -> 256) on v5e — far off the critical path (the DLA trunk
-conv stack dominates). Decision: XLA gather+matmul IS the TPU
-implementation; the C++ oracle (ops/native/deform_conv_cpu.cc) pins its
-numerics. Revisit only if Mosaic grows a gather primitive.
+Pallas-kernel division of labor (A/B'd on v5e, 2026-08-18 — the table
+lives in docs/performance.md): the 4-corner row gather stays in XLA
+(Mosaic has no per-element 2D gather: jnp.take_along_axis fails to
+lower; one-hot matmul blows VMEM; per-row dynamic slices can't express
+per-position sample coordinates), while the post-gather back half —
+corner blend x modulation, implicit im2col, and the output contraction
+— runs in the fused Pallas kernel ops/pallas/deform_blend.py whenever
+`blend_matmul_supported` says the shape is in the measured win region
+(bf16, kc<=2304: the stride-4 LORE shapes, 11-17% faster end-to-end).
+The C++ oracle (ops/native/deform_conv_cpu.cc) pins the numerics.
 """
 
 from __future__ import annotations
@@ -107,20 +108,10 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
     # f32 path below stays bit-stable for the C++ oracle parity tests.
     from .pallas.deform_blend import blend_matmul, blend_matmul_supported
     Np = B * Ho * Wo
-    use_pallas = (gdt == jnp.bfloat16
-                  and blend_matmul_supported(Np, 4 * Cin * K, Cout, gdt))
-    # Wide-gather variant (PDFTABLE_DCN_WIDE_GATHER=1): gather 1 KB rows
-    # from a PAIRED view of xq — row (y*W+x)//2 holds the quads for both
-    # x=2m and x=2m+1, and the wrong half's blend weights zero out by x
-    # parity. Same row COUNT, double width: wins iff the gather is
-    # byte-efficiency-bound in row width (measured 84 GB/s @512 B vs 131
-    # @2 KB) rather than purely row-rate-bound. Gated off pending an
-    # on-chip A/B.
-    import os as _os
-    wide = (_os.environ.get("PDFTABLE_DCN_WIDE_GATHER", "0") == "1"
-            and W % 2 == 0)
-    if wide:
-        xq2 = xq.reshape(B, H * W // 2, 8 * Cin)
+    # (A 1KB-row "wide gather" variant — pairing adjacent-x quads into one
+    # row to halve row count — was A/B'd on v5e 2026-08-18 and LOST at the
+    # hot shape: 147 vs 121 ms at 8x256^2x64. The gather there is
+    # byte-bound, not row-rate-bound; the variant was deleted.)
     out = jnp.zeros((B * Ho * Wo, Cout), jnp.float32)
     for t0 in range(0, K, tap_chunk):
         t1 = min(t0 + tap_chunk, K)
@@ -143,34 +134,8 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
              wy * (1 - wx) * (in_y1 & in_x0),
              wy * wx * (in_y1 & in_x1)], axis=-1)      # (B, Ho, Wo, T, 4)
         w4 = w4 * mask32[..., t0:t1, None]
-        if wide:
-            parity = (base % 2).astype(jnp.float32).reshape(
-                B, Ho, Wo, T, 1)
-            # 8 slots: [quad @ even x | quad @ odd x], wrong half zeroed
-            w8 = jnp.concatenate([w4 * (1.0 - parity), w4 * parity],
-                                 axis=-1)              # (B, Ho, Wo, T, 8)
-            g = jnp.take_along_axis(xq2, (base // 2)[:, :, None], axis=1)
-            if use_pallas and T * 8 * Cin % 128 == 0:
-                g2 = g.reshape(B, Ho * Wo, T * 8 * Cin
-                               ).reshape(Np, T * 8 * Cin)
-                w8e = jnp.repeat(
-                    w8.reshape(Np, T * 8), Cin, axis=-1).astype(gdt)
-                wrep = jnp.broadcast_to(
-                    wmat[t0:t1].reshape(T, 1, Cin, Cout),
-                    (T, 8, Cin, Cout)).reshape(T * 8 * Cin,
-                                               Cout).astype(gdt)
-                out = out + blend_matmul(g2, w8e, wrep)
-                continue
-            g = g.reshape(B, Ho, Wo, T, 8, Cin)
-            s = (g.astype(jnp.float32) * w8[..., None]).sum(axis=-2)
-            out = out + jnp.dot(
-                s.reshape(B * Ho * Wo, T * Cin),
-                wmat[t0:t1].reshape(T * Cin, Cout),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            continue
         g = jnp.take_along_axis(xq, base[:, :, None], axis=1)
-        if use_pallas and T * 4 * Cin % 128 == 0:
+        if blend_matmul_supported(Np, T * 4 * Cin, Cout, gdt):
             # corner-major flat layouts, no sub-128 trailing dims anywhere:
             # g2 (Np, T*4C) is the gather output's natural reshape; w4e
             # repeats each corner weight across its Cin channels; wrep

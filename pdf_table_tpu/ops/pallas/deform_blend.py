@@ -99,20 +99,40 @@ def _bwd(res, dout):
 blend_matmul.defvjp(_fwd, _bwd)
 
 
+def _vmem_fits(kc: int, co: int) -> bool:
+    """Conservative VMEM estimate for one grid step: double-buffered
+    (g2, w4e) row tiles + the resident wrep block + the f32 out tile,
+    against a 12 MB budget (v5e has ~16 MB/core; leave headroom for
+    Mosaic temporaries). kc=9216 (Cin=256) measured a hard Mosaic OOM."""
+    need = (2 * (2 * TILE_ROWS * kc * 2)    # g2 + w4e, 2x buffered, bf16
+            + kc * co * 2                   # wrep, resident
+            + 2 * TILE_ROWS * co * 4)       # out tile, f32, 2x buffered
+    return need <= 12 * 1024 * 1024
+
+
 def blend_matmul_supported(np_: int, kc: int, co: int,
                            dtype) -> bool:
-    """Shapes the kernel's static tiling handles (128-lane alignment and
-    row-tile divisibility); callers fall back to the XLA form otherwise.
+    """Whether deform_conv2d routes its back half through the fused
+    kernel; callers fall back to the XLA form otherwise.
 
-    Opt-in via PDFTABLE_PALLAS_DCN=1 until the kernel has an on-chip
-    A/B record: a Mosaic lowering failure surfaces at first compile and
-    would take the whole LORE path down with it."""
+    Hardware A/B (v5e, 2026-08-18, recorded in docs/performance.md):
+    the kernel wins at the stride-4 LORE shapes (Cin=64, kc=2304:
+    121.9->108.9 ms at 8x256^2, 75.0->62.3 ms at 8x192^2), ties within
+    noise at Cin=128 (kc=4608), and VMEM-OOMs at Cin>=256. Default is
+    therefore AUTO = the measured win region (kc <= 2304);
+    PDFTABLE_PALLAS_DCN=1 forces it on wherever the tiles fit,
+    PDFTABLE_PALLAS_DCN=0 forces the XLA form everywhere."""
     import os
 
-    return (os.environ.get("PDFTABLE_PALLAS_DCN", "0") == "1"
-            and dtype == jnp.bfloat16 and np_ % TILE_ROWS == 0
-            and kc % 128 == 0 and co >= 1
-            and jax.default_backend() == "tpu")
+    mode = os.environ.get("PDFTABLE_PALLAS_DCN", "auto")
+    if mode == "0":
+        return False
+    ok = (dtype == jnp.bfloat16 and np_ % TILE_ROWS == 0
+          and kc % 128 == 0 and co >= 1 and _vmem_fits(kc, co)
+          and jax.default_backend() == "tpu")
+    if mode == "1":
+        return ok
+    return ok and kc <= 2304
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -35,52 +35,28 @@ class TestDeformConvParity:
         assert np.abs(ref - out).max() < 1e-4
 
 
-class TestWideGatherVariant:
-    """PDFTABLE_DCN_WIDE_GATHER=1: the 1KB-row paired gather with
-    parity-zeroed blend slots must match the quad-gather path exactly
-    (the flag only changes memory access, not math)."""
+class TestPallasDcnGate:
+    """blend_matmul_supported default (auto) mode: on after the v5e A/B
+    only in the measured win region — bf16, aligned, kc<=2304, TPU."""
 
-    def test_wide_matches_base(self, monkeypatch):
+    def test_auto_mode_win_region(self, monkeypatch):
+        import jax
         import jax.numpy as jnp
 
-        import pdf_table_tpu.ops.deform_conv as dc
+        from pdf_table_tpu.ops.pallas import deform_blend as db
 
-        rng = np.random.default_rng(5)
-        B, H, W, C, Co = 2, 12, 10, 8, 6
-        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
-        off = (rng.standard_normal((B, H, W, 18)) * 2).astype(np.float32)
-        mask = rng.random((B, H, W, 9)).astype(np.float32)
-        wgt = rng.standard_normal((3, 3, C, Co)).astype(np.float32)
-
-        base = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
-        monkeypatch.setenv("PDFTABLE_DCN_WIDE_GATHER", "1")
-        dc.deform_conv2d.clear_cache()
-        wide = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
-        dc.deform_conv2d.clear_cache()
-        np.testing.assert_allclose(wide, base, rtol=1e-5, atol=1e-5)
-
-        # bf16 inputs too (the production dtype)
-        xb = jnp.asarray(x, jnp.bfloat16)
-        monkeypatch.setenv("PDFTABLE_DCN_WIDE_GATHER", "0")
-        dc.deform_conv2d.clear_cache()
-        base_b = np.asarray(dc.deform_conv2d(xb, off, mask, wgt))
-        monkeypatch.setenv("PDFTABLE_DCN_WIDE_GATHER", "1")
-        dc.deform_conv2d.clear_cache()
-        wide_b = np.asarray(dc.deform_conv2d(xb, off, mask, wgt))
-        dc.deform_conv2d.clear_cache()
-        np.testing.assert_allclose(wide_b, base_b, rtol=1e-3, atol=1e-3)
-
-    def test_odd_width_falls_back(self, monkeypatch):
-        import pdf_table_tpu.ops.deform_conv as dc
-
-        rng = np.random.default_rng(6)
-        x = rng.standard_normal((1, 6, 7, 4)).astype(np.float32)
-        off = rng.standard_normal((1, 6, 7, 18)).astype(np.float32)
-        mask = rng.random((1, 6, 7, 9)).astype(np.float32)
-        wgt = rng.standard_normal((3, 3, 4, 4)).astype(np.float32)
-        base = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
-        monkeypatch.setenv("PDFTABLE_DCN_WIDE_GATHER", "1")
-        dc.deform_conv2d.clear_cache()
-        wide = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
-        dc.deform_conv2d.clear_cache()
-        np.testing.assert_allclose(wide, base, rtol=1e-5, atol=1e-5)
+        monkeypatch.delenv("PDFTABLE_PALLAS_DCN", raising=False)
+        on_tpu = jax.default_backend() == "tpu"
+        # the stride-4 LORE shape (kc=2304) is in the win region
+        assert db.blend_matmul_supported(512, 2304, 64, jnp.bfloat16) \
+            == on_tpu
+        # Cin=128 (kc=4608) measured a tie -> auto stays off
+        assert not db.blend_matmul_supported(512, 4608, 128, jnp.bfloat16)
+        # force-on extends to any fitting shape, force-off kills all
+        monkeypatch.setenv("PDFTABLE_PALLAS_DCN", "1")
+        assert db.blend_matmul_supported(512, 4608, 128, jnp.bfloat16) \
+            == on_tpu
+        # Cin=256 (kc=9216, co=256) measured a Mosaic VMEM OOM
+        assert not db.blend_matmul_supported(512, 9216, 256, jnp.bfloat16)
+        monkeypatch.setenv("PDFTABLE_PALLAS_DCN", "0")
+        assert not db.blend_matmul_supported(512, 2304, 64, jnp.bfloat16)
