@@ -84,20 +84,53 @@ def dict_search_dirs(extra_dirs: Sequence[str] = ()) -> List[str]:
     return dirs
 
 
-def generic_cjk_charset(use_space_char: bool = True) -> Charset:
-    """Codepoint-ordered fallback for Chinese: ASCII + CJK Unified
-    Ideographs (U+4E00..U+9FA5) + common CJK punctuation. NOT the PaddleOCR
-    ppocr_keys_v1 id order — converted ch checkpoints need the real dict
-    file; this charset only supports training from scratch."""
+# Unicode block ranges (inclusive start, exclusive end) backing the
+# provisional per-lang charsets. Codepoint order, deterministic — NOT the
+# PaddleOCR dict id order, so these never pair with converted checkpoints
+# (resolve_charset enforces strict=True there).
+_LANG_BLOCKS = {
+    "ch": ((0x4E00, 0x9FA6),),
+    "chinese_cht": ((0x4E00, 0x9FA6),),
+    "japan": ((0x3041, 0x3097), (0x30A1, 0x30FB), (0x30FC, 0x30FD),
+              (0x4E00, 0x9FA6)),
+    "korean": ((0xAC00, 0xD7A4),),
+    "latin": ((0x00C0, 0x00D7), (0x00D8, 0x00F7), (0x00F8, 0x0180),),
+    "cyrillic": ((0x0400, 0x0500),),
+    "arabic": ((0x0600, 0x0700), (0x0750, 0x0780)),
+    "devanagari": ((0x0900, 0x0980),),
+    "ta": ((0x0B80, 0x0C00),),
+    "te": ((0x0C00, 0x0C80),),
+    "ka": ((0x0C80, 0x0D00),),
+}
+
+_CJK_PUNCT = ("，。、；：？！“”"
+              "‘’（）《》【】"
+              "—…·￥")
+
+
+def generic_lang_charset(lang: str, use_space_char: bool = True) -> Charset:
+    """Provisional codepoint-ordered charset for ``lang``: ASCII printables
+    + the language's Unicode block(s) (+ CJK punctuation for CJK langs).
+    Deterministic and documented, so offline/structural runs and
+    training-from-scratch work out of the box — but the ids do NOT match
+    any PaddleOCR dict ordering, so converted checkpoints must use the
+    real dict sidecar (resolve_charset refuses these in strict mode)."""
+    if lang not in _LANG_BLOCKS:
+        raise ValueError(f"no provisional charset for lang {lang!r}")
     chars = list(string.digits) + list(string.ascii_letters) + \
-        list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~") + \
-        [chr(c) for c in range(0x4E00, 0x9FA6)] + \
-        list("，。、；：？！“”"
-             "‘’（）《》【】"
-             "—…·￥")
+        list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+    for lo, hi in _LANG_BLOCKS[lang]:
+        chars += [chr(c) for c in range(lo, hi)]
+    if lang in ("ch", "chinese_cht", "japan"):
+        chars += list(_CJK_PUNCT)
     cs = Charset(chars, use_space_char)
     cs.generic_fallback = True
     return cs
+
+
+def generic_cjk_charset(use_space_char: bool = True) -> Charset:
+    """Back-compat alias: the provisional Chinese charset."""
+    return generic_lang_charset("ch", use_space_char)
 
 
 def resolve_charset(name_or_path: str, use_space_char: bool = True,
@@ -122,17 +155,18 @@ def resolve_charset(name_or_path: str, use_space_char: bool = True,
             p = os.path.join(d, fname)
             if os.path.exists(p):
                 return Charset.from_dict_file(p, use_space_char)
-        if name_or_path == "ch" and not strict:
+        if name_or_path in _LANG_BLOCKS and not strict:
             from ...utils.logging_utils import logger
             logger.warning(
-                "no %s found under %s — using the generic codepoint-ordered "
-                "CJK charset (ids do NOT match converted PaddleOCR ch "
-                "checkpoints; place the checkpoint's dict file in one of "
-                "those directories for correct decoding)",
-                fname, dirs)
-            return generic_cjk_charset(use_space_char)
+                "no %s found under %s — using the provisional "
+                "codepoint-ordered %s charset (ids do NOT match converted "
+                "PaddleOCR checkpoints; run tools/convert_weights.py "
+                "--from-hub to fetch the real dict, or place it in one of "
+                "those directories)",
+                fname, dirs, name_or_path)
+            return generic_lang_charset(name_or_path, use_space_char)
         raise ValueError(
             f"charset {name_or_path!r} needs its dict file {fname!r} in one "
-            f"of {dirs} (the converter copies it from the checkpoint "
-            f"snapshot automatically; see docs/language.md)")
+            f"of {dirs} (tools/convert_weights.py --from-hub copies it from "
+            f"the checkpoint snapshot automatically; see docs/language.md)")
     raise ValueError(f"unknown charset {name_or_path!r}")

@@ -685,7 +685,11 @@ class BatchPipeline:
                 if r["cells"]:
                     r["offset"] = (0, 0)
                     out.append((tb, r))
-        else:
+        if not out:
+            # no layout region produced vector-line cells (layout missed
+            # the table or proposed a lineless region): fall back to the
+            # page's own line clusters — for a digital page the vector
+            # lines are ground truth, a model proposal is not
             for region in detect_table_regions(pdf_page, pdf_scale):
                 r = {"cells": region["cells"], "type": "line_cell_pdf",
                      "offset": (0, 0)}

@@ -341,7 +341,11 @@ class OcrSystemTask:
                         if r["cells"]:
                             r["offset"] = (0, 0)
                             table_results.append((tb, r))
-                else:
+                if not table_results:
+                    # layout missed the table or proposed a lineless
+                    # region: the page's own line clusters are ground
+                    # truth for a digital page (mirrors
+                    # batch_runner._digital_tables)
                     for region in detect_table_regions(pdf_page,
                                                        out.pdf_scale):
                         r = {"cells": region["cells"],

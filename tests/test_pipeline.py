@@ -477,6 +477,47 @@ class TestMixedCorpusBatching:
         assert "pdf_text" in bp.last_stats
 
 
+class TestDigitalLayoutFallback:
+    """A digital page's vector lines are ground truth: when layout misses
+    the table or proposes a lineless region, the line-cluster fallback
+    must still extract it (regression: bench digital tail measured 0
+    tables whenever the layout model emitted junk regions)."""
+
+    def _page(self, tmp_path):
+        from pdf_table_tpu.pdfio import writer
+        from pdf_table_tpu.pdfio.reader import PdfDocument
+
+        doc = writer.PdfWriter()
+        pg = doc.add_page(612, 792)
+        pg.text(60, 740, "paragraph line with running text")
+        pg.table(60, 430, [110, 90], 24,
+                 [[f"r{r}c{c}" for c in range(2)] for r in range(3)])
+        p = tmp_path / "fallback.pdf"
+        doc.save(str(p))
+        return PdfDocument.open(str(p)).load_page(0)
+
+    def test_junk_layout_region_falls_back(self, tmp_path):
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+
+        page = self._page(tmp_path)
+        # a layout proposal nowhere near the vector table
+        out = BatchPipeline._digital_tables(page, 2.0, [[5, 5, 60, 40]])
+        assert out, "line-cluster fallback must recover the table"
+        assert out[0][1]["type"] == "line_cell_pdf"
+        assert len(out[0][1]["cells"]) == 6
+
+    def test_good_layout_region_still_preferred(self, tmp_path):
+        from pdf_table_tpu.models.line_cell.from_pdf import \
+            detect_table_regions
+        from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
+
+        page = self._page(tmp_path)
+        bbox = detect_table_regions(page, 2.0)[0]["bbox"]
+        out = BatchPipeline._digital_tables(page, 2.0, [bbox])
+        assert len(out) == 1
+        assert tuple(out[0][0]) == tuple(bbox)
+
+
 class TestWidenTableRegions:
     def test_widens_to_text_columns(self):
         from pdf_table_tpu.entity.enums import HtmlContentType

@@ -11,22 +11,29 @@ class TestEbTokens:
     def test_all_eleven_rewrites(self):
         from pdf_table_tpu.tasks.table_master_match import deal_eb_token
 
-        # deal_eb_token:523 — every PubTabNet empty-bbox token must expand
+        # deal_eb_token:523-556 — every PubTabNet empty-bbox token must
+        # expand byte-for-byte. NOTE: eb3/eb10 contain U+2028 LINE
+        # SEPARATOR, which renders like a plain space in most editors —
+        # spelled as escapes here so the parity is visible.
         cases = {
             "<eb></eb>": "<td></td>",
             "<eb1></eb1>": "<td> </td>",
             "<eb2></eb2>": "<td><b> </b></td>",
-            "<eb3></eb3>": "<td>  </td>",
+            "<eb3></eb3>": "<td>\u2028\u2028</td>",
             "<eb4></eb4>": "<td><sup> </sup></td>",
             "<eb5></eb5>": "<td><b></b></td>",
             "<eb6></eb6>": "<td><i> </i></td>",
             "<eb7></eb7>": "<td><b><i></i></b></td>",
             "<eb8></eb8>": "<td><b><i> </i></b></td>",
             "<eb9></eb9>": "<td><i></i></td>",
-            "<eb10></eb10>": "<td><b>     </b></td>",
+            "<eb10></eb10>": "<td><b> \u2028 \u2028 </b></td>",
         }
         for eb, html in cases.items():
-            assert deal_eb_token(eb) == html
+            got = deal_eb_token(eb)
+            assert got == html, (eb, got.encode("unicode_escape"))
+        # eb3/eb10 must NOT degrade to plain spaces (U+0020)
+        assert "\u2028" in deal_eb_token("<eb3></eb3>")
+        assert deal_eb_token("<eb3></eb3>") != "<td>  </td>"
         # eb10 must not be clobbered by the eb1 rule
         assert "<eb" not in deal_eb_token("<tr><eb10></eb10><eb1></eb1></tr>")
 

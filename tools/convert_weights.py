@@ -3,6 +3,15 @@ to flax orbax params.
 
 Usage:
   python tools/convert_weights.py --model <name> --checkpoint <file> [--out d]
+  python tools/convert_weights.py --model <name> --from-hub [--variant ch]
+
+``--from-hub`` closes the reference's name->weights chain
+(TABLE_MODEL_DICT, ocr_table_model_config.py:16-347 + snapshot_download,
+common_utils.py:465-497): resolve the hub repo id from
+pdf_table_tpu/convert/hub.py, download the snapshot (HF by default,
+ModelScope with PDFTABLE_USE_MODELSCOPE_HUB=1), convert, and copy the
+snapshot's dict/alphabet sidecars next to the weights — one command from
+model name to ready weights. Offline it fails with an actionable error.
 
 Converted weights land in the model cache (models/registry.weights_dir) so
 tasks pick them up automatically; --out overrides the destination.
@@ -214,13 +223,33 @@ def _spec(name: str):
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--from-hub", action="store_true", dest="from_hub",
+                   help="resolve + download the checkpoint from the hub "
+                        "(HF; ModelScope with PDFTABLE_USE_MODELSCOPE_HUB=1)")
+    p.add_argument("--variant", default="",
+                   help="lang/task_type hub variant (e.g. ch, en, table)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
+    if bool(args.checkpoint) == bool(args.from_hub):
+        p.error("pass exactly one of --checkpoint or --from-hub")
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    if args.from_hub:
+        from pdf_table_tpu.convert.hub import (download_snapshot,
+                                               find_checkpoint,
+                                               resolve_hub_id)
+
+        repo_id = resolve_hub_id(args.model, args.variant)
+        print(f"hub: {args.model}" +
+              (f"[{args.variant}]" if args.variant else "") +
+              f" -> {repo_id}")
+        snap = download_snapshot(repo_id)
+        args.checkpoint = find_checkpoint(snap)
+        print("snapshot:", snap, "-> checkpoint:", args.checkpoint)
 
     from pdf_table_tpu.engine.params import save_params
     from pdf_table_tpu.models.registry import weights_dir
