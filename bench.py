@@ -105,6 +105,11 @@ def build_pipeline(tsr_task_type: str = "wireless",
 
 def bench() -> dict:
     t_bench0 = time.perf_counter()
+    import os
+
+    # keep first-call args of every hot program so mfu_probe can
+    # re-execute them for device-only timing (utils/profiling.py)
+    os.environ["PDFTABLE_TRACK_PROGRAMS"] = "1"
     # TSR: LORE wireless (768^2) — the throughput config; the tail reports
     # the system-default wtw (1024^2 + host corner refine) alongside
     bp = build_pipeline("wireless", inject_lines=True)
@@ -126,6 +131,9 @@ def bench() -> dict:
         import jax
         prof = jax.profiler.trace(profile_dir)
 
+    from pdf_table_tpu.utils.profiling import program_registry
+    calls_before = {k: tp.calls for k, tp in program_registry.items()}
+
     n_iters = 7
     iter_dts = []
     with prof:
@@ -133,6 +141,8 @@ def bench() -> dict:
             t0 = time.perf_counter()
             results = bp.run(pages)
             iter_dts.append(time.perf_counter() - t0)
+    calls_per_iter = {k: (tp.calls - calls_before.get(k, 0)) / n_iters
+                      for k, tp in program_registry.items()}
     # median iteration: the shared tunnel has noisy-neighbor episodes
     # (probe h2d has measured 38-134 ms for the same chunk on the same
     # day) — a single stalled iteration shouldn't define throughput
@@ -159,6 +169,10 @@ def bench() -> dict:
         "stages_ms_per_page": stages,
         "probe": serial_probe(bp, pages),
     }
+    try:
+        out["mfu"] = mfu_probe(calls_per_iter, len(pages), dt)
+    except Exception as e:
+        out["mfu"] = f"error: {type(e).__name__}: {e}"
     # the tail REUSES bp's compiled det/layout/rec programs (a fresh
     # pipeline would pay the ~7-min cold det compile again: the axon
     # remote compiler bypasses the local persistent cache); only the wtw
@@ -327,6 +341,75 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
     except Exception as e:
         tail["dcn_pallas_ab"] = f"error: {type(e).__name__}: {e}"
     return tail
+
+
+V5E_PEAK_BF16_FLOPS = 197e12   # TPU v5e per-chip bf16 peak (public spec)
+
+
+def mfu_probe(calls_per_iter: dict, n_pages: int,
+              iter_wall_s: float) -> dict:
+    """Per-program device-only time + analytic FLOPs + MFU, and the
+    aggregate device ceiling (VERDICT r3 #2).
+
+    Device-only time: re-execute each tracked program with its retained
+    first-call args, queued N-deep with one scalar D2H sync (the only
+    timing that synchronizes on the tunneled device — PARITY.md).
+    FLOPs: pre-optimization HLO cost analysis of the same trace (no
+    recompile). Ceiling = throughput if ONLY device execution mattered
+    (H2D/D2H/host excluded), using each program's measured per-iteration
+    call count.
+    """
+    import jax
+
+    from pdf_table_tpu.utils.profiling import program_registry
+
+    def sync(r):
+        leaf = jax.tree.leaves(r)[0]
+        _ = float(np.asarray(leaf).ravel()[0])
+
+    programs = {}
+    dev_ms_per_iter = 0.0
+    flops_per_iter = 0.0
+    flops_known_ms = 0.0
+    for name, tp in sorted(program_registry.items()):
+        cpi = calls_per_iter.get(name, 0.0)
+        if tp.args is None or cpi <= 0:
+            continue
+        try:
+            sync(tp.fn(*tp.args))       # warm / page in
+            n = 4
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(n):
+                last = tp.fn(*tp.args)
+            sync(last)
+            ms = (time.perf_counter() - t0) / n * 1000
+        except Exception as e:
+            programs[name] = f"exec error: {type(e).__name__}"
+            continue
+        fl = tp.flops()
+        row = {"device_ms": round(ms, 2), "calls_per_iter": round(cpi, 2)}
+        if fl:
+            row["gflops"] = round(fl / 1e9, 2)
+            row["mfu_pct"] = round(
+                fl / (ms / 1e3) / V5E_PEAK_BF16_FLOPS * 100, 2)
+            flops_per_iter += fl * cpi
+            flops_known_ms += ms * cpi
+        programs[name] = row
+        dev_ms_per_iter += ms * cpi
+    out = {"programs": programs,
+           "peak_bf16_tflops": V5E_PEAK_BF16_FLOPS / 1e12,
+           "device_ms_per_page": round(dev_ms_per_iter / n_pages, 2)}
+    if dev_ms_per_iter > 0:
+        out["device_ceiling_pages_per_sec"] = round(
+            n_pages / (dev_ms_per_iter / 1000), 2)
+    if flops_per_iter > 0:
+        out["e2e_mfu_pct"] = round(
+            flops_per_iter / iter_wall_s / V5E_PEAK_BF16_FLOPS * 100, 2)
+        out["device_mfu_pct"] = round(
+            flops_per_iter / (flops_known_ms / 1000)
+            / V5E_PEAK_BF16_FLOPS * 100, 2)
+    return out
 
 
 def dcn_pallas_ab() -> dict:

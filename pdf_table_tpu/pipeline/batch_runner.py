@@ -249,6 +249,8 @@ class BatchPipeline:
                 fn = jax.jit(run, in_shardings=(param_sh, batch_sh))
             else:
                 fn = jax.jit(run)
+            from ..utils.profiling import track_program
+            fn = track_program(f"det:{key[1:]}", fn)
             det._jitted[key] = fn
         if n_pad:
             images = np.concatenate(
@@ -446,7 +448,8 @@ class BatchPipeline:
                 crops = jnp.where(flip[:, None, None, None], flipped, crops)
             return rec._apply_fn(rec_params, {"image": crops})
 
-        fn = jax.jit(run)
+        from ..utils.profiling import track_program
+        fn = track_program(f"rec:{key}", jax.jit(run))
         self._rec_dev_jit[key] = fn
         return fn
 

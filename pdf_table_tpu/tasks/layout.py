@@ -150,7 +150,8 @@ class OcrLayoutTask(InferTask):
                 raw = self._apply_fn(variables, {"image": x})
                 return device_decode_topk(raw, cfg)
 
-            fn = jax.jit(run)
+            from ..utils.profiling import track_program
+            fn = track_program(f"layout:{key[1]}", jax.jit(run))
             self._jitted[key] = fn
         P, H, W = pages_dev.shape[0], pages_dev.shape[1], pages_dev.shape[2]
         metas = [{"org_shape": (H, W)} for _ in range(P)]

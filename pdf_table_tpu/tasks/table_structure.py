@@ -188,12 +188,17 @@ class OcrTableStructureTask(InferTask):
                 return (u.astype(jnp.float32)[..., ::-1] / 255.0
                         - mean) / std
 
+            from ..utils.profiling import track_program
             dd_fn = jax.jit(lambda v, x: module.apply(
                 v, x, method=LoreModel.detect_decode))
-            dd_u8_fn = jax.jit(lambda v, u: module.apply(
-                v, _norm(u), method=LoreModel.detect_decode))
-            gl_fn = jax.jit(lambda v, ax, cr, d, i, s: module.apply(
-                v, ax, cr, d, i, s, method=LoreModel.gather_logical))
+            dd_u8_fn = track_program(
+                f"tsr_dd:{self.model_config.task_type}",
+                jax.jit(lambda v, u: module.apply(
+                    v, _norm(u), method=LoreModel.detect_decode)))
+            gl_fn = track_program(
+                f"tsr_gl:{self.model_config.task_type}",
+                jax.jit(lambda v, ax, cr, d, i, s: module.apply(
+                    v, ax, cr, d, i, s, method=LoreModel.gather_logical)))
 
             def wiz_host_refine(dc):
                 # the host middle of wiz_rev: corner-anchored vertex

@@ -44,3 +44,66 @@ def stage(name: str, metrics: Optional[Dict[str, float]] = None) -> Iterator[Non
         yield
     if metrics is not None:
         metrics[name] = metrics.get(name, 0.0) + time.perf_counter() - t0
+
+
+# -- program registry (MFU / device-ceiling accounting) ----------------------
+
+# name -> TrackedProgram. Populated by track_program() at the hot-path jit
+# sites; bench.py walks it to compute per-program FLOPs
+# (Lowered.cost_analysis, no recompile) and device-only execution time.
+program_registry: Dict[str, "TrackedProgram"] = {}
+
+
+class TrackedProgram:
+    """Thin wrapper over a jitted callable: counts calls and keeps the
+    first call's arg ShapeDtypeStructs (always) and, when
+    PDFTABLE_TRACK_PROGRAMS=1, the first call's REAL args — so a bench
+    probe can re-execute the exact program for device-only timing.
+    Holding real args pins device memory; production leaves the env
+    unset and pays only an attribute check per call."""
+
+    __slots__ = ("name", "fn", "calls", "arg_specs", "args")
+
+    def __init__(self, name: str, fn):
+        self.name = name
+        self.fn = fn
+        self.calls = 0
+        self.arg_specs = None
+        self.args = None
+
+    def __call__(self, *args):
+        self.calls += 1
+        if self.arg_specs is None:
+            import jax
+
+            self.arg_specs = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()),
+                                               getattr(x, "dtype", None))
+                if hasattr(x, "shape") else x, args)
+            if os.environ.get("PDFTABLE_TRACK_PROGRAMS", "0") == "1":
+                self.args = args
+        return self.fn(*args)
+
+    def lower(self, *args, **kw):
+        return self.fn.lower(*args, **kw)
+
+    def flops(self) -> Optional[float]:
+        """Analytic FLOPs of the traced program (pre-optimization HLO cost
+        analysis; cheap — no compile)."""
+        if self.arg_specs is None:
+            return None
+        try:
+            cost = self.fn.lower(*self.arg_specs).cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) or None
+        except Exception:
+            return None
+
+
+def track_program(name: str, fn) -> TrackedProgram:
+    """Wrap+register a freshly jitted program under ``name`` (include the
+    shape key: one entry per compiled specialization)."""
+    tp = TrackedProgram(name, fn)
+    program_registry[name] = tp
+    return tp
