@@ -65,8 +65,11 @@ def build_pipeline(tsr_task_type: str = "wireless",
                                       box_thresh=0.0, max_candidates=48)
     bp.system._layout = OcrLayoutTask(model="picodet", task_type="table",
                                       score_threshold=0.05, keep_top_k=2)
+    # res_buckets: throughput opt-in (product default is the exact
+    # reference resolution; see tasks/table_structure.py)
     bp.system._tsr = OcrTableStructureTask(model="Lore",
-                                           task_type=tsr_task_type)
+                                           task_type=tsr_task_type,
+                                           res_buckets="auto")
 
     if inject_lines:
         def add_lines(quads, shapes):

@@ -53,15 +53,19 @@ def encode_pages(canvases: np.ndarray, mode: str = "auto"
         return {"rgb": canvases}, "rgb"
     if mode == "auto":
         if all(page_is_gray(c) for c in canvases):
-            # R=G=B -> Y == R: the luma IS channel 0, no math. The float
-            # BT.601 blend here used to cost ~50 ms of host time per
-            # 28 MB chunk inside the serial enqueue loop — for document
-            # corpora (overwhelmingly gray) that was pure overhead.
-            return {"y": np.ascontiguousarray(canvases[..., 0])}, "gray"
-        mode = "yuv420"
+            mode = "gray"
+        else:
+            mode = "yuv420"
     if mode == "gray":
-        # explicit gray on a possibly-color page: integer BT.601 luma
-        # (u16 fixed point, ~3x cheaper than the float path)
+        # Integer BT.601 luma (u16 fixed point, ~3x cheaper than the
+        # float path). 77+150+29 == 256, so for a truly gray page
+        # (R=G=B=v) Y == v exactly — same reconstruction as the old
+        # channel-0 slice. For color content that slipped past the
+        # subsampled page_is_gray grid (features <16 px, e.g. red stamp
+        # digits), luma keeps the content visible at its perceptual
+        # brightness instead of reconstructing it as channel-0 only
+        # (which turned red-on-white into pure white and silently erased
+        # it from detection input) — worst case is now chroma loss.
         x = canvases.astype(np.uint16)
         y16 = (77 * x[..., 0] + 150 * x[..., 1] + 29 * x[..., 2] + 128) >> 8
         return {"y": y16.astype(np.uint8)}, "gray"

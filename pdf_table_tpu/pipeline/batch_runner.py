@@ -276,9 +276,15 @@ class BatchPipeline:
         if probs_handle.shape[0] != n:          # dp padding rows
             valid = np.concatenate(
                 [valid, np.zeros((probs_handle.shape[0] - n, 2), np.int32)])
-        return batch_component_boxes_u8(
-            probs_handle, int(round(cfg.thresh * 255)), jnp.asarray(valid),
-            max_components=64)
+        thr = int(round(cfg.thresh * 255))
+        from ..utils.profiling import program_registry, track_program
+        name = f"det_cc:{thr}"
+        tp = program_registry.get(name)
+        if tp is None:
+            tp = track_program(
+                name, lambda p, v: batch_component_boxes_u8(
+                    p, thr, v, max_components=64))
+        return tp(probs_handle, jnp.asarray(valid))
 
     def _boxes_finish(self, packed: np.ndarray, shapes,
                       bucket_hw, prob_hw) -> List[np.ndarray]:
@@ -289,6 +295,13 @@ class BatchPipeline:
         cfg = det.model_config
         H, W = bucket_hw
         ph, pw = prob_hw
+        # cfg.min_size is specified in DET-INPUT pixels (reference
+        # DBPostProcess checks sside in prob==det space); with
+        # half_res_probs the boxes here are in half-res prob px, so the
+        # threshold must shrink with them or it is silently 2x stricter
+        # than the reference (small boxes the reference keeps were
+        # dropped — ADVICE r3 #2)
+        min_size = cfg.min_size * (0.5 if self.half_res_probs else 1.0)
         results = []
         for i, (h, w) in enumerate(shapes):
             rows = packed[i]
@@ -300,7 +313,7 @@ class BatchPipeline:
             bw = boxes[:, 2] - boxes[:, 0]
             bh = boxes[:, 3] - boxes[:, 1]
             keep = (areas > 0) & (means >= cfg.box_thresh) \
-                & (np.minimum(bw, bh) >= cfg.min_size)
+                & (np.minimum(bw, bh) >= min_size)
             b = boxes[keep]
             bw, bh = bw[keep], bh[keep]
             d = (bw * bh * cfg.unclip_ratio) / np.maximum(
@@ -808,6 +821,23 @@ class BatchPipeline:
                                        is_pdf=pages[i].get("pdf_page")
                                        is not None)
         broken_set = set(broken)
+
+        # oversize pages rescale HERE, not only inside pack_pages, so the
+        # images[] list every downstream consumer reads (out.image,
+        # image_shape, pdf_scale, overlay renders, page_width) agrees
+        # with the coordinate space det/layout/TSR actually saw
+        # (ADVICE r3 #4: quads were in scaled space while the output
+        # carried the original image)
+        import cv2
+        for i, im in enumerate(images):
+            if i in broken_set:
+                continue
+            h, w = im.shape[:2]
+            b = pick_page_bucket(h, w)
+            if h > b[0] or w > b[1]:
+                s = min(b[0] / h, b[1] / w)
+                images[i] = cv2.resize(
+                    im, (max(1, int(w * s)), max(1, int(h * s))))
 
         # digital pages with usable vector text join the batched chunks
         # (layout batched on device; text + line-cell tables on host);

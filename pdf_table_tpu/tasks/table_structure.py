@@ -61,9 +61,14 @@ class OcrTableStructureTask(InferTask):
         super().__init__(task_config, mesh=mesh)
         # crop-resolution buckets for the from-pages batched path: small
         # table crops run a 384/512 program instead of the full 768/1024
-        # (pure-upsampling waste otherwise). () = exact reference behavior
-        # (fixed resolution, processer_lore.py:66).
-        rb = kw.pop("res_buckets", "auto")
+        # (pure-upsampling waste otherwise). DEFAULT IS () — the exact
+        # reference behavior (fixed resolution, processer_lore.py:66):
+        # the converted checkpoints only ever saw small tables upscaled
+        # to the full canvas, and CenterNet heads are scale-sensitive, so
+        # the buckets are a throughput opt-in ("auto" or an explicit
+        # tuple) pending an on-chip accuracy A/B with real weights
+        # (ADVICE r3 #3). bench.py opts in.
+        rb = kw.pop("res_buckets", ())
         if rb == "auto":
             self.res_buckets = (384, 512) if model in ("Lore",
                                                        "LoreAndLineCell") \
@@ -161,14 +166,17 @@ class OcrTableStructureTask(InferTask):
 
             mean = jnp.asarray(LorePreProcessor.MEAN)
             std = jnp.asarray(LorePreProcessor.STD)
+            from ..utils.profiling import track_program
             feat_fn = jax.jit(lambda v, x: module.apply(
                 v, x, False, method=LoreModel.features))
             # uint8 variant: BGR flip + normalize fused into the program so
             # the batched path uploads raw bytes (4x less tunnel H2D)
-            feat_u8_fn = jax.jit(lambda v, u: module.apply(
-                v,
-                (u.astype(jnp.float32)[..., ::-1] / 255.0 - mean) / std,
-                False, method=LoreModel.features))
+            feat_u8_fn = track_program(
+                f"tsr_feat:{self.model_config.task_type}",
+                jax.jit(lambda v, u: module.apply(
+                    v,
+                    (u.astype(jnp.float32)[..., ::-1] / 255.0 - mean) / std,
+                    False, method=LoreModel.features)))
             def proc_pack(v, fo):
                 # logical regressor + pack into ONE D2H array instead of
                 # six: each device->host round trip costs ~40 ms of tunnel
@@ -182,13 +190,14 @@ class OcrTableStructureTask(InferTask):
                      fo["valid"].astype(jnp.float32)[..., None],
                      fo["centers"], logi, stacked], axis=-1)
 
-            proc_fn = jax.jit(proc_pack)
+            proc_fn = track_program(
+                f"tsr_proc:{self.model_config.task_type}",
+                jax.jit(proc_pack))
 
             def _norm(u):
                 return (u.astype(jnp.float32)[..., ::-1] / 255.0
                         - mean) / std
 
-            from ..utils.profiling import track_program
             dd_fn = jax.jit(lambda v, x: module.apply(
                 v, x, method=LoreModel.detect_decode))
             dd_u8_fn = track_program(

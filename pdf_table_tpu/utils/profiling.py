@@ -88,10 +88,17 @@ class TrackedProgram:
         return self.fn.lower(*args, **kw)
 
     def flops(self) -> Optional[float]:
-        """Analytic FLOPs of the traced program (pre-optimization HLO cost
-        analysis; cheap — no compile)."""
+        """Analytic FLOPs of the traced program. Prefers the jaxpr walk
+        (utils/flops.py — works everywhere, no compile); falls back to
+        XLA HLO cost analysis where the client supports it."""
         if self.arg_specs is None:
             return None
+        try:
+            from .flops import fn_flops
+
+            return fn_flops(self.fn, *self.arg_specs) or None
+        except Exception:
+            pass
         try:
             cost = self.fn.lower(*self.arg_specs).cost_analysis()
             if isinstance(cost, (list, tuple)):

@@ -410,6 +410,26 @@ class TestPageCodec:
         np.testing.assert_array_equal(decode_pages_host(planes, mode),
                                       pages)
 
+    def test_small_color_feature_survives_auto_gray(self):
+        """ADVICE r3: a <16px color feature can evade page_is_gray's
+        stride-16 grid; the auto-gray path must encode LUMA so the
+        content stays visible (channel-0 slicing turned red-on-white
+        into pure white and erased it from detection input)."""
+        from pdf_table_tpu.ops.page_codec import (decode_pages_host,
+                                                  encode_pages)
+
+        pages = np.full((1, 64, 96, 3), 255, np.uint8)
+        # pure red 6x6 stamp placed off the sampling grid
+        pages[0, 17:23, 33:39] = (255, 0, 0)
+        planes, mode = encode_pages(pages, "auto")
+        assert mode == "gray"   # the grid misses it, by construction
+        got = decode_pages_host(planes, mode)
+        # BT.601 luma of pure red is ~76: clearly darker than the white
+        # background, so detection still sees the stamp
+        assert got[0, 20, 36, 0] < 100
+        # the gray background stays exact
+        np.testing.assert_array_equal(got[0, :10, :10], pages[0, :10, :10])
+
     def test_yuv420_roundtrip_close(self):
         from pdf_table_tpu.ops.page_codec import (decode_pages_host,
                                                   encode_pages,
