@@ -57,6 +57,7 @@ class ExtractionService:
         self.queue: "Queue[_Request]" = Queue()
         self.counters = {"requests": 0, "pages": 0, "errors": 0,
                          "batches": 0}
+        self._counter_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._batch_loop,
                                         daemon=True)
@@ -69,7 +70,7 @@ class ExtractionService:
     def submit(self, kind: str, payload: bytes,
                timeout_s: float = 300.0) -> Dict[str, Any]:
         req = _Request(kind, payload)
-        self.counters["requests"] += 1
+        self._bump("requests")
         self.queue.put(req)
         if not req.done.wait(timeout_s):
             raise TimeoutError("extraction timed out")
@@ -88,7 +89,7 @@ class ExtractionService:
             except Empty:
                 break
             req.error = "service shutting down"
-            self.counters["errors"] += 1
+            self._bump("errors")
             req.done.set()
 
     # -- batch side -----------------------------------------------------------
@@ -152,33 +153,42 @@ class ExtractionService:
                 expanded = self._expand(req)
             except Exception as e:
                 req.error = f"{type(e).__name__}: {e}"
-                self.counters["errors"] += 1
+                self._bump("errors")
                 req.done.set()
                 continue
             owners.append((req, len(pages), len(expanded)))
             pages.extend(expanded)
-        if pages:
-            self.counters["batches"] += 1
-            self.counters["pages"] += len(pages)
-            try:
-                results = self.pipeline.run(pages)
-            except Exception as e:  # total failure: report to every owner
-                for req, _lo, _n in owners:
-                    req.error = f"{type(e).__name__}: {e}"
-                    self.counters["errors"] += 1
-                    req.done.set()
-                return
-            for req, lo, n in owners:
-                outs = results[lo:lo + n]
-                req.result = {"pages": [self._render(o) for o in outs]}
-                req.done.set()
-        for p in pages:
-            tmp = p.get("_tmp_path")
-            if tmp and os.path.exists(tmp):
+        try:
+            if pages:
+                self._bump("batches")
+                self._bump("pages", len(pages))
                 try:
-                    os.unlink(tmp)
-                except OSError:
-                    pass
+                    results = self.pipeline.run(pages)
+                except Exception as e:  # total failure: report everyone
+                    for req, _lo, _n in owners:
+                        req.error = f"{type(e).__name__}: {e}"
+                        self._bump("errors")
+                        req.done.set()
+                    return
+                for req, lo, n in owners:
+                    outs = results[lo:lo + n]
+                    req.result = {"pages": [self._render(o) for o in outs]}
+                    req.done.set()
+        finally:
+            # per-request temp PDFs must go even when pipeline.run raises
+            # (ADVICE r3: the early return leaked them on every failure)
+            for p in pages:
+                tmp = p.get("_tmp_path")
+                if tmp and os.path.exists(tmp):
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
+
+    def _bump(self, key: str, n: int = 1) -> None:
+        """Counters are written from every handler thread — serialize."""
+        with self._counter_lock:
+            self.counters[key] = self.counters.get(key, 0) + n
 
     @staticmethod
     def _render(out) -> Dict[str, Any]:

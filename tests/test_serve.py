@@ -179,3 +179,44 @@ class TestServeShutdown:
         svc.queue.put(req)
         svc.close()
         assert req.done.is_set() and req.error == "service shutting down"
+
+
+class TestTempCleanupOnFailure:
+    def test_pipeline_crash_still_unlinks_temp_pdfs(self, tmp_path):
+        """ADVICE r3: a pipeline.run exception used to early-return past
+        the temp-PDF cleanup loop, leaking a file per failed batch."""
+        import os
+
+        from pdf_table_tpu.pdfio import writer
+        from pdf_table_tpu.pipeline.system import OcrSystemConfig
+        from pdf_table_tpu.serve import ExtractionService, _Request
+
+        cfg = OcrSystemConfig(use_layout=False, use_table=False,
+                              use_orientation_cls=False)
+        svc = ExtractionService(cfg, batch_pages=2, max_wait_ms=5.0,
+                                warm=False)
+        svc._stop.set()
+        svc._thread.join(timeout=5)
+        try:
+            doc = writer.PdfWriter()
+            doc.add_page(200, 200).text(20, 100, "x")
+            src = tmp_path / "t.pdf"
+            doc.save(str(src))
+
+            pages = svc._expand(_Request("pdf", src.read_bytes()))
+            tmp_file = pages[0]["_tmp_path"]
+            assert os.path.exists(tmp_file)
+
+            svc._expand = lambda req: pages
+            def boom(_pages):
+                raise RuntimeError("injected pipeline failure")
+            svc.pipeline.run = boom
+
+            req = _Request("pdf", b"ignored")
+            svc._process([req])
+            assert req.done.is_set()
+            assert "injected pipeline failure" in (req.error or "")
+            assert not os.path.exists(tmp_file), "temp PDF leaked"
+            assert svc.counters["errors"] >= 1
+        finally:
+            svc.close()
