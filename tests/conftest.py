@@ -55,3 +55,38 @@ def cpu_mesh3d():
 
     devices = np.array(jax.devices("cpu")[:8]).reshape(2, 2, 2)
     return Mesh(devices, axis_names=("dp", "tp", "sp"))
+
+
+# -- quick tier ---------------------------------------------------------------
+# `pytest -m quick` = a <2-minute gate touching every component layer once
+# (VERDICT r3 #9); the full suite stays the pre-commit bar for touched
+# areas. Selection: cheapest test CLASS per component, compile-light.
+_QUICK = {
+    "test_entity.py": None,               # L1 data model (all fast)
+    "test_utils.py": None,                # L0 + charsets
+    "test_hub_resolve.py": None,          # registry/hub chain
+    "test_flops.py": None,                # MFU accounting
+    "test_table_master_match.py": None,   # token-path HTML
+    "test_pdf_assign.py": None,           # pdf-flavor text assign
+    "test_deform_blend.py": None,         # pallas DCN kernel
+    "test_native_ops.py": None,           # C++ oracle parity
+    "test_line_cell.py": None,            # wired-table extractors
+    "test_pdfio.py": "TestWriterReader",  # native PDF reader/writer
+    "test_pdf_table.py": "TestLattice",   # classical flavors
+    "test_ops.py": "TestCtcDecode",       # device op suite (sample)
+    "test_engine.py": "TestInferTask",    # task engine
+    "test_pipeline.py": "TestDigitalLayoutFallback",  # digital e2e bit
+    "test_serve.py": "TestTempCleanupOnFailure",      # serving
+    "test_train_eval.py": "TestTeds",     # eval metric
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.fspath.basename
+        want = _QUICK.get(fname, "skip")
+        if want == "skip":
+            continue
+        if want is None or f"::{want}::" in item.nodeid \
+                or item.nodeid.endswith(f"::{want}"):
+            item.add_marker(pytest.mark.quick)
