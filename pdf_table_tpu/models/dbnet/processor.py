@@ -272,14 +272,14 @@ class DbNetPostProcessor:
         import jax.numpy as jnp
 
         from ...ops import component_boxes
-        from ...ops.connected_components import connected_components_fast
+        from ...ops.connected_components import connected_components_scan
 
         cfg = self.config
         p = jnp.asarray(prob)
         if p.ndim == 3:
             p = p[0]
         H, W = p.shape
-        labels = connected_components_fast(p > cfg.thresh)
+        labels = connected_components_scan(p > cfg.thresh)
         boxes, means, areas, valid = component_boxes(labels, p, max_components)
         boxes, means, areas, valid = (np.asarray(boxes), np.asarray(means),
                                       np.asarray(areas), np.asarray(valid))

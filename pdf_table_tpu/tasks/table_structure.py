@@ -167,8 +167,10 @@ class OcrTableStructureTask(InferTask):
             mean = jnp.asarray(LorePreProcessor.MEAN)
             std = jnp.asarray(LorePreProcessor.STD)
             from ..utils.profiling import track_program
-            feat_fn = jax.jit(lambda v, x: module.apply(
-                v, x, False, method=LoreModel.features))
+            feat_fn = track_program(
+                f"tsr_feat32:{self.model_config.task_type}",
+                jax.jit(lambda v, x: module.apply(
+                    v, x, False, method=LoreModel.features)))
             # uint8 variant: BGR flip + normalize fused into the program so
             # the batched path uploads raw bytes (4x less tunnel H2D)
             feat_u8_fn = track_program(
@@ -448,7 +450,8 @@ class OcrTableStructureTask(InferTask):
                         valid_w=vw, valid_h=vh)         # f32 RGB 0..255
                     return (crops[..., ::-1] / 255.0 - mean) / std
 
-                warp_fn = jax.jit(warp)
+                from ..utils.profiling import track_program
+                warp_fn = track_program(f"tsr_warp:{res}", jax.jit(warp))
                 self._jitted[key] = warp_fn
             return warp_fn
 

@@ -328,8 +328,9 @@ class TestWarpFromPages:
 
 
 class TestFastConnectedComponents:
-    """Pointer-jumping CC (r3 perf: fixed-iteration compile-friendly
-    variant for the batched det-box path)."""
+    """Segmented-scan CC (r4 perf: run-min scans replaced the
+    gather-bound pointer jumps — 124 -> 25 ms per 8-page chunk on v5e;
+    fixed-iteration, compile-friendly, for the batched det-box path)."""
 
     def _fast(self):
         import importlib
@@ -352,8 +353,8 @@ class TestFastConnectedComponents:
         m[50:62, 150:152] = True
         m[50:62, 308:310] = True
         gt, n = ndimage.label(m, structure=np.ones((3, 3)))
-        b = np.asarray(cc.connected_components_fast(jnp.asarray(m),
-                                                    num_iters=16))
+        b = np.asarray(cc.connected_components_scan(jnp.asarray(m),
+                                                    num_iters=8))
         for lab in range(1, n + 1):
             assert len(np.unique(b[gt == lab])) == 1
         reps = [int(np.unique(b[gt == lab])[0]) for lab in range(1, n + 1)]
@@ -371,10 +372,31 @@ class TestFastConnectedComponents:
         m = np.zeros((8, 360), bool)
         m[4, :] = True
         a = np.asarray(cc.connected_components(jnp.asarray(m)))
-        b = np.asarray(cc.connected_components_fast(jnp.asarray(m),
-                                                    num_iters=12))
+        b = np.asarray(cc.connected_components_scan(jnp.asarray(m),
+                                                    num_iters=8))
         assert len(np.unique(a[m])) == 1
         assert (a == b).all()
+
+    def test_adversarial_blobs_converge_at_12(self):
+        """Dilated random noise (snaky components, worst case measured)
+        fully converges by 12 rounds; the det-box path runs 8 (text/table
+        shapes need 2-3, and the failure mode is a split box, not a
+        missed one)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        cc = self._fast()
+        rng = np.random.default_rng(1)
+        m = ndimage.binary_dilation(rng.random((120, 160)) > 0.97,
+                                    iterations=2)
+        gt, n = ndimage.label(m, structure=np.ones((3, 3)))
+        b = np.asarray(cc.connected_components_scan(jnp.asarray(m),
+                                                    num_iters=12))
+        for lab in range(1, n + 1):
+            assert len(np.unique(b[gt == lab])) == 1
+        reps = [int(np.unique(b[gt == lab])[0]) for lab in range(1, n + 1)]
+        assert len(set(reps)) == n
 
     def test_batched_boxes_respect_valid_extent(self):
         import numpy as np
