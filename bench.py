@@ -106,6 +106,58 @@ def build_pipeline(tsr_task_type: str = "wireless",
     return bp
 
 
+def bench_bar_page(rng, size: int):
+    """Training pages for the bench detector: dark text-like bars at the
+    scale make_page's bars reach the det input (1224x950 canvas -> 960x704
+    det input, x0.77 — bars ~12 px tall)."""
+    img = np.full((size, size, 3), 255, np.uint8)
+    boxes = []
+    y = int(rng.integers(10, 24))
+    while y < size - 26:
+        x = int(rng.integers(8, 24))
+        for _ in range(int(rng.integers(1, 4))):
+            w = int(rng.integers(40, 120))
+            if x + w > size - 10:
+                break
+            h = int(rng.integers(10, 15))
+            img[y:y + h, x:x + w] = int(rng.integers(20, 60))
+            boxes.append([x, y, x + w, y + h])
+            x += w + int(rng.integers(12, 22))
+        y += int(rng.integers(22, 34))
+    return img, boxes
+
+
+def ensure_bench_det_weights(bp) -> bool:
+    """Demo-train (ONCE, cached under the model cache) the bench's det
+    config to detect make_page text bars, so the bench flows REAL
+    detection boxes instead of injected quads (VERDICT r3 #8). Returns
+    True when trained weights are loaded into bp's det task."""
+    import os
+
+    from pdf_table_tpu.engine.params import (has_saved_params, load_params,
+                                             save_params)
+    from pdf_table_tpu.utils.constants import Constants
+
+    det = bp.system.det_task
+    cache = os.path.join(Constants.MODEL_CACHE_DIR, "bench_demo",
+                         "det_ppocr_bars")
+    det.ensure_built()
+    if has_saved_params(cache):
+        det._params = load_params(cache)
+        return True
+    from pdf_table_tpu.train.quick_det import train_quick_detector
+
+    variables, first, last = train_quick_detector(
+        det.model_config, bench_bar_page, steps=250, size=320,
+        batch_size=4, log=lambda m: print("  [bench det]", m,
+                                          file=sys.stderr))
+    if not (last < first * 0.5):     # did not learn — keep random+inject
+        return False
+    save_params(variables, cache)
+    det._params = variables
+    return True
+
+
 def bench() -> dict:
     t_bench0 = time.perf_counter()
     import os
@@ -115,7 +167,17 @@ def bench() -> dict:
     os.environ["PDFTABLE_TRACK_PROGRAMS"] = "1"
     # TSR: LORE wireless (768^2) — the throughput config; the tail reports
     # the system-default wtw (1024^2 + host corner refine) alongside
-    bp = build_pipeline("wireless", inject_lines=True)
+    bp = build_pipeline("wireless", inject_lines=False)
+    # organic volume: demo-trained det weights find the synthetic pages'
+    # ~30 text bars for real; only if training is unavailable does the
+    # bench fall back to the injected-quad volume of rounds 2-3
+    try:
+        organic = ensure_bench_det_weights(bp)
+    except Exception as e:
+        print(f"  [bench det] training failed: {e}", file=sys.stderr)
+        organic = False
+    if not organic:
+        bp = build_pipeline("wireless", inject_lines=True)
     pages = [{"image": make_page(i)} for i in range(16)]
 
     # concurrent compile warmup (overlapped remote compiles), then
@@ -154,6 +216,10 @@ def bench() -> dict:
     assert len(results) == len(pages)
     n_tables = sum(len(r.table_structures) for r in results)
     assert n_tables > 0, "bench must exercise the TSR stage"
+    boxes_per_page = sum(len(r.text_cells) for r in results) / len(pages)
+    if organic:
+        assert boxes_per_page >= 25, \
+            f"organic det volume too low ({boxes_per_page:.1f} boxes/page)"
 
     # per-stage wall breakdown of the last run (lanes overlap; ms/page).
     # 'det_wait_d2h' includes device det compute hidden behind the async
@@ -169,6 +235,8 @@ def bench() -> dict:
         "iters_s": [round(t, 3) for t in iter_dts],
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / 50.0, 3),
+        "organic_det": organic,
+        "det_boxes_per_page": round(boxes_per_page, 1),
         "stages_ms_per_page": stages,
         "probe": serial_probe(bp, pages),
     }

@@ -42,3 +42,43 @@ class TestBenchHarness:
         assert (img < 100).any()               # with dark text bars
         # deterministic per seed
         np.testing.assert_array_equal(img, B.make_page(3))
+
+
+class TestOrganicDetSetup:
+    def test_bar_page_boxes(self):
+        import numpy as np
+
+        import bench
+
+        rng = np.random.default_rng(0)
+        img, boxes = bench.bench_bar_page(rng, 320)
+        assert img.shape == (320, 320, 3)
+        assert len(boxes) >= 8
+        for x1, y1, x2, y2 in boxes:
+            assert 0 <= x1 < x2 <= 320 and 0 <= y1 < y2 <= 320
+            assert (img[y1:y2, x1:x2] < 200).all()
+
+    def test_cached_weights_short_circuit(self, monkeypatch, tmp_path):
+        """With cached demo weights present, ensure_bench_det_weights
+        loads them without training (the once-per-machine path)."""
+        import bench
+        from pdf_table_tpu.engine import params as P
+
+        sentinel = {"params": {"w": 1}}
+        monkeypatch.setattr(P, "has_saved_params", lambda d: True)
+        monkeypatch.setattr(P, "load_params", lambda d: sentinel)
+
+        class FakeDet:
+            model_config = None
+
+            def ensure_built(self):
+                pass
+
+        class FakeSystem:
+            det_task = FakeDet()
+
+        class FakeBp:
+            system = FakeSystem()
+
+        assert bench.ensure_bench_det_weights(FakeBp()) is True
+        assert FakeBp.system.det_task._params is sentinel

@@ -155,73 +155,17 @@ def train_recognizer(steps: int, rng: np.random.Generator):
 
 
 def train_detector(steps: int, rng: np.random.Generator):
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from pdf_table_tpu.data.det_targets import make_db_targets
-    from pdf_table_tpu.engine.params import init_params
-    from pdf_table_tpu.models.dbnet import DBNet, DbNetConfig
-    from pdf_table_tpu.train.losses import db_loss
+    from pdf_table_tpu.models.dbnet import DbNetConfig
+    from pdf_table_tpu.train.quick_det import train_quick_detector
 
     cfg = DbNetConfig.ppocr(inner_channels=48, limit_side_len=320,
                             thresh=0.3, box_thresh=0.4)
-    model = DBNet(cfg)
-    variables = init_params(model, np.zeros((1, 320, 320, 3), np.float32),
-                            train=True)
-    params = variables["params"]
-    bstats = variables.get("batch_stats", {})
-    tx = optax.adamw(1e-3)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, bstats, opt_state, batch):
-        def loss_fn(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": bstats}, batch["image"],
-                train=True, mutable=["batch_stats"])
-            losses = db_loss(out, batch)
-            return losses["loss"], (losses, mut["batch_stats"])
-
-        (loss, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_stats, opt_state,
-                losses)
-
-    def make_batch(bs=4, seed=None):
-        r = np.random.default_rng(seed) if seed is not None else rng
-        imgs = np.zeros((bs, 320, 320, 3), np.float32)
-        tg = {k: np.zeros((bs, 320, 320), np.float32)
-              for k in ("gt", "gt_mask", "thresh_map", "thresh_mask")}
-        metas = []
-        for i in range(bs):
-            img, boxes, words = render_page(r)
-            # imagenet-normalized like the ppocr preprocessor
-            x = img.astype(np.float32) / 255.0
-            x = (x - np.array([0.485, 0.456, 0.406])) \
-                / np.array([0.229, 0.224, 0.225])
-            imgs[i] = x
-            t = make_db_targets(boxes, (320, 320))
-            for k in tg:
-                tg[k][i] = t[k]
-            metas.append((img, boxes, words))
-        batch = {"image": jnp.asarray(imgs)}
-        batch.update({k: jnp.asarray(v) for k, v in tg.items()})
-        return batch, metas
-
-    first = last = None
-    for s in range(steps):
-        batch, _ = make_batch()
-        params, bstats, opt_state, losses = step(params, bstats, opt_state,
-                                                 batch)
-        lv = float(losses["loss"])
-        first = lv if first is None else first
-        last = lv
-        if s % 50 == 0:
-            print(f"  det step {s}: loss {lv:.3f}")
+    variables, first, last = train_quick_detector(
+        cfg, lambda r, size: render_page(r, size)[:2], steps=steps,
+        size=320, batch_size=4, rng=rng,
+        log=lambda m: print(" ", m))
     print(f"  det: loss {first:.2f} -> {last:.2f}")
-    return cfg, {"params": params, "batch_stats": bstats}
+    return cfg, variables
 
 
 def main() -> int:
