@@ -142,9 +142,18 @@ def ensure_bench_det_weights(bp) -> bool:
     cache = os.path.join(Constants.MODEL_CACHE_DIR, "bench_demo",
                          "det_ppocr_bars")
     det.ensure_built()
-    if has_saved_params(cache):
-        det._params = load_params(cache)
+    def arm(variables) -> bool:
+        det._params = variables
+        # the floor thresholds existed for RANDOM weights (nothing flows
+        # otherwise); a trained det uses reference-like confidence gates
+        # so the measured volume is the page's ~30 real bars, not the
+        # 64-component CC cap
+        det.model_config.thresh = 0.3
+        det.model_config.box_thresh = 0.55
         return True
+
+    if has_saved_params(cache):
+        return arm(load_params(cache))
     from pdf_table_tpu.train.quick_det import train_quick_detector
 
     variables, first, last = train_quick_detector(
@@ -154,8 +163,7 @@ def ensure_bench_det_weights(bp) -> bool:
     if not (last < first * 0.5):     # did not learn — keep random+inject
         return False
     save_params(variables, cache)
-    det._params = variables
-    return True
+    return arm(variables)
 
 
 def bench() -> dict:
@@ -370,6 +378,7 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
         return tail
     old_tsr = bp.system._tsr
     try:
+        # product default: exact reference resolution (res_buckets=())
         bp.system._tsr = OcrTableStructureTask(model="Lore",
                                                task_type="wtw")
         bp.run(pages)  # warm (compiles the wtw program once)
@@ -377,6 +386,16 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
         bp.run(pages)
         tail["wtw_default_pages_per_sec"] = round(
             len(pages) / (time.perf_counter() - t0), 3)
+        # the documented throughput opt-in (res_buckets='auto')
+        if not over_budget("wtw_bucketed_pages_per_sec"):
+            bp.system._tsr = OcrTableStructureTask(model="Lore",
+                                                   task_type="wtw",
+                                                   res_buckets="auto")
+            bp.run(pages)
+            t0 = time.perf_counter()
+            bp.run(pages)
+            tail["wtw_bucketed_pages_per_sec"] = round(
+                len(pages) / (time.perf_counter() - t0), 3)
     finally:
         bp.system._tsr = old_tsr
 
