@@ -68,8 +68,12 @@ class TestOrganicDetSetup:
         monkeypatch.setattr(P, "has_saved_params", lambda d: True)
         monkeypatch.setattr(P, "load_params", lambda d: sentinel)
 
+        class FakeCfg:
+            thresh = 0.45
+            box_thresh = 0.0
+
         class FakeDet:
-            model_config = None
+            model_config = FakeCfg()
 
             def ensure_built(self):
                 pass
@@ -82,3 +86,6 @@ class TestOrganicDetSetup:
 
         assert bench.ensure_bench_det_weights(FakeBp()) is True
         assert FakeBp.system.det_task._params is sentinel
+        # trained weights flip the det to reference-like thresholds
+        assert FakeBp.system.det_task.model_config.thresh == 0.3
+        assert FakeBp.system.det_task.model_config.box_thresh == 0.55
