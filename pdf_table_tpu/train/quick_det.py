@@ -22,10 +22,19 @@ def train_quick_detector(cfg, render_page: Callable,
                          steps: int = 300, size: int = 320,
                          batch_size: int = 4, lr: float = 1e-3,
                          rng: Optional[np.random.Generator] = None,
-                         log: Optional[Callable[[str], None]] = None
+                         log: Optional[Callable[[str], None]] = None,
+                         time_budget_s: Optional[float] = None,
+                         early_exit_ratio: Optional[float] = None
                          ) -> Tuple[dict, float, float]:
     """Fit a DBNet config on ``render_page(rng, size) -> (img, boxes)``
-    pages. Returns (variables, first_loss, last_loss)."""
+    pages. Returns (variables, first_loss, last_loss).
+
+    Tuned for a tunneled device: batches come from a fixed pre-generated
+    pool (host target rasterization paid once, not per step) and the
+    loss only crosses to the host every ~25 steps (a per-step float()
+    costs a full device round trip). ``time_budget_s`` bounds wall time
+    — training stops at the next sync point past the budget;
+    ``early_exit_ratio`` stops as soon as loss < ratio * first_loss."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -74,13 +83,34 @@ def train_quick_detector(cfg, render_page: Callable,
         batch.update({k: jnp.asarray(v) for k, v in tg.items()})
         return batch
 
+    import time as _time
+
+    t0 = _time.perf_counter()
+    pool = [make_batch() for _ in range(min(steps, 16))]
+    sync_every = 25
     first = last = None
     for s in range(steps):
         params, bstats, opt_state, losses = step(params, bstats, opt_state,
-                                                 make_batch())
-        lv = float(losses["loss"])
+                                                 pool[s % len(pool)])
+        at_sync = (s % sync_every == 0 or s == steps - 1)
+        over_budget = (time_budget_s is not None
+                       and _time.perf_counter() - t0 > time_budget_s)
+        if not (at_sync or over_budget):
+            continue
+        lv = float(losses["loss"])          # device round trip
         first = lv if first is None else first
         last = lv
-        if log is not None and s % 50 == 0:
+        if log is not None:
             log(f"det step {s}: loss {lv:.3f}")
+        if over_budget:
+            if log is not None:
+                log(f"det: wall budget {time_budget_s:.0f}s hit at "
+                    f"step {s} — stopping")
+            break
+        if (early_exit_ratio is not None and s > 0
+                and lv < first * early_exit_ratio):
+            if log is not None:
+                log(f"det: early exit at step {s} "
+                    f"(loss {lv:.3f} < {early_exit_ratio} x {first:.3f})")
+            break
     return {"params": params, "batch_stats": bstats}, first, last

@@ -461,6 +461,62 @@ class TestPageCodec:
             host = decode_pages_host(planes, mode)
             np.testing.assert_array_equal(dev, host)
 
+    def test_rle_engages_at_chunk_volume_and_is_exact(self):
+        """auto layers the lossless RLE transport over gray when the
+        page is document-like (mostly white): exact roundtrip, >=4x
+        smaller, device decode == host decode."""
+        from pdf_table_tpu.ops.page_codec import (decode_pages_device,
+                                                  decode_pages_host,
+                                                  encode_pages,
+                                                  encoded_nbytes)
+
+        rng = np.random.default_rng(3)
+        pages = np.full((2, 640, 512, 3), 255, np.uint8)
+        for n in range(2):
+            for y in range(40, 600, 36):
+                x = 30
+                for _ in range(int(rng.integers(2, 6))):
+                    w = int(rng.integers(30, 90))
+                    v = int(rng.integers(10, 80))
+                    pages[n, y:y + 14, x:x + w] = v
+                    x += w + 20
+        planes, mode = encode_pages(pages, "auto")
+        assert mode == "rle:gray"
+        assert encoded_nbytes(planes) * 4 <= pages.nbytes // 3
+        host = decode_pages_host(planes, mode)
+        np.testing.assert_array_equal(host, pages)
+        dev = np.asarray(decode_pages_device(planes, mode))
+        np.testing.assert_array_equal(dev, pages)
+
+    def test_rle_falls_back_on_incompressible_pages(self):
+        """Noise pages produce ~as many runs as bytes: auto must keep
+        the plain planar form instead of inflating the upload."""
+        from pdf_table_tpu.ops.page_codec import encode_pages
+
+        rng = np.random.default_rng(4)
+        g = rng.integers(0, 256, (1, 512, 512), np.uint8)
+        pages = np.repeat(g[..., None], 3, axis=-1)
+        planes, mode = encode_pages(pages, "auto")
+        assert mode == "gray"
+        assert "rle_starts" not in planes
+
+    def test_rle_color_pages_roundtrip(self):
+        """RLE over yuv420: color block content compresses and decodes
+        through the same scatter+cumsum path."""
+        from pdf_table_tpu.ops.page_codec import (decode_pages_device,
+                                                  decode_pages_host,
+                                                  encode_pages)
+
+        pages = np.full((1, 512, 512, 3), 255, np.uint8)
+        pages[0, 100:300, 100:300] = (200, 40, 40)
+        planes, mode = encode_pages(pages, "auto")
+        assert mode == "rle:yuv420"
+        host = decode_pages_host(planes, mode)
+        dev = np.asarray(decode_pages_device(planes, mode))
+        np.testing.assert_array_equal(dev, host)
+        err = np.abs(host.astype(np.int16) - pages.astype(np.int16))
+        assert np.percentile(err, 95) <= 4
+
     def test_batch_pipeline_gray_codec_matches_rgb(self):
         """End-to-end: a gray corpus through codec='auto' produces the
         same boxes/HTML as the rgb passthrough (gray encode is exact)."""
