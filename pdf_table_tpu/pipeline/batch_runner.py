@@ -111,7 +111,8 @@ class BatchPipeline:
                  batch_pages: int = 8, half_res_probs: bool = True,
                  device_crops: Optional[bool] = None,
                  device_boxes: bool = True,
-                 upload_codec: str = "auto"):
+                 upload_codec: str = "auto",
+                 lane_workers: int = 2):
         self.system = OcrSystemTask(config or OcrSystemConfig(), mesh=mesh)
         self.mesh = mesh
         self.batch_pages = batch_pages
@@ -133,6 +134,12 @@ class BatchPipeline:
         # round-trip cost makes the host cv2 warp slightly faster on the
         # remote rig. A local chip should pass True.
         self.device_crops = device_crops
+        # workers per host lane (rec / layout-finish / TSR-infer). The
+        # lanes are D2H-block dominated on a tunneled device (~40 ms
+        # round trip each); 2 workers overlap chunk k's download block
+        # with chunk k+1's compute. Device work stays serialized by the
+        # device queue either way.
+        self.lane_workers = max(1, int(lane_workers))
         self.last_stats: Optional[Dict[str, float]] = None
         self._lane_stats: Dict[str, float] = {}
 
@@ -991,9 +998,10 @@ class BatchPipeline:
                 finally:
                     stats[key] += time.time() - t
 
-            rec_pool = cf.ThreadPoolExecutor(max_workers=1)
-            layout_pool = cf.ThreadPoolExecutor(max_workers=1)
-            tsr_pool = cf.ThreadPoolExecutor(max_workers=1)
+            rec_pool = cf.ThreadPoolExecutor(max_workers=self.lane_workers)
+            layout_pool = cf.ThreadPoolExecutor(
+                max_workers=self.lane_workers)
+            tsr_pool = cf.ThreadPoolExecutor(max_workers=self.lane_workers)
             # the table path needs only layout + canvases — NOT detection —
             # so every chunk's work submits before the main thread blocks
             # on det D2H (that block cost ~285 ms/run and used to gate the

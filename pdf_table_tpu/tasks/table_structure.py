@@ -395,6 +395,8 @@ class OcrTableStructureTask(InferTask):
 
         mats, pidx, metas = [], [], []
         valid_w, valid_h, res_hw = [], [], []
+        pages_np_local = None   # call-local (lanes may run 2 chunks
+        # concurrently; a cache on self raced between workers)
         for pi, (x1, y1, x2, y2) in regions:
             h, w = float(y2 - y1), float(x2 - x1)
             s = max(h, w, 1.0)
@@ -432,10 +434,9 @@ class OcrTableStructureTask(InferTask):
             if self._merge_line_cell:
                 # merge mode needs the OpenCV line cells from the host crop
                 from ..models.line_cell import extract_cells_from_image
-                if not hasattr(self, "_pages_np_cache") or \
-                        self._pages_np_cache[0] is not pages_dev:
-                    self._pages_np_cache = (pages_dev, np.asarray(pages_dev))
-                pg = self._pages_np_cache[1][pi]
+                if pages_np_local is None:
+                    pages_np_local = np.asarray(pages_dev)
+                pg = pages_np_local[pi]
                 meta["line_cells"] = extract_cells_from_image(
                     pg[int(y1):int(y2), int(x1):int(x2)])
             metas.append(meta)
