@@ -191,9 +191,39 @@ class BatchPipeline:
             images, shape, (nh, nw), pre_resized))[:N]
         return self._det_post(probs_u8, shapes, (H, W), (nh, nw), fast_post)
 
-    def _detect_enqueue(self, images, shape, det_hw, pre_resized: bool):
+    def _detect_cc_enqueue(self, images, shape, det_hw, pre_resized: bool,
+                           shapes, bucket_hw):
+        """Fused detection + device-CC boxes: ONE program per chunk
+        instead of det-forward then CC (each dispatch pays client + tunnel
+        overhead on the remote rig — docs/performance.md round 4). Returns
+        (async packed (N, K, 6) boxes handle, prob_hw) for
+        :meth:`_boxes_finish`."""
+        import jax.numpy as jnp
+
+        det = self.system.det_task
+        det.ensure_built()
+        cfg = det.model_config
+        nh, nw = det_hw
+        ph, pw = (nh // 2, nw // 2) if self.half_res_probs else (nh, nw)
+        H, W = bucket_hw
+        valid = np.array([[int(round(h / H * ph)), int(round(w / W * pw))]
+                          for h, w in shapes], np.int32)
+        n_pad = shape[0] + ((-shape[0]) % (
+            self.mesh.shape.get("dp", 1) if self.mesh is not None else 1)) \
+            - len(shapes)
+        if n_pad:
+            valid = np.concatenate([valid,
+                                    np.zeros((n_pad, 2), np.int32)])
+        thr = int(round(cfg.thresh * 255))
+        handle = self._detect_enqueue(images, shape, det_hw, pre_resized,
+                                      cc=(thr, jnp.asarray(valid)))
+        return handle, (ph, pw)
+
+    def _detect_enqueue(self, images, shape, det_hw, pre_resized: bool,
+                        cc: Optional[tuple] = None):
         """Enqueue the detection program; returns the (async) device array
-        of uint8-quantized prob maps. Callers may enqueue several chunks
+        of uint8-quantized prob maps (or, with ``cc=(thr_u8, valid_hw)``,
+        the fused CC packed boxes). Callers may enqueue several chunks
         before blocking so D2H of chunk k overlaps compute of k+1."""
         det = self.system.det_task
         det.ensure_built()
@@ -211,7 +241,8 @@ class BatchPipeline:
         # only the tiny prob maps)
         dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
         n_pad = (-N) % dp
-        key = ("batch_det", N + n_pad, H, W, nh, nw)
+        cc_thr = cc[0] if cc is not None else None
+        key = ("batch_det", N + n_pad, H, W, nh, nw, cc_thr)
         fn = det._jitted.get(key)
         if fn is None:
             if modelscope:
@@ -223,7 +254,7 @@ class BatchPipeline:
 
             half = self.half_res_probs
 
-            def run(variables, raw_u8):
+            def run(variables, raw_u8, valid_hw=None):
                 x = raw_u8.astype(jnp.float32)
                 if modelscope:
                     x = x[..., ::-1]                 # RGB->BGR on device
@@ -245,7 +276,13 @@ class BatchPipeline:
                         prob, -jnp.inf, jax.lax.max, (1, 2, 2), (1, 2, 2),
                         "VALID")
                 # quantize the prob map for the downlink
-                return jnp.round(prob * 255.0).astype(jnp.uint8)
+                probs_u8 = jnp.round(prob * 255.0).astype(jnp.uint8)
+                if cc_thr is None:
+                    return probs_u8
+                from ..ops import batch_component_boxes_u8
+
+                return batch_component_boxes_u8(probs_u8, cc_thr, valid_hw,
+                                                max_components=64)
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -253,7 +290,9 @@ class BatchPipeline:
                 batch_sh = NamedSharding(self.mesh, P("dp"))
                 repl = NamedSharding(self.mesh, P())
                 param_sh = jax.tree.map(lambda _: repl, det._params)
-                fn = jax.jit(run, in_shardings=(param_sh, batch_sh))
+                in_sh = (param_sh, batch_sh) if cc_thr is None \
+                    else (param_sh, batch_sh, batch_sh)
+                fn = jax.jit(run, in_shardings=in_sh)
             else:
                 fn = jax.jit(run)
             from ..utils.profiling import track_program
@@ -263,6 +302,8 @@ class BatchPipeline:
             images = np.concatenate(
                 [np.asarray(images),
                  np.zeros((n_pad, shape[1], shape[2], 3), np.uint8)], axis=0)
+        if cc is not None:
+            return fn(det._params, jnp.asarray(images), cc[1])
         return fn(det._params, jnp.asarray(images))
 
     def _boxes_enqueue(self, probs_handle, shapes, bucket_hw):
@@ -616,25 +657,39 @@ class BatchPipeline:
                      cls_task._params if cls_task is not None else {},
                      canv_dev, jnp.asarray(mats), jnp.asarray(cmats),
                      jnp.asarray(pidx), jnp.asarray(widths))
-            try:
-                out["rec_packed"].copy_to_host_async()
-            except Exception:
-                pass
             self._lane_acc("rec_dispatch", time.time() - t_d)
             pending.append((idxs, n, out))
         crops_meta = owners
         n_total = len(crops_meta)
         flat_t = [""] * n_total
         flat_s = [0.0] * n_total
-        for idxs, n, out in pending:
+        # ONE blocking download per decode length: every np.asarray pays a
+        # full tunnel RTT (~30-38 ms measured), so same-width groups (the
+        # aa/non-aa split, batch-size buckets) concat on device first
+        t_b = time.time()
+        by_len: Dict[int, list] = {}
+        for gi, (_idxs, _n, out) in enumerate(pending):
+            by_len.setdefault(out["rec_packed"].shape[1], []).append(gi)
+        packed_np: Dict[int, np.ndarray] = {}
+        for _L, gis in by_len.items():
+            hs = [pending[gi][2]["rec_packed"] for gi in gis]
+            cat = hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=0)
+            try:
+                cat.copy_to_host_async()
+            except Exception:
+                pass
+            arr = np.asarray(cat)
+            off = 0
+            for gi, h in zip(gis, hs):
+                packed_np[gi] = arr[off:off + h.shape[0]]
+                off += h.shape[0]
+        self._lane_acc("rec_block_d2h", time.time() - t_b)
+        for gi, (idxs, n, _out) in enumerate(pending):
             from ..tasks.recognition import unpack_rec
-            t_b = time.time()
-            packed = np.asarray(out["rec_packed"])
-            self._lane_acc("rec_block_d2h", time.time() - t_b)
             t_p = time.time()
             rec.post(None, np.asarray(idxs, np.int64), n_total,
                      flat_t, flat_s,
-                     decoded=unpack_rec(packed, n))
+                     decoded=unpack_rec(packed_np[gi], n))
             self._lane_acc("rec_post", time.time() - t_p)
         for ci, (pi, bi, *_rest) in enumerate(crops_meta):
             texts[pi][bi] = flat_t[ci]
@@ -775,10 +830,13 @@ class BatchPipeline:
         def warm_det():
             det_hw = det_input_size(bucket,
                                     det.model_config.limit_side_len)
-            ph = self._detect_enqueue(dev, g["images"].shape, det_hw,
-                                      pre_resized=False)
             if self.device_boxes:
-                ph = self._boxes_enqueue(ph, g["shapes"], bucket)
+                ph, _ = self._detect_cc_enqueue(
+                    dev, g["images"].shape, det_hw, False, g["shapes"],
+                    bucket)
+            else:
+                ph = self._detect_enqueue(dev, g["images"].shape, det_hw,
+                                          pre_resized=False)
             jax.block_until_ready(ph)
 
         def warm_layout():
@@ -964,12 +1022,16 @@ class BatchPipeline:
                 canvs.append(dev)
                 det_hw = det_input_size(chunk["bucket"],
                                         det.model_config.limit_side_len)
-                probs_h = self._detect_enqueue(dev, shp, det_hw,
-                                               pre_resized=False)
-                prob_hw = (probs_h.shape[1], probs_h.shape[2])
                 if self.device_boxes:
-                    probs_h = self._boxes_enqueue(probs_h, chunk["shapes"],
-                                                  chunk["bucket"])
+                    # ONE fused det+CC program per chunk (dispatch count is
+                    # a first-order cost on the tunneled rig)
+                    probs_h, prob_hw = self._detect_cc_enqueue(
+                        dev, shp, det_hw, False, chunk["shapes"],
+                        chunk["bucket"])
+                else:
+                    probs_h = self._detect_enqueue(dev, shp, det_hw,
+                                                   pre_resized=False)
+                    prob_hw = (probs_h.shape[1], probs_h.shape[2])
                 # start the downlink as soon as the program finishes on
                 # device — the later np.asarray becomes a local hit
                 # instead of paying the tunnel latency at wait time

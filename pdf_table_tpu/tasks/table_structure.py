@@ -239,6 +239,17 @@ class OcrTableStructureTask(InferTask):
             # enqueue before the first host refine blocks)
             self._wiz_parts = {"dd": dd_fn, "dd_u8": dd_u8_fn,
                                "gl": gl_fn, "refine": wiz_host_refine}
+            # raw (un-jitted) entry points for the batched page path's
+            # warp-fused programs: crop warp + normalize + trunk in ONE
+            # dispatch per sub-batch (per-call overhead is first-order on
+            # the tunneled rig — docs/performance.md round 4)
+            self._lore_raw = {
+                "features": lambda v, x: module.apply(
+                    v, x, False, method=LoreModel.features),
+                "detect_decode": lambda v, x: module.apply(
+                    v, x, method=LoreModel.detect_decode),
+                "proc_pack": proc_fn,
+            }
 
             def apply_fn_wiz_rev(variables, batch):
                 # wiz_rev runs the corner refine on HOST between two device
@@ -441,20 +452,31 @@ class OcrTableStructureTask(InferTask):
                     pg[int(y1):int(y2), int(x1):int(x2)])
             metas.append(meta)
 
-        def get_warp_fn(res):
-            key = ("warp_lore_aa", pages_dev.shape, res)
-            warp_fn = self._jitted.get(key)
-            if warp_fn is None:
-                def warp(pages, m, pxi, vw, vh):
+        wiz = getattr(self, "_wiz_parts", None) \
+            if getattr(cfg, "wiz_rev", False) else None
+
+        def get_fused_fn(res):
+            """Crop warp + normalize + LORE trunk in ONE program per
+            sub-batch (wiz: through detect_decode; else: through
+            features). The separate warp program cost one extra dispatch
+            + an HBM round trip of the f32 crop stack per sub-batch."""
+            key = ("lore_fused", pages_dev.shape, res, wiz is not None)
+            fn = self._jitted.get(key)
+            if fn is None:
+                raw = self._lore_raw[
+                    "detect_decode" if wiz is not None else "features"]
+
+                def run(v, pages, m, pxi, vw, vh):
                     crops = resample_axis_aligned_crops(
                         pages, pxi, m, res,
                         valid_w=vw, valid_h=vh)         # f32 RGB 0..255
-                    return (crops[..., ::-1] / 255.0 - mean) / std
+                    x = (crops[..., ::-1] / 255.0 - mean) / std
+                    return raw(v, x)
 
                 from ..utils.profiling import track_program
-                warp_fn = track_program(f"tsr_warp:{res}", jax.jit(warp))
-                self._jitted[key] = warp_fn
-            return warp_fn
+                fn = track_program(f"tsr_fused:{res}", jax.jit(run))
+                self._jitted[key] = fn
+            return fn
 
         # dispatch per resolution bucket, sub-batched under the HBM cap
         # (the cap scales with the bucket's pixel ratio: a 384^2 crop is
@@ -466,12 +488,10 @@ class OcrTableStructureTask(InferTask):
         by_res: Dict[tuple, list] = {}
         for i, r in enumerate(res_hw):
             by_res.setdefault(r, []).append(i)
-        wiz = getattr(self, "_wiz_parts", None) \
-            if getattr(cfg, "wiz_rev", False) else None
         sub_batches = []
         for res, idx_list in sorted(by_res.items()):
             cap = max(1, int(base_cap * full_px / (res[0] * res[1])))
-            warp_fn = get_warp_fn(res)
+            fused_fn = get_fused_fn(res)
             for s0 in range(0, len(idx_list), cap):
                 sub = idx_list[s0:s0 + cap]
                 nb = bucket_batch_size(len(sub))
@@ -484,52 +504,54 @@ class OcrTableStructureTask(InferTask):
                                 np.int32)
                 vh = np.asarray([valid_h[i] for i in sub] + [1] * pad,
                                 np.int32)
-                x = warp_fn(pages_dev, jnp.asarray(m), jnp.asarray(px),
-                            jnp.asarray(vw), jnp.asarray(vh))
-                sub_batches.append((sub, x))
+                out = fused_fn(self._params, pages_dev, jnp.asarray(m),
+                               jnp.asarray(px), jnp.asarray(vw),
+                               jnp.asarray(vh))
+                sub_batches.append((sub, out))
+        def fetch_concat(handles):
+            """ONE blocking download for a list of (nb_i, ...) device
+            arrays (equal trailing dims): every blocking np.asarray pays a
+            full tunnel RTT (~30-38 ms measured round 4, regardless of
+            size), so per-sub-batch downloads cost RTT x sub-batches while
+            one device-side concat costs a ~1.5 ms queued dispatch."""
+            if len(handles) == 1:
+                out = handles[0]
+            else:
+                out = jnp.concatenate(handles, axis=0)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            arr = np.asarray(out)
+            parts, off = [], 0
+            for h in handles:
+                parts.append(arr[off:off + h.shape[0]])
+                off += h.shape[0]
+            return parts
+
         pending = []
         if wiz is not None:
             # wiz_rev pipelined across sub-batches: ALL detect-decode
-            # programs enqueue (and their ~100 KB dc_packed downloads
-            # start) before the first host corner-refine blocks — the
-            # serial dd -> host -> gl chain per sub-batch cost a full
-            # compute + tunnel round trip each
-            dds = []
-            for sub, x in sub_batches:
-                dd = wiz["dd"](self._params, x)
-                try:
-                    dd["dc_packed"].copy_to_host_async()
-                except Exception:
-                    pass
-                dds.append((sub, dd))
-            for sub, dd in dds:
-                dets, inds, scores = wiz["refine"](
-                    np.asarray(dd["dc_packed"]))
+            # programs enqueue before any refine blocks, and their
+            # dc_packed tensors download as ONE concat (single RTT)
+            dc_parts = fetch_concat([dd["dc_packed"]
+                                     for _sub, dd in sub_batches])
+            for (sub, dd), dc in zip(sub_batches, dc_parts):
+                dets, inds, scores = wiz["refine"](dc)
                 packed = wiz["gl"](self._params, dd["ax_flat"],
                                    dd["cr_map"], jnp.asarray(dets),
                                    jnp.asarray(inds), jnp.asarray(scores))
-                try:
-                    packed.copy_to_host_async()
-                except Exception:
-                    pass
-                pending.append((sub, {"packed": packed}))
+                pending.append((sub, packed))
         else:
-            for sub, x in sub_batches:
-                raw = self._apply_fn(self._params, {"image": x})
-                for v in raw.values():      # start downlinks immediately
-                    try:
-                        v.copy_to_host_async()
-                    except Exception:
-                        pass
-                pending.append((sub, raw))
+            for sub, fo in sub_batches:
+                pending.append((sub, self._lore_raw["proc_pack"](
+                    self._params, fo)))
         results: list = [None] * len(metas)
-        for sub, raw in pending:
-            raw_np = {k: np.asarray(v) for k, v in raw.items()
-                      if hasattr(v, "shape")
-                      and getattr(v, "ndim", 0) >= 1}
+        packed_parts = fetch_concat([p for _sub, p in pending])
+        for (sub, _h), packed_np in zip(pending, packed_parts):
             for j, i in enumerate(sub):
-                one = {k: v[j:j + 1] for k, v in raw_np.items()}
-                results[i] = self._postprocess(one, metas[i])
+                results[i] = self._postprocess(
+                    {"packed": packed_np[j:j + 1]}, metas[i])
         return results
 
     def batch_infer(self, crops) -> list:

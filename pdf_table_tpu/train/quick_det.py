@@ -85,13 +85,20 @@ def train_quick_detector(cfg, render_page: Callable,
 
     import time as _time
 
-    t0 = _time.perf_counter()
     pool = [make_batch() for _ in range(min(steps, 16))]
     sync_every = 25
     first = last = None
+    t0 = None   # budget clock starts AFTER the first step's loss lands:
+    # on the remote-compile rig the train-step compile alone can eat a
+    # 300 s budget (seen live: 'wall budget hit at step 1'), and a budget
+    # meant to bound TRAINING time would otherwise cancel a run that
+    # never got to train
     for s in range(steps):
         params, bstats, opt_state, losses = step(params, bstats, opt_state,
                                                  pool[s % len(pool)])
+        if t0 is None:
+            _ = float(losses["loss"])       # block through the compile
+            t0 = _time.perf_counter()
         at_sync = (s % sync_every == 0 or s == steps - 1)
         over_budget = (time_budget_s is not None
                        and _time.perf_counter() - t0 > time_budget_s)

@@ -308,7 +308,7 @@ class TestTsrResolutionBuckets:
         assert len(out) == 3
         assert all(isinstance(r, dict) and "cells" in r for r in out)
         # the small program really compiled at the bucket
-        keys = [k for k in task._jitted if k and k[0] == "warp_lore_aa"]
+        keys = [k for k in task._jitted if k and k[0] == "lore_fused"]
         resolutions = {k[2] for k in keys}
         assert (32, 32) in resolutions and (64, 64) in resolutions
 
