@@ -408,15 +408,22 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
 
     # steady state: 48 pages (6 chunks) keeps every lane saturated — the
     # 16-page headline benefits from drain overlap; this is the number a
-    # long corpus sees (same programs, no new compiles)
+    # long corpus sees (same programs, no new compiles). Median of 3
+    # trials: back-to-back identical runs measured 11.8-18.5 pages/s in
+    # round 4 (shared-tunnel noise), so a single sample is a coin flip.
     if over_budget("steady_state_48p_pages_per_sec"):
         return tail
     long_pages = [pages[i % len(pages)] for i in range(48)]
     bp.run(long_pages[:16])  # settle back to the wireless TSR programs
-    t0 = time.perf_counter()
-    bp.run(long_pages)
-    tail["steady_state_48p_pages_per_sec"] = round(
-        48 / (time.perf_counter() - t0), 3)
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bp.run(long_pages)
+        trials.append(round(48 / (time.perf_counter() - t0), 3))
+        if over_budget("steady_state_48p_trials"):
+            break
+    tail["steady_state_48p_trials"] = trials
+    tail["steady_state_48p_pages_per_sec"] = sorted(trials)[len(trials) // 2]
 
     # born-digital corpus: vector text + LineCellPdf tables ride the
     # batched chunks (host text, batched layout, no det crops / no TSR

@@ -226,13 +226,14 @@ def warp_crops_from_pages(pages: jax.Array, page_idx: jax.Array,
                          heights.astype(jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
+@functools.partial(jax.jit, static_argnames=("out_hw", "also_flipped"))
 def resample_axis_aligned_crops(pages: jax.Array, page_idx: jax.Array,
                                 boxes: jax.Array,
                                 out_hw: Tuple[int, int],
                                 dst_w: Optional[jax.Array] = None,
                                 valid_w: Optional[jax.Array] = None,
-                                valid_h: Optional[jax.Array] = None
+                                valid_h: Optional[jax.Array] = None,
+                                also_flipped: bool = False
                                 ) -> jax.Array:
     """Fast path of :func:`warp_crops_from_pages` for AXIS-ALIGNED crops
     (every detector rect from the device-box path, every layout table
@@ -251,6 +252,15 @@ def resample_axis_aligned_crops(pages: jax.Array, page_idx: jax.Array,
     the output right/bottom of the content like warp_crops_from_pages.
     Matches the generic warp for axis-aligned quads (same sample points,
     same clamp + mask semantics). Returns (N, oh, ow, C) float32.
+
+    ``also_flipped=True`` additionally returns the 180-degree-rotated
+    crop with its content realigned to the top-left of the padded canvas
+    (the textline-orientation candidate the fused rec program selects
+    between). The rotated crop's sample rows are exactly the forward
+    crop's rows in reverse (sy_flip(i) == sy(oh-1-i)), so it reuses the
+    row gathers and costs ONE extra hat matmul — the previous
+    take_along_axis realign of the (N, oh, ow, C) stack was a 53 ms
+    element gather per 512-crop batch vs ~11 ms for this whole function.
     """
     P, H, W, C = pages.shape
     oh, ow = out_hw
@@ -306,7 +316,21 @@ def resample_axis_aligned_crops(pages: jax.Array, page_idx: jax.Array,
     # replicate the generic warp's overall src-range validity
     vy = ((sy >= -1) & (sy <= H))[:, :, None, None]
     vx = ((sx >= -1) & (sx <= W))[:, None, :, None]
-    return jnp.where(mask & vy & vx, out, 0.0)
+    out = jnp.where(mask & vy & vx, out, 0.0)
+    if not also_flipped:
+        return out
+    # 180-rotated crop, content realigned to [0, valid_w) x [0, valid_h):
+    # sample x runs x2 -> x1 over the SAME dst extent; sample rows are the
+    # forward rows reversed along oh
+    sxf = x2[:, None] - j[None, :] * ((x2 - x1) / dst_w)[:, None] - 0.5
+    wxf = jnp.maximum(0.0,
+                      1.0 - jnp.abs(sxf[:, None, :] - s[None, :, None]))
+    outf = jax.lax.dot_general(rows[:, ::-1], wxf.astype(cdt),
+                               (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    outf = outf.transpose(0, 1, 3, 2)
+    vxf = ((sxf >= -1) & (sxf <= W))[:, None, :, None]
+    return out, jnp.where(mask & vy[:, ::-1] & vxf, outf, 0.0)
 
 
 def quads_axis_aligned(quads: np.ndarray, eps: float = 0.75) -> np.ndarray:

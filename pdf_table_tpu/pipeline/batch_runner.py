@@ -471,29 +471,41 @@ class BatchPipeline:
 
         def run(rec_params, cls_params, pages, mats, cmats, pidx,
                 widths):
+            flipped = None
             if aa:
-                crops = resample_axis_aligned_crops(
-                    pages, pidx, mats, (oh, bucket),
-                    dst_w=widths.astype(jnp.float32), valid_w=widths)
+                if cls_task is not None:
+                    # the 180 candidate shares the forward crop's row
+                    # gathers (rows reversed) and costs one extra hat
+                    # matmul — the double-reverse + take_along_axis
+                    # realign it replaces was a 53 ms element gather per
+                    # 512-crop batch (round-4 decompose probe)
+                    crops, flipped = resample_axis_aligned_crops(
+                        pages, pidx, mats, (oh, bucket),
+                        dst_w=widths.astype(jnp.float32), valid_w=widths,
+                        also_flipped=True)
+                else:
+                    crops = resample_axis_aligned_crops(
+                        pages, pidx, mats, (oh, bucket),
+                        dst_w=widths.astype(jnp.float32), valid_w=widths)
             else:
                 crops = warp_crops_from_pages(pages, pidx, mats, widths,
                                               (oh, bucket))
             if cls_task is not None:
-                # the 180-rotated crop IS the double-reversed warped crop
-                # (out'[i,j] = out[h-1-i, w-1-j]); realign the content to
-                # the left of the width-padded canvas with one row-gather
-                # instead of a second full canvas warp (the canvas gathers
-                # dominate this program's time)
-                rev = crops[:, ::-1, ::-1, :]      # content at [b-w, b)
-                jj = jnp.arange(bucket)[None, :]
-                src = jj + (bucket - widths)[:, None]        # shift left
-                src = jnp.clip(src, 0, bucket - 1)
-                flipped = jnp.take_along_axis(
-                    rev, src[:, None, :, None], axis=2)
-                flipped = jnp.where(jj[:, None, :, None] < widths[:, None,
-                                                                  None,
-                                                                  None],
-                                    flipped, 0.0)
+                if flipped is None:
+                    # homography path: the 180-rotated crop IS the
+                    # double-reversed warped crop (out'[i,j] =
+                    # out[h-1-i, w-1-j]); realign the content to the left
+                    # of the width-padded canvas with one row-gather
+                    rev = crops[:, ::-1, ::-1, :]  # content at [b-w, b)
+                    jj = jnp.arange(bucket)[None, :]
+                    src = jj + (bucket - widths)[:, None]    # shift left
+                    src = jnp.clip(src, 0, bucket - 1)
+                    flipped = jnp.take_along_axis(
+                        rev, src[:, None, :, None], axis=2)
+                    flipped = jnp.where(
+                        jj[:, None, :, None] < widths[:, None, None,
+                                                      None],
+                        flipped, 0.0)
                 # classifier input warps at the TIGHT crop geometry (quad
                 # stretched to the full cls canvas), matching the host
                 # path's cv2.resize of the unpadded crop

@@ -355,6 +355,43 @@ class TestDeviceFlipEquivalence:
         # padding region zeroed
         assert np.all(got[0, :, w:] == 0)
 
+    def test_also_flipped_matches_take_along_axis_realign(self):
+        """The axis-aligned fused rec path gets its 180 candidate from
+        resample_axis_aligned_crops(also_flipped=True) — it must equal
+        the double-reverse + realignment gather of the forward crop."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pdf_table_tpu.ops.warp import resample_axis_aligned_crops
+
+        rng = np.random.default_rng(1)
+        pages = jnp.asarray(
+            rng.integers(0, 255, (2, 64, 96, 3)).astype(np.uint8))
+        boxes = jnp.asarray([[8.0, 10.0, 72.0, 26.0],
+                             [3.5, 40.0, 90.0, 55.0],
+                             [0.0, 0.0, 96.0, 64.0]], jnp.float32)
+        pidx = jnp.asarray([0, 1, 0], jnp.int32)
+        oh, bucket = 16, 64
+        widths = jnp.asarray([40, 64, 24], jnp.int32)
+
+        crops, flipped = resample_axis_aligned_crops(
+            pages, pidx, boxes, (oh, bucket),
+            dst_w=widths.astype(jnp.float32), valid_w=widths,
+            also_flipped=True)
+
+        rev = crops[:, ::-1, ::-1, :]
+        jj = jnp.arange(bucket)[None, :]
+        src = jnp.clip(jj + (bucket - widths)[:, None], 0, bucket - 1)
+        want = jnp.take_along_axis(rev, src[:, None, :, None], axis=2)
+        want = jnp.where(jj[:, None, :, None] < widths[:, None, None,
+                                                       None],
+                         want, 0.0)
+        np.testing.assert_allclose(np.asarray(flipped), np.asarray(want),
+                                   atol=1.0)
+        # padding region zeroed
+        for i, w in enumerate([40, 64, 24]):
+            assert np.all(np.asarray(flipped)[i, :, w:] == 0)
+
 
 class TestDeviceBoxParity:
     def test_device_boxes_match_host_fast_path(self):
