@@ -17,6 +17,7 @@ import numpy as np
 from ..engine.infer_task import InferTask, TaskConfig
 from ..engine.params import load_or_init
 from ..models.registry import get_config, weights_dir
+from ..utils.logging_utils import logger
 
 
 def merge_tsr_cells(primary: Dict[str, Any], secondary: Dict[str, Any],
@@ -68,6 +69,19 @@ class OcrTableStructureTask(InferTask):
         # the buckets are a throughput opt-in ("auto" or an explicit
         # tuple) pending an on-chip accuracy A/B with real weights
         # (ADVICE r3 #3). bench.py opts in.
+        # wiz_rev middle stage placement: True = the dense refine + score
+        # re-sort runs as its own jitted program so the whole
+        # dd -> refine -> gather_logical chain stays on device (saves a
+        # full tunnel RTT + host work per sub-batch); False = the round-3
+        # host detour (numpy sparse refine on the ~100 KB dc download).
+        # Default from PDFTABLE_WIZ_DEVICE_REFINE (1/0). The refine rides
+        # inside the gather_logical program (a standalone refine-only jit
+        # intermittently hit the runtime re-execution fault) and any
+        # runtime fault at dispatch time falls back to the host detour
+        # permanently for this task (_disable_device_refine).
+        self.wiz_device_refine = bool(kw.pop(
+            "wiz_device_refine",
+            os.environ.get("PDFTABLE_WIZ_DEVICE_REFINE", "1") != "0"))
         rb = kw.pop("res_buckets", ())
         if rb == "auto":
             self.res_buckets = (384, 512) if model in ("Lore",
@@ -211,6 +225,44 @@ class OcrTableStructureTask(InferTask):
                 jax.jit(lambda v, ax, cr, d, i, s: module.apply(
                     v, ax, cr, d, i, s, method=LoreModel.gather_logical)))
 
+            def wiz_refine_sort_dev(dc):
+                # device-resident middle of wiz_rev: the dense refine
+                # (corner_refine.py) + score re-sort, traced INTO the
+                # gather_logical program below so dd -> refine+gl chains
+                # with no host round trip (the dc_packed D2H + host
+                # refine cost a full tunnel RTT per sub-batch)
+                from ..models.lore.corner_refine import \
+                    refine_vertices_by_corners
+
+                k = cfg.max_objs
+                cells, corners = dc[:, :k], dc[:, k:]
+                dets0, scores0 = cells[..., :8], cells[..., 8]
+                inds0 = cells[..., 9].astype(jnp.int32)
+                gb, gc = corners[..., :8], corners[..., 8:10]
+                gs = corners[..., 10]
+                dets0, scores0 = refine_vertices_by_corners(
+                    dets0, scores0, gb, gc, gs,
+                    cfg.vis_thresh, cfg.vis_thresh_corner)
+                order = jnp.argsort(-scores0, axis=1)     # stable
+                return (jnp.take_along_axis(dets0, order[..., None], 1),
+                        jnp.take_along_axis(inds0, order, 1),
+                        jnp.take_along_axis(scores0, order, 1))
+
+            # refine + gather_logical as ONE program: a standalone
+            # refine-only jit intermittently hit the runtime
+            # re-execution fault (first exec OK, later execs
+            # INVALID_ARGUMENT 'supplied 1 buffers but expected 2' — the
+            # same family as the axon monolith bug, reproduced even on
+            # XLA:CPU), while the gl program re-executes cleanly in
+            # production, so the refine math rides inside it. The host
+            # detour below stays as the automatic fallback (see
+            # batch_infer_from_pages / apply_fn_wiz_rev).
+            glrf_fn = track_program(
+                f"tsr_glrf:{self.model_config.task_type}",
+                jax.jit(lambda v, ax, cr, dc: module.apply(
+                    v, ax, cr, *wiz_refine_sort_dev(dc),
+                    method=LoreModel.gather_logical)))
+
             def wiz_host_refine(dc):
                 # the host middle of wiz_rev: corner-anchored vertex
                 # refinement on the ~100 KB packed detect-decode download
@@ -238,7 +290,8 @@ class OcrTableStructureTask(InferTask):
             # device programs across sub-batches (all detect-decodes
             # enqueue before the first host refine blocks)
             self._wiz_parts = {"dd": dd_fn, "dd_u8": dd_u8_fn,
-                               "gl": gl_fn, "refine": wiz_host_refine}
+                               "gl": gl_fn, "refine": wiz_host_refine,
+                               "glrf": glrf_fn}
             # raw (un-jitted) entry points for the batched page path's
             # warp-fused programs: crop warp + normalize + trunk in ONE
             # dispatch per sub-batch (per-call overhead is first-order on
@@ -263,6 +316,15 @@ class OcrTableStructureTask(InferTask):
                     dd = dd_u8_fn(variables, batch["image_u8"])
                 else:
                     dd = dd_fn(variables, batch["image"])
+                if self.wiz_device_refine:
+                    # zero-RTT chain: dd -> refine+gather_logical, all on
+                    # device; runtime re-exec fault falls back to host
+                    try:
+                        return {"packed": glrf_fn(
+                            variables, dd["ax_flat"], dd["cr_map"],
+                            dd["dc_packed"])}
+                    except Exception:
+                        self._disable_device_refine()
                 dc = np.asarray(dd["dc_packed"])       # ONE tunnel trip
                 dets, inds, scores = wiz_host_refine(dc)
                 packed = gl_fn(variables, dd["ax_flat"], dd["cr_map"],
@@ -323,6 +385,18 @@ class OcrTableStructureTask(InferTask):
             return module.apply(variables, batch["image"], train=False)
 
         return apply_fn, variables
+
+    def _disable_device_refine(self) -> None:
+        """Permanent per-task fallback to the host wiz_rev detour after a
+        runtime re-execution fault on the fused refine+gather_logical
+        program (intermittent 'Execution supplied N buffers' fault — see
+        the _build_model note)."""
+        if self.wiz_device_refine:
+            logger.warning(
+                "[table_structure] device wiz refine hit a runtime "
+                "re-execution fault — falling back to the host refine "
+                "detour for this task")
+        self.wiz_device_refine = False
 
     def _preprocess(self, inputs, **kw):
         if self.model_name == "LineCell":
@@ -530,10 +604,24 @@ class OcrTableStructureTask(InferTask):
             return parts
 
         pending = []
-        if wiz is not None:
-            # wiz_rev pipelined across sub-batches: ALL detect-decode
-            # programs enqueue before any refine blocks, and their
-            # dc_packed tensors download as ONE concat (single RTT)
+        if wiz is not None and self.wiz_device_refine:
+            # zero-RTT wiz_rev: refine+sort is traced into the
+            # gather_logical program, so nothing blocks between
+            # detect-decode and the final packed concat below. A runtime
+            # re-execution fault (see _build_model note) falls back to
+            # the host detour permanently for this task.
+            try:
+                for sub, dd in sub_batches:
+                    pending.append((sub, wiz["glrf"](
+                        self._params, dd["ax_flat"], dd["cr_map"],
+                        dd["dc_packed"])))
+            except Exception:
+                self._disable_device_refine()
+                pending = []
+        if wiz is not None and not pending:
+            # host-refine fallback, pipelined across sub-batches: ALL
+            # detect-decode programs enqueue before any refine blocks, and
+            # their dc_packed tensors download as ONE concat (single RTT)
             dc_parts = fetch_concat([dd["dc_packed"]
                                      for _sub, dd in sub_batches])
             for (sub, dd), dc in zip(sub_batches, dc_parts):
@@ -542,7 +630,7 @@ class OcrTableStructureTask(InferTask):
                                    dd["cr_map"], jnp.asarray(dets),
                                    jnp.asarray(inds), jnp.asarray(scores))
                 pending.append((sub, packed))
-        else:
+        elif wiz is None:
             for sub, fo in sub_batches:
                 pending.append((sub, self._lore_raw["proc_pack"](
                     self._params, fo)))

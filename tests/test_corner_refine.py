@@ -118,6 +118,65 @@ class TestCornerRefine:
         assert np.all(np.diff(np.asarray(out["scores"][0])) <= 1e-6)
 
 
+class TestDeviceRefinePath:
+    """wiz_device_refine=True (refine+sort as its own device program, no
+    host round trip) must produce the same packed output as the host
+    numpy-refine detour, through both _run_model and the batched
+    from-pages path."""
+
+    def _make_task(self, **kw):
+        from pdf_table_tpu.models.lore import LoreConfig
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+        cfg = LoreConfig(backbone="resnet18", resolution=(64, 64),
+                         task_type="wtw", wiz_rev=True, max_objs=6,
+                         max_corners=12, hidden_size=32, tsfm_layers=1,
+                         stacking_layers=1, num_heads=2, d_ff=32,
+                         head_conv=16, vis_thresh=0.0)
+        return OcrTableStructureTask(model="Lore", config=cfg, **kw)
+
+    def test_run_model_parity(self):
+        import numpy as np
+
+        dev = self._make_task(wiz_device_refine=True)
+        host = self._make_task(wiz_device_refine=False)
+        dev.ensure_built()
+        host.ensure_built()
+        host._params = dev._params
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        norm = (img[..., ::-1] / 255.0
+                - np.array([0.408, 0.447, 0.470], np.float32)) \
+            / np.array([0.289, 0.274, 0.278], np.float32)
+        got = np.asarray(dev._run_model({"image": norm})["packed"])
+        want = np.asarray(host._run_model({"image": norm})["packed"])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_batched_from_pages_parity(self):
+        import jax
+        import numpy as np
+
+        dev = self._make_task(wiz_device_refine=True)
+        host = self._make_task(wiz_device_refine=False)
+        dev.ensure_built()
+        host.ensure_built()
+        host._params = dev._params
+        rng = np.random.default_rng(2)
+        pages = jax.device_put(
+            rng.integers(0, 255, (2, 128, 96, 3)).astype(np.uint8))
+        regions = [(0, (10, 10, 70, 60)), (1, (4, 8, 90, 120))]
+        got = dev.batch_infer_from_pages(pages, regions)
+        want = host.batch_infer_from_pages(pages, regions)
+        assert len(got) == len(want) == 2
+        for g, w in zip(got, want):
+            assert len(g["cells"]) == len(w["cells"])
+            for gc, wc in zip(g["cells"], w["cells"]):
+                np.testing.assert_allclose(
+                    np.asarray(gc["poly"], np.float32),
+                    np.asarray(wc["poly"], np.float32), atol=1e-3)
+                assert gc["logic"] == wc["logic"]
+
+
 class TestHostRefinePath:
     """The wiz_rev host-refine path (detect_decode -> numpy refine ->
     gather_logical) must equal the fused LoreModel.__call__."""
