@@ -1024,11 +1024,28 @@ class BatchPipeline:
             # enqueue every chunk's upload + det/layout programs up front
             # (async): chunk k's D2H then overlaps chunk k+1's H2D/compute
             # on the device stream while the host posts/recognizes chunk k
+            def timed(key, fn, *a):
+                t = time.time()
+                try:
+                    return fn(*a)
+                finally:
+                    stats[key] += time.time() - t
+
+            rec_pool = cf.ThreadPoolExecutor(max_workers=self.lane_workers)
+            layout_pool = cf.ThreadPoolExecutor(
+                max_workers=self.lane_workers)
+            tsr_pool = cf.ThreadPoolExecutor(max_workers=self.lane_workers)
+
+            def tsr_stage(ci):
+                return self._tsr_from_regions(canvs[ci],
+                                              layout_futs[ci].result())
+
             handles, layout_handles, canvs = [], [], []
+            layout_futs, tsr_futs = [], []
             use_layout = self.system.config.use_layout \
                 and self.system.layout_task is not None
             t0 = time.time()
-            for chunk in chunks:
+            for ci, chunk in enumerate(chunks):
                 shp = chunk["images"].shape
                 dev = self._upload_chunk(chunk["images"])
                 canvs.append(dev)
@@ -1060,31 +1077,15 @@ class BatchPipeline:
                     except Exception:
                         pass
                 layout_handles.append(lh)
-            stats["h2d_enqueue"] = time.time() - t0
-            # four-lane software pipeline: the main thread walks det D2H +
-            # host boxes per chunk while a rec worker, a layout-finish
-            # worker and a TSR-infer worker (device + tunnel IO, GIL
-            # released) each run their own chunk stream
-            def timed(key, fn, *a):
-                t = time.time()
-                try:
-                    return fn(*a)
-                finally:
-                    stats[key] += time.time() - t
-
-            rec_pool = cf.ThreadPoolExecutor(max_workers=self.lane_workers)
-            layout_pool = cf.ThreadPoolExecutor(
-                max_workers=self.lane_workers)
-            tsr_pool = cf.ThreadPoolExecutor(max_workers=self.lane_workers)
-            # the table path needs only layout + canvases — NOT detection —
-            # so every chunk's work submits before the main thread blocks
-            # on det D2H (that block cost ~285 ms/run and used to gate the
-            # heaviest lane's start). Layout-finish (D2H block + region
-            # extraction, ~33 ms/page) and TSR inference (~38 ms/page) run
-            # on SEPARATE lanes: chunk k's TSR infer overlaps chunk k+1's
-            # layout wait instead of paying their sum.
-            layout_futs, tsr_futs = [], []
-            for ci, chunk in enumerate(chunks):
+                # the table path needs only layout + canvases — NOT
+                # detection — so chunk k's lane work submits the moment
+                # its enqueue lands, not after the whole serial
+                # upload/enqueue loop (~290 ms for 6 chunks: chunk 0's
+                # layout finish + TSR dispatch used to idle behind chunk
+                # 5's upload). Layout-finish (D2H block + region
+                # extraction) and TSR inference run on SEPARATE lanes:
+                # chunk k's TSR infer overlaps chunk k+1's layout wait
+                # instead of paying their sum.
                 digital_info = {}
                 for k, gi in enumerate(chunk["indices"]):
                     i = raster[gi]
@@ -1093,15 +1094,10 @@ class BatchPipeline:
                                            pdf_scales[i])
                 layout_futs.append(layout_pool.submit(
                     timed, "layout_lane", self._layout_regions_for_chunk,
-                    chunk["shapes"], layout_handles[ci], digital_info))
-
-            def tsr_stage(ci):
-                return self._tsr_from_regions(canvs[ci],
-                                              layout_futs[ci].result())
-
-            for ci in range(len(chunks)):
+                    chunk["shapes"], lh, digital_info))
                 tsr_futs.append(tsr_pool.submit(timed, "tsr_lane",
                                                 tsr_stage, ci))
+            stats["h2d_enqueue"] = time.time() - t0
             staged = []
             for ci, chunk in enumerate(chunks):
                 shp = chunk["images"].shape
