@@ -416,14 +416,21 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
     long_pages = [pages[i % len(pages)] for i in range(48)]
     bp.run(long_pages[:16])  # settle back to the wireless TSR programs
     trials = []
+    truncated = False
     for _ in range(3):
         t0 = time.perf_counter()
         bp.run(long_pages)
         trials.append(round(48 / (time.perf_counter() - t0), 3))
-        if over_budget("steady_state_48p_trials"):
+        if time.perf_counter() - t_tail0 > wall_budget_s:
+            truncated = True
             break
     tail["steady_state_48p_trials"] = trials
-    tail["steady_state_48p_pages_per_sec"] = sorted(trials)[len(trials) // 2]
+    if truncated:   # recorded separately, never overwritten (ADVICE r4 #2)
+        tail["steady_state_48p_truncated"] = "tail wall budget"
+    # even trial counts (budget cut the loop at 2): the LOWER middle, not
+    # the max — the 'median' must not overstate steady state
+    tail["steady_state_48p_pages_per_sec"] = \
+        sorted(trials)[(len(trials) - 1) // 2]
 
     # born-digital corpus: vector text + LineCellPdf tables ride the
     # batched chunks (host text, batched layout, no det crops / no TSR

@@ -254,14 +254,23 @@ def resample_axis_aligned_crops(pages: jax.Array, page_idx: jax.Array,
     same clamp + mask semantics). Returns (N, oh, ow, C) float32.
 
     ``also_flipped=True`` additionally returns the 180-degree-rotated
-    crop with its content realigned to the top-left of the padded canvas
-    (the textline-orientation candidate the fused rec program selects
-    between). The rotated crop's sample rows are exactly the forward
-    crop's rows in reverse (sy_flip(i) == sy(oh-1-i)), so it reuses the
-    row gathers and costs ONE extra hat matmul — the previous
-    take_along_axis realign of the (N, oh, ow, C) stack was a 53 ms
-    element gather per 512-crop batch vs ~11 ms for this whole function.
+    crop with its content realigned to [0, valid_w) horizontally; it
+    assumes FULL-HEIGHT content (``valid_h`` None or == oh, which every
+    caller satisfies: rec crops map boxes onto the full canvas height).
+    The rotated crop's sample rows are exactly the forward crop's rows
+    in reverse (sy_flip(i) == sy(oh-1-i)), so it reuses the row gathers
+    and costs ONE extra hat matmul — the previous take_along_axis
+    realign of the (N, oh, ow, C) stack was a 53 ms element gather per
+    512-crop batch vs ~11 ms for this whole function. A partial
+    ``valid_h`` would land the flipped content in rows [oh-valid_h, oh)
+    where the mask zeroes it, so that combination is rejected
+    (ADVICE r4 #3).
     """
+    if also_flipped and valid_h is not None:
+        raise ValueError(
+            "also_flipped=True assumes full-height content; pass "
+            "valid_h=None (the flipped realign only covers the width "
+            "axis)")
     P, H, W, C = pages.shape
     oh, ow = out_hw
     n = boxes.shape[0]
