@@ -36,19 +36,22 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 # <ebN></ebN> -> real empty-cell HTML (deal_eb_token:523; the mapping is the
-# PubTabNet emptyBboxTokenDict).
+# PubTabNet emptyBboxTokenDict). eb3/eb10 carry U+2028 LINE SEPARATOR
+# (reference table_master_match.py:545,553-556) written as backslash-u escapes
+# so the invisible character is auditable in source; byte-equality vs the
+# reference strings is pinned by tests/test_table_master_match.py.
 EB_REWRITES: Tuple[Tuple[str, str], ...] = (
     ("<eb></eb>", "<td></td>"),
     ("<eb1></eb1>", "<td> </td>"),
     ("<eb2></eb2>", "<td><b> </b></td>"),
-    ("<eb3></eb3>", "<td>  </td>"),
+    ("<eb3></eb3>", "<td>\u2028\u2028</td>"),
     ("<eb4></eb4>", "<td><sup> </sup></td>"),
     ("<eb5></eb5>", "<td><b></b></td>"),
     ("<eb6></eb6>", "<td><i> </i></td>"),
     ("<eb7></eb7>", "<td><b><i></i></b></td>"),
     ("<eb8></eb8>", "<td><b><i> </i></b></td>"),
     ("<eb9></eb9>", "<td><i></i></td>"),
-    ("<eb10></eb10>", "<td><b>     </b></td>"),
+    ("<eb10></eb10>", "<td><b> \u2028 \u2028 </b></td>"),
 )
 
 
