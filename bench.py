@@ -253,8 +253,16 @@ def bench() -> dict:
         "organic_volume_low": organic_volume_low,
         "det_boxes_per_page": round(boxes_per_page, 1),
         "stages_ms_per_page": stages,
-        "probe": serial_probe(bp, pages),
     }
+    # EVERYTHING past this point is secondary: the headline measurement is
+    # already in `out`, and no probe/tail failure may replace it with an
+    # error artifact (round 4 and the first round-5 attempt both lost a
+    # healthy headline to an exception raised in the tail — the axon
+    # session wedge turns every later device op into INVALID_ARGUMENT)
+    try:
+        out["probe"] = serial_probe(bp, pages)
+    except Exception as e:
+        out["probe"] = f"error: {type(e).__name__}: {e}"
     try:
         out["mfu"] = mfu_probe(calls_per_iter, len(pages), dt)
     except Exception as e:
@@ -264,7 +272,10 @@ def bench() -> dict:
     # remote compiler bypasses the local persistent cache); only the wtw
     # TSR program compiles anew. Skip entirely on a blown wall budget.
     if time.perf_counter() - t_bench0 < 900:
-        out["tail"] = tail_configs(bp, pages)
+        try:
+            out["tail"] = tail_configs(bp, pages)
+        except Exception as e:
+            out["tail"] = {"error": f"{type(e).__name__}: {e}"}
     else:
         out["tail"] = {"skipped": "wall budget (cold compile run)"}
     return out

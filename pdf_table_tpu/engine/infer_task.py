@@ -72,11 +72,22 @@ class InferTask:
         self._params = None
         self._jitted: Dict[Any, Callable] = {}
         self._built = False
+        import threading
+        self._build_lock = threading.Lock()
 
     # -- lifecycle ---------------------------------------------------------
 
     def ensure_built(self) -> None:
-        if not self._built:
+        # double-checked locking: pipeline lanes (batch_runner) call
+        # ensure_built from several worker threads; without the lock two
+        # threads built the same model concurrently (observed: duplicate
+        # 9 s LoreModel builds in the round-5 bench log) and raced the
+        # _apply_fn/_params/_jitted assignments
+        if self._built:
+            return
+        with self._build_lock:
+            if self._built:
+                return
             from .device import enable_compile_cache
             enable_compile_cache()
             t0 = time.perf_counter()

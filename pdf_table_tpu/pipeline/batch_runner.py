@@ -1077,62 +1077,97 @@ class BatchPipeline:
             use_layout = self.system.config.use_layout \
                 and self.system.layout_task is not None
             t0 = time.time()
+            dead_exc: Optional[Exception] = None
             for ci, chunk in enumerate(chunks):
-                shp = chunk["images"].shape
-                dev = self._upload_chunk(chunk["images"])
-                canvs.append(dev)
-                det_hw = det_input_size(chunk["bucket"],
-                                        det.model_config.limit_side_len)
-                if self.device_boxes:
-                    # ONE fused det+CC program per chunk (dispatch count is
-                    # a first-order cost on the tunneled rig)
-                    probs_h, prob_hw = self._detect_cc_enqueue(
-                        dev, shp, det_hw, False, chunk["shapes"],
-                        chunk["bucket"])
-                else:
-                    probs_h = self._detect_enqueue(dev, shp, det_hw,
-                                                   pre_resized=False)
-                    prob_hw = (probs_h.shape[1], probs_h.shape[2])
-                # start the downlink as soon as the program finishes on
-                # device — the later np.asarray becomes a local hit
-                # instead of paying the tunnel latency at wait time
+                if dead_exc is not None:
+                    # device session already wedged (observed on the axon
+                    # runtime: after one fault EVERY subsequent
+                    # upload/download fails INVALID_ARGUMENT until process
+                    # restart) — fail the remaining chunks fast instead of
+                    # hammering a dead client
+                    for lst, pad in ((canvs, None), (handles, None),
+                                     (layout_handles, None),
+                                     (digital_infos, {}),
+                                     (layout_futs, None), (tsr_futs, None)):
+                        lst.append(pad)
+                    continue
                 try:
-                    probs_h.copy_to_host_async()
-                except Exception:
-                    pass
-                handles.append((probs_h, prob_hw))
-                lh = (self.system.layout_task.batch_enqueue_pages(dev)
-                      if use_layout else None)
-                if lh is not None and lh[0] is not None:
+                    shp = chunk["images"].shape
+                    dev = self._upload_chunk(chunk["images"])
+                    canvs.append(dev)
+                    det_hw = det_input_size(chunk["bucket"],
+                                            det.model_config.limit_side_len)
+                    if self.device_boxes:
+                        # ONE fused det+CC program per chunk (dispatch
+                        # count is a first-order cost on the tunneled rig)
+                        probs_h, prob_hw = self._detect_cc_enqueue(
+                            dev, shp, det_hw, False, chunk["shapes"],
+                            chunk["bucket"])
+                    else:
+                        probs_h = self._detect_enqueue(dev, shp, det_hw,
+                                                       pre_resized=False)
+                        prob_hw = (probs_h.shape[1], probs_h.shape[2])
+                    # start the downlink as soon as the program finishes on
+                    # device — the later np.asarray becomes a local hit
+                    # instead of paying the tunnel latency at wait time
                     try:
-                        lh[0].copy_to_host_async()
+                        probs_h.copy_to_host_async()
                     except Exception:
                         pass
-                layout_handles.append(lh)
-                # the table path needs only layout + canvases — NOT
-                # detection — so chunk k's lane work submits the moment
-                # its enqueue lands, not after the whole serial
-                # upload/enqueue loop (~290 ms for 6 chunks: chunk 0's
-                # layout finish + TSR dispatch used to idle behind chunk
-                # 5's upload). Layout-finish (D2H block + region
-                # extraction) and TSR inference run on SEPARATE lanes:
-                # chunk k's TSR infer overlaps chunk k+1's layout wait
-                # instead of paying their sum.
-                digital_info = {}
-                for k, gi in enumerate(chunk["indices"]):
-                    i = raster[gi]
-                    if i in digital_set:
-                        digital_info[k] = (pages[i]["pdf_page"],
-                                           pdf_scales[i])
-                digital_infos.append(digital_info)
-                layout_futs.append(layout_pool.submit(
-                    timed, "layout_lane", self._layout_regions_for_chunk,
-                    chunk["shapes"], lh, digital_info))
-                tsr_futs.append(tsr_pool.submit(timed, "tsr_lane",
-                                                tsr_stage, ci))
+                    handles.append((probs_h, prob_hw))
+                    lh = (self.system.layout_task.batch_enqueue_pages(dev)
+                          if use_layout else None)
+                    if lh is not None and lh[0] is not None:
+                        try:
+                            lh[0].copy_to_host_async()
+                        except Exception:
+                            pass
+                    layout_handles.append(lh)
+                    # the table path needs only layout + canvases — NOT
+                    # detection — so chunk k's lane work submits the moment
+                    # its enqueue lands, not after the whole serial
+                    # upload/enqueue loop (~290 ms for 6 chunks: chunk 0's
+                    # layout finish + TSR dispatch used to idle behind
+                    # chunk 5's upload). Layout-finish (D2H block + region
+                    # extraction) and TSR inference run on SEPARATE lanes:
+                    # chunk k's TSR infer overlaps chunk k+1's layout wait
+                    # instead of paying their sum.
+                    digital_info = {}
+                    for k, gi in enumerate(chunk["indices"]):
+                        i = raster[gi]
+                        if i in digital_set:
+                            digital_info[k] = (pages[i]["pdf_page"],
+                                               pdf_scales[i])
+                    digital_infos.append(digital_info)
+                    layout_futs.append(layout_pool.submit(
+                        timed, "layout_lane",
+                        self._layout_regions_for_chunk,
+                        chunk["shapes"], lh, digital_info))
+                    tsr_futs.append(tsr_pool.submit(timed, "tsr_lane",
+                                                    tsr_stage, ci))
+                except Exception as e:
+                    from ..utils.fault import is_device_fault
+                    if not is_device_fault(e):
+                        raise
+                    logger.exception(
+                        "chunk %d upload/enqueue hit a device fault — "
+                        "erroring this and the remaining chunks (pages "
+                        "keep their error outputs; the batch survives)",
+                        ci)
+                    dead_exc = e
+                    for lst, pad in ((canvs, None), (handles, None),
+                                     (layout_handles, None),
+                                     (digital_infos, {}),
+                                     (layout_futs, None), (tsr_futs, None)):
+                        while len(lst) <= ci:
+                            lst.append(pad)
             stats["h2d_enqueue"] = time.time() - t0
             staged = []
             for ci, chunk in enumerate(chunks):
+                if handles[ci] is None:   # enqueue-time device fault
+                    staged.append((chunk, None, tsr_futs[ci], None,
+                                   dead_exc, ci))
+                    continue
                 shp = chunk["images"].shape
                 det_hw = det_input_size(chunk["bucket"],
                                         det.model_config.limit_side_len)
@@ -1196,7 +1231,8 @@ class BatchPipeline:
             for chunk, quads, tsr_fut, fut, chunk_err, ci in staged:
                 if chunk_err is not None:
                     try:
-                        tsr_fut.result()   # drain the pre-submitted lane
+                        if tsr_fut is not None:
+                            tsr_fut.result()   # drain the pre-submitted lane
                     except Exception:
                         pass
                     for gi in chunk["indices"]:

@@ -74,14 +74,18 @@ class OcrTableStructureTask(InferTask):
         # dd -> refine -> gather_logical chain stays on device (saves a
         # full tunnel RTT + host work per sub-batch); False = the round-3
         # host detour (numpy sparse refine on the ~100 KB dc download).
-        # Default from PDFTABLE_WIZ_DEVICE_REFINE (1/0). The refine rides
-        # inside the gather_logical program (a standalone refine-only jit
-        # intermittently hit the runtime re-execution fault) and any
-        # runtime fault at dispatch time falls back to the host detour
-        # permanently for this task (_disable_device_refine).
-        self.wiz_device_refine = bool(kw.pop(
+        # Default: PDFTABLE_WIZ_DEVICE_REFINE (1/0) when set; otherwise
+        # resolved at build time to backend != 'axon' — dispatching the
+        # fused refine+gl program on the axon runtime has now WEDGED the
+        # whole device session twice (rounds 4 and 5: first fault, then
+        # every subsequent upload/download INVALID_ARGUMENT until process
+        # restart), so the tunneled chip gets the host detour unless
+        # explicitly opted in. The fault ladder (batch_infer_from_pages /
+        # __call__) remains the backstop either way.
+        env_refine = os.environ.get("PDFTABLE_WIZ_DEVICE_REFINE", "")
+        self.wiz_device_refine = kw.pop(
             "wiz_device_refine",
-            os.environ.get("PDFTABLE_WIZ_DEVICE_REFINE", "1") != "0"))
+            None if env_refine == "" else env_refine != "0")
         rb = kw.pop("res_buckets", ())
         if rb == "auto":
             self.res_buckets = (384, 512) if model in ("Lore",
@@ -161,6 +165,10 @@ class OcrTableStructureTask(InferTask):
     def _build_model(self):
         if self.model_name == "Lore":
             import jax
+
+            if self.wiz_device_refine is None:
+                # lazy default (see __init__): host detour on axon
+                self.wiz_device_refine = jax.default_backend() != "axon"
 
             from ..models.lore import LoreModel
 
