@@ -31,11 +31,20 @@ _HELV_W = {
 
 
 def text_width(text: str, size: float) -> float:
-    return sum(_HELV_W.get(ch, 556) for ch in text) * size / 1000.0
+    return sum(1000 if ord(ch) > 0xFF else _HELV_W.get(ch, 556)
+               for ch in text) * size / 1000.0
 
 
 def _esc(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _is_latin1(s: str) -> bool:
+    try:
+        s.encode("latin-1")
+        return True
+    except UnicodeEncodeError:
+        return False
 
 
 class _PageBuf:
@@ -44,11 +53,26 @@ class _PageBuf:
         self.height = height
         self.ops: List[str] = []
         self.images: List[Tuple[str, bytes, int, int]] = []  # name, jpeg, w, h
+        self.cid_chars: set = set()   # non-latin-1 chars (ToUnicode bfchars)
 
     def text(self, x: float, y: float, s: str, size: float = 12.0,
              font: str = "F1") -> None:
+        """Draw text. Latin-1 strings use the simple Helvetica fonts;
+        anything else (CJK etc.) routes through the document's Type0
+        Identity-H font /FC as a UTF-16BE hex string — CID == BMP
+        codepoint, with a ToUnicode CMap so extraction (pdfio/native
+        fonts.cc parse_tounicode) round-trips the exact text."""
+        if _is_latin1(s):
+            self.ops.append(
+                f"BT /{font} {size:g} Tf {x:g} {y:g} Td ({_esc(s)}) Tj ET")
+            return
+        # EVERY char of a CID-routed string needs a ToUnicode entry —
+        # including its ASCII part (a mixed "混合 mixed" string routes
+        # whole)
+        self.cid_chars.update(s)
+        hexstr = s.encode("utf-16-be").hex().upper()
         self.ops.append(
-            f"BT /{font} {size:g} Tf {x:g} {y:g} Td ({_esc(s)}) Tj ET")
+            f"BT /FC {size:g} Tf {x:g} {y:g} Td <{hexstr}> Tj ET")
 
     def line(self, x0: float, y0: float, x1: float, y1: float,
              lw: float = 1.0) -> None:
@@ -88,8 +112,7 @@ class _PageBuf:
             for c in range(n_cols):
                 if c < len(row) and row[c]:
                     ty = y_top - (r + 1) * row_height + (row_height - size) * 0.5 + 2
-                    self.ops.append(
-                        f"BT /F1 {size:g} Tf {cx + 3:g} {ty:g} Td ({_esc(str(row[c]))}) Tj ET")
+                    self.text(cx + 3, ty, str(row[c]), size=size)
                 cx += col_widths[c]
         return (x, y0, x + total_w, y_top)
 
@@ -119,6 +142,40 @@ class PdfWriter:
         font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
         font_bold_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
 
+        # Type0 Identity-H font for non-latin-1 text (CID == BMP
+        # codepoint); emitted only when a page used it. ToUnicode bfchar
+        # blocks cover exactly the chars written (<=100 entries per block
+        # per the CMap spec).
+        cid_chars = sorted({c for pg in self.pages for c in pg.cid_chars})
+        cid_font_id = 0
+        if cid_chars:
+            cidf_id = add(
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DejaVuSans"
+                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                b" /Supplement 0 >> /DW 1000 /CIDToGIDMap /Identity >>")
+            blocks = []
+            for s in range(0, len(cid_chars), 100):
+                chunk = cid_chars[s:s + 100]
+                rows = "\n".join(f"<{ord(c):04X}> <{ord(c):04X}>"
+                                 for c in chunk)
+                blocks.append(f"{len(chunk)} beginbfchar\n{rows}\n"
+                              f"endbfchar")
+            cmap = ("/CIDInit /ProcSet findresource begin\n"
+                    "12 dict begin\nbegincmap\n"
+                    "/CMapName /Adobe-Identity-UCS def /CMapType 2 def\n"
+                    "1 begincodespacerange\n<0000> <FFFF>\n"
+                    "endcodespacerange\n"
+                    + "\n".join(blocks)
+                    + "\nendcmap\nCMapName currentdict /CMap defineresource"
+                    " pop\nend\nend\n").encode()
+            tounicode_id = add(
+                (f"<< /Length {len(cmap)} >>\nstream\n").encode()
+                + cmap + b"\nendstream")
+            cid_font_id = add(
+                (f"<< /Type /Font /Subtype /Type0 /BaseFont /DejaVuSans"
+                 f" /Encoding /Identity-H /DescendantFonts [{cidf_id} 0 R]"
+                 f" /ToUnicode {tounicode_id} 0 R >>").encode())
+
         page_ids = []
         kids_placeholder = add(b"")  # pages root; patched later
         for pg in self.pages:
@@ -141,9 +198,12 @@ class PdfWriter:
             if img_refs:
                 xobj = "/XObject << " + " ".join(
                     f"/{n} {i} 0 R" for n, i in img_refs) + " >>"
+            fonts = f"/F1 {font_id} 0 R /F2 {font_bold_id} 0 R"
+            if cid_font_id:
+                fonts += f" /FC {cid_font_id} 0 R"
             page_obj = (f"<< /Type /Page /Parent {kids_placeholder} 0 R "
                         f"/MediaBox [0 0 {pg.width:g} {pg.height:g}] "
-                        f"/Resources << /Font << /F1 {font_id} 0 R /F2 {font_bold_id} 0 R >> {xobj} >> "
+                        f"/Resources << /Font << {fonts} >> {xobj} >> "
                         f"/Contents {cont_id} 0 R >>").encode()
             page_ids.append(add(page_obj))
 
