@@ -194,6 +194,55 @@ uint8_t* pdfio_get_image(void* handle, int obj_num, size_t* out_len, int* kind) 
   return p;
 }
 
+// Embedded font program for a page font, matched by /BaseFont name.
+// fmt: 2 = FontFile2 (TrueType), 3 = FontFile3 (CFF/OpenType),
+// 1 = FontFile (Type1). Returns malloc'd decoded bytes or nullptr when
+// the font is not embedded. Walks /Resources /Font (and Type0
+// descendants) of the page.
+uint8_t* pdfio_get_font_program(void* handle, int page_idx,
+                                const char* base_name, size_t* out_len,
+                                int* fmt) {
+  auto* h = (DocHandle*)handle;
+  if (out_len) *out_len = 0;
+  if (fmt) *fmt = 0;
+  if (page_idx < 0 || page_idx >= h->doc.page_count()) return nullptr;
+  Document* doc = &h->doc;
+  const Page& pg = doc->page(page_idx);
+  PObj fonts = doc->dget(pg.resources, "Font");
+  if (!fonts || fonts->t != Obj::T::Dict) return nullptr;
+  for (auto& kv : fonts->dict) {
+    PObj fd = doc->resolve(kv.second);
+    if (!fd || fd->t != Obj::T::Dict) continue;
+    PObj bn = doc->dget(fd, "BaseFont");
+    if (!bn || bn->t != Obj::T::Name || bn->s != base_name) continue;
+    PObj desc = doc->dget(fd, "FontDescriptor");
+    if (!desc) {
+      PObj df = doc->dget(fd, "DescendantFonts");
+      if (df && df->t == Obj::T::Array && !df->arr.empty()) {
+        PObj cidf = doc->resolve(df->arr[0]);
+        if (cidf) desc = doc->dget(cidf, "FontDescriptor");
+      }
+    }
+    if (!desc || desc->t != Obj::T::Dict) continue;
+    static const struct { const char* key; int code; } kKeys[] = {
+        {"FontFile2", 2}, {"FontFile3", 3}, {"FontFile", 1}};
+    for (auto& k : kKeys) {
+      PObj ff = doc->dget(desc, k.key);
+      if (ff && ff->t == Obj::T::Stream) {
+        std::vector<uint8_t> data = doc->decoded(ff);
+        if (data.empty()) continue;
+        uint8_t* out = (uint8_t*)malloc(data.size());
+        if (!out) return nullptr;
+        memcpy(out, data.data(), data.size());
+        if (out_len) *out_len = data.size();
+        if (fmt) *fmt = k.code;
+        return out;
+      }
+    }
+  }
+  return nullptr;
+}
+
 void pdfio_free(void* p) { free(p); }
 
 }  // extern "C"

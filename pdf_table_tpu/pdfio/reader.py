@@ -57,6 +57,10 @@ def _load_lib():
         lib.pdfio_get_image.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.POINTER(ctypes.c_size_t),
                                         ctypes.POINTER(ctypes.c_int)]
+        lib.pdfio_get_font_program.restype = ctypes.c_void_p
+        lib.pdfio_get_font_program.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_int)]
         lib.pdfio_free.argtypes = [ctypes.c_void_p]
         lib.pdfio_version.restype = ctypes.c_char_p
         _lib = lib
@@ -236,6 +240,25 @@ class PdfDocument:
         data = ctypes.string_at(ptr, n.value)
         self._lib.pdfio_free(ptr)
         return data, kind.value
+
+    def get_font_program(self, page_index: int, base_name: str):
+        """-> (bytes, fmt) of a page font's EMBEDDED program, matched by
+        its /BaseFont name (as carried on PdfText.font). fmt 2 =
+        FontFile2 (TrueType), 3 = FontFile3 (CFF/OpenType), 1 = FontFile
+        (Type1); (b'', 0) when the font is not embedded. Used by
+        render.py's glyph-faithful digital rasterization (the reference
+        reaches glyph fidelity via Ghostscript,
+        ghostscript_backend.py:28)."""
+        n = ctypes.c_size_t()
+        fmt = ctypes.c_int()
+        ptr = self._lib.pdfio_get_font_program(
+            self._handle, page_index, base_name.encode("utf-8"),
+            ctypes.byref(n), ctypes.byref(fmt))
+        if not ptr:
+            return b"", 0
+        data = ctypes.string_at(ptr, n.value)
+        self._lib.pdfio_free(ptr)
+        return data, fmt.value
 
     def is_imaged_pdf(self, sample_pages: int = 3, min_text_items: int = 5) -> bool:
         """True when the document is a scan: pages are dominated by one big
