@@ -47,6 +47,53 @@ def _get_font(px_size: int):
     return font
 
 
+class _PageFonts:
+    """Glyph-faithful font resolution for one page.
+
+    Embedded FontFile/FontFile2/FontFile3 programs (via
+    PdfDocument.get_font_program) are loaded directly with
+    PIL/FreeType, so digital pages rasterize with the document's OWN
+    glyphs; non-embedded (base-14 etc.) fonts fall back to the DejaVu
+    substitute. This is the in-tree analog of the reference's
+    Ghostscript rasterization (ghostscript_backend.py:28), which got
+    glyph fidelity for free from gs's font engine.
+    """
+
+    def __init__(self, doc, page_index: int):
+        self._doc = doc
+        self._page_index = page_index
+        self._programs = {}   # base name -> bytes | None
+        self._fonts = {}      # (name, px) -> ImageFont
+
+    def get(self, name: str, px_size: float):
+        px = max(4, min(256, int(round(px_size))))
+        key = (name, px)
+        if key in self._fonts:
+            return self._fonts[key]
+        font = None
+        if self._doc is not None and name:
+            if name not in self._programs:
+                try:
+                    data, _fmt = self._doc.get_font_program(
+                        self._page_index, name)
+                except Exception:
+                    data = b""
+                self._programs[name] = data or None
+            data = self._programs[name]
+            if data:
+                import io
+                from PIL import ImageFont
+                try:
+                    # FreeType handles TrueType, OpenType/CFF and Type1
+                    font = ImageFont.truetype(io.BytesIO(data), px)
+                except (OSError, ValueError):
+                    self._programs[name] = None   # unloadable: stop retrying
+        if font is None:
+            font = _get_font(px)
+        self._fonts[key] = font
+        return font
+
+
 def render_page(doc: PdfDocument, page: PdfPage, dpi: int = 144,
                 background: int = 255) -> np.ndarray:
     """-> uint8 RGB image (H, W, 3). Image y axis points down."""
@@ -130,14 +177,15 @@ def render_page(doc: PdfDocument, page: PdfPage, dpi: int = 144,
             pts = np.stack([to_px(x, y) for x, y in c]).round().astype(np.int32)
             cv2.polylines(img, [pts], False, (0, 0, 0), thickness=max(1, int(scale)))
 
-    # 3. text with PIL (TrueType rendering)
+    # 3. text with PIL (TrueType rendering; embedded programs when present)
     pil = Image.fromarray(img)
     draw = ImageDraw.Draw(pil)
+    page_fonts = _PageFonts(doc, page.index)
     for t in page.texts:
         if t.invisible or not t.text.strip():
             continue
         px_size = t.size * scale
-        font = _get_font(px_size)
+        font = page_fonts.get(t.font, px_size)
         # draw anchored at the baseline origin
         x, y = to_px(t.origin[0], t.origin[1])
         if t.is_horizontal:
@@ -161,8 +209,83 @@ def render_page(doc: PdfDocument, page: PdfPage, dpi: int = 144,
     return np.asarray(pil)
 
 
-def render_pdf(path_or_bytes, dpi: int = 144, pages: Optional[list] = None):
-    """Convenience: -> list of (page_index, RGB image)."""
+def _ghostscript_binary() -> Optional[str]:
+    """Resolve an external rasterizer binary, or None.
+
+    ``PDFTABLE_GS_BINARY`` overrides; otherwise ``gs`` on PATH. The
+    reference rasterizes with Ghostscript unconditionally
+    (ghostscript_backend.py:28); here it's an opt-in fidelity upgrade
+    (``PDFTABLE_RENDER_BACKEND=ghostscript``) over the in-tree
+    renderer, which stays the zero-dependency default.
+    """
+    import shutil
+
+    override = os.environ.get("PDFTABLE_GS_BINARY")
+    if override:
+        return override if os.path.exists(override) else None
+    return shutil.which("gs")
+
+
+def _render_pdf_ghostscript(path_or_bytes, dpi: int,
+                            pages: Optional[list], gs_bin: str):
+    """Rasterize via an external Ghostscript subprocess (png16m, like
+    the reference's ``-sDEVICE=png16m -r<dpi>``). Raises on failure —
+    the caller falls back to the native renderer."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="pdfio_gs_") as td:
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            src = os.path.join(td, "in.pdf")
+            with open(src, "wb") as f:
+                f.write(path_or_bytes)
+        else:
+            src = os.fspath(path_or_bytes)
+        out_pat = os.path.join(td, "page-%04d.png")
+        cmd = [gs_bin, "-q", "-dNOPAUSE", "-dBATCH", "-dSAFER",
+               "-sDEVICE=png16m", f"-r{int(dpi)}",
+               f"-sOutputFile={out_pat}", src]
+        subprocess.run(cmd, check=True, timeout=600,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        rendered = sorted(
+            f for f in os.listdir(td) if f.startswith("page-"))
+        if not rendered:
+            raise RuntimeError("ghostscript produced no pages")
+        idxs = pages if pages is not None else range(len(rendered))
+        out = []
+        for i in idxs:
+            if i >= len(rendered):
+                continue
+            bgr = cv2.imread(os.path.join(td, rendered[i]), cv2.IMREAD_COLOR)
+            if bgr is None:
+                raise RuntimeError(f"unreadable gs output page {i}")
+            out.append((i, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)))
+        return out
+
+
+def render_pdf(path_or_bytes, dpi: int = 144, pages: Optional[list] = None,
+               backend: str = "auto"):
+    """Convenience: -> list of (page_index, RGB image).
+
+    ``backend``: ``"native"`` (in-tree renderer), ``"ghostscript"``
+    (external binary, error if missing), or ``"auto"`` — native unless
+    ``PDFTABLE_RENDER_BACKEND=ghostscript`` is set AND a gs binary is
+    available, in which case gs is tried with native as fallback.
+    """
+    want_gs = backend == "ghostscript" or (
+        backend == "auto"
+        and os.environ.get("PDFTABLE_RENDER_BACKEND") == "ghostscript")
+    if want_gs:
+        gs_bin = _ghostscript_binary()
+        if gs_bin:
+            try:
+                return _render_pdf_ghostscript(path_or_bytes, dpi, pages, gs_bin)
+            except Exception:
+                if backend == "ghostscript":
+                    raise
+        elif backend == "ghostscript":
+            raise RuntimeError("no ghostscript binary found "
+                               "(set PDFTABLE_GS_BINARY or install gs)")
     out = []
     with PdfDocument.open(path_or_bytes) as doc:
         idxs = pages if pages is not None else range(doc.page_count)

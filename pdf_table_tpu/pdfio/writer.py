@@ -39,6 +39,28 @@ def _esc(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _ttf_metrics(ttf: bytes):
+    """(ascent, descent, widths[32..255]) in 1000-unit glyph space,
+    measured by rendering the font at 1000 px with PIL/FreeType —
+    accurate enough for the reader's advance-width text metrics."""
+    import io as _io
+
+    try:
+        from PIL import ImageFont
+
+        f = ImageFont.truetype(_io.BytesIO(ttf), 1000)
+        ascent, descent = f.getmetrics()
+        widths = []
+        for code in range(32, 256):
+            try:
+                widths.append(int(round(f.getlength(chr(code)))))
+            except (ValueError, OSError, UnicodeDecodeError):
+                widths.append(500)
+        return int(ascent), int(descent), widths
+    except Exception:
+        return 800, 200, [500] * 224
+
+
 def _is_latin1(s: str) -> bool:
     try:
         s.encode("latin-1")
@@ -126,6 +148,24 @@ class PdfWriter:
     def __init__(self, compress: bool = True):
         self.pages: List[_PageBuf] = []
         self.compress = compress
+        # name -> raw TrueType bytes, embedded as FontFile2 (simple
+        # /TrueType fonts with WinAnsi /Widths so the native reader's
+        # metric path, fonts.cc /FirstChar+/Widths, works unchanged).
+        self.embedded_fonts: dict = {}
+
+    def embed_font(self, name: str, source) -> str:
+        """Embed a TrueType font program under resource name ``name``.
+
+        ``source`` is a .ttf path or raw bytes. Pages select it with
+        ``page.text(..., font=name)`` (latin-1 text only). This is how
+        the test suite builds glyph-fidelity fixtures for
+        render.py's embedded-font rasterization (the reference reaches
+        glyph fidelity via Ghostscript, ghostscript_backend.py:28).
+        """
+        data = source if isinstance(source, (bytes, bytearray)) else \
+            open(source, "rb").read()
+        self.embedded_fonts[name] = bytes(data)
+        return name
 
     def add_page(self, width: float = 612.0, height: float = 792.0) -> _PageBuf:
         p = _PageBuf(width, height)
@@ -141,6 +181,26 @@ class PdfWriter:
 
         font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
         font_bold_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+
+        # embedded TrueType fonts (FontFile2 + descriptor + /Widths)
+        emb_font_ids = {}
+        for name, ttf in self.embedded_fonts.items():
+            ff_id = add(
+                (f"<< /Length {len(ttf)} /Length1 {len(ttf)} >>\n"
+                 "stream\n").encode() + ttf + b"\nendstream")
+            ascent, descent, widths = _ttf_metrics(ttf)
+            desc_id = add(
+                (f"<< /Type /FontDescriptor /FontName /{name} /Flags 32 "
+                 f"/FontBBox [-200 {-descent} 1200 {ascent}] "
+                 f"/ItalicAngle 0 /Ascent {ascent} /Descent {-descent} "
+                 f"/CapHeight {ascent} /StemV 80 "
+                 f"/FontFile2 {ff_id} 0 R >>").encode())
+            w_str = " ".join(str(w) for w in widths)
+            emb_font_ids[name] = add(
+                (f"<< /Type /Font /Subtype /TrueType /BaseFont /{name} "
+                 f"/FirstChar 32 /LastChar 255 /Widths [{w_str}] "
+                 f"/Encoding /WinAnsiEncoding "
+                 f"/FontDescriptor {desc_id} 0 R >>").encode())
 
         # Type0 Identity-H font for non-latin-1 text (CID == BMP
         # codepoint); emitted only when a page used it. ToUnicode bfchar
@@ -201,6 +261,8 @@ class PdfWriter:
             fonts = f"/F1 {font_id} 0 R /F2 {font_bold_id} 0 R"
             if cid_font_id:
                 fonts += f" /FC {cid_font_id} 0 R"
+            for name, fid in emb_font_ids.items():
+                fonts += f" /{name} {fid} 0 R"
             page_obj = (f"<< /Type /Page /Parent {kids_placeholder} 0 R "
                         f"/MediaBox [0 0 {pg.width:g} {pg.height:g}] "
                         f"/Resources << /Font << {fonts} >> {xobj} >> "
