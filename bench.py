@@ -166,6 +166,31 @@ def ensure_bench_det_weights(bp) -> bool:
     return arm(variables)
 
 
+def n_error_pages(results) -> int:
+    """Pages that fell to the runner's fault containment (_error_output):
+    they complete in microseconds, so counting them as throughput turns a
+    wedged device session into a fake 300 pages/s (observed in the first
+    round-5 bench tail). Every timed section must check this."""
+    return sum(1 for r in results
+               if isinstance(getattr(r, "metric", None), dict)
+               and "error" in r.metric)
+
+
+def timed_run(bp, pages):
+    """One timed bp.run with output validation: returns
+    (pages_per_sec, results) or raises RuntimeError on error pages —
+    a wedged-session measurement must never masquerade as throughput."""
+    t0 = time.perf_counter()
+    results = bp.run(pages)
+    dt = time.perf_counter() - t0
+    err = n_error_pages(results)
+    if err:
+        raise RuntimeError(
+            f"invalid measurement: {err}/{len(pages)} error pages "
+            "(device fault during timed run)")
+    return len(pages) / dt, results
+
+
 def bench() -> dict:
     t_bench0 = time.perf_counter()
     import os
@@ -182,6 +207,11 @@ def bench() -> dict:
     try:
         organic = ensure_bench_det_weights(bp)
     except Exception as e:
+        # not silent: the fallback renames the headline metric to
+        # det=injected (below); PDFTABLE_BENCH_REQUIRE_ORGANIC=1 turns
+        # it into a hard failure for runs that must prove organic load
+        if os.environ.get("PDFTABLE_BENCH_REQUIRE_ORGANIC"):
+            raise
         print(f"  [bench det] training failed: {e}", file=sys.stderr)
         organic = False
     if not organic:
@@ -214,6 +244,15 @@ def bench() -> dict:
             t0 = time.perf_counter()
             results = bp.run(pages)
             iter_dts.append(time.perf_counter() - t0)
+            err = n_error_pages(results)
+            if err:
+                # a wedged session turns later iterations into microsecond
+                # error-page sweeps — refusing to average them is the whole
+                # point of the honesty gate (first round-5 tail reported
+                # 299 pages/s of error pages)
+                raise RuntimeError(
+                    f"headline invalid: {err}/{len(pages)} error pages "
+                    "(device fault mid-measurement)")
     calls_per_iter = {k: (tp.calls - calls_before.get(k, 0)) / n_iters
                       for k, tp in program_registry.items()}
     # median iteration: the shared tunnel has noisy-neighbor episodes
@@ -386,12 +425,13 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
     bp._boxes_finish = type(bp)._boxes_finish.__get__(bp)
     try:
         bp.run(pages[:8])  # settle
-        t0 = time.perf_counter()
-        res = bp.run(pages[:8])
-        tail["real_detpost_pages_per_sec"] = round(
-            8 / (time.perf_counter() - t0), 3)
+        pps, res = timed_run(bp, pages[:8])
+        tail["real_detpost_pages_per_sec"] = round(pps, 3)
         tail["real_detpost_boxes"] = int(
             sum(len(r.text_cells) for r in res))
+    except RuntimeError as e:
+        tail["real_detpost_pages_per_sec"] = f"invalid: {e}"
+        return tail          # session likely wedged — stop measuring
     finally:
         bp._det_post = patched_post
         bp._boxes_finish = patched_finish
@@ -406,20 +446,19 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
         bp.system._tsr = OcrTableStructureTask(model="Lore",
                                                task_type="wtw")
         bp.run(pages)  # warm (compiles the wtw program once)
-        t0 = time.perf_counter()
-        bp.run(pages)
-        tail["wtw_default_pages_per_sec"] = round(
-            len(pages) / (time.perf_counter() - t0), 3)
+        pps, _ = timed_run(bp, pages)
+        tail["wtw_default_pages_per_sec"] = round(pps, 3)
         # the documented throughput opt-in (res_buckets='auto')
         if not over_budget("wtw_bucketed_pages_per_sec"):
             bp.system._tsr = OcrTableStructureTask(model="Lore",
                                                    task_type="wtw",
                                                    res_buckets="auto")
             bp.run(pages)
-            t0 = time.perf_counter()
-            bp.run(pages)
-            tail["wtw_bucketed_pages_per_sec"] = round(
-                len(pages) / (time.perf_counter() - t0), 3)
+            pps, _ = timed_run(bp, pages)
+            tail["wtw_bucketed_pages_per_sec"] = round(pps, 3)
+    except RuntimeError as e:
+        tail["wtw_invalid"] = str(e)
+        return tail          # session likely wedged — stop measuring
     finally:
         bp.system._tsr = old_tsr
 
@@ -434,20 +473,29 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
     bp.run(long_pages[:16])  # settle back to the wireless TSR programs
     trials = []
     truncated = False
+    invalid = None
     for _ in range(3):
-        t0 = time.perf_counter()
-        bp.run(long_pages)
-        trials.append(round(48 / (time.perf_counter() - t0), 3))
+        try:
+            pps, _ = timed_run(bp, long_pages)
+        except RuntimeError as e:
+            invalid = str(e)
+            break
+        trials.append(round(pps, 3))
         if time.perf_counter() - t_tail0 > wall_budget_s:
             truncated = True
             break
     tail["steady_state_48p_trials"] = trials
     if truncated:   # recorded separately, never overwritten (ADVICE r4 #2)
         tail["steady_state_48p_truncated"] = "tail wall budget"
+    if invalid:
+        tail["steady_state_48p_invalid"] = invalid
     # even trial counts (budget cut the loop at 2): the LOWER middle, not
     # the max — the 'median' must not overstate steady state
-    tail["steady_state_48p_pages_per_sec"] = \
-        sorted(trials)[(len(trials) - 1) // 2]
+    if trials:
+        tail["steady_state_48p_pages_per_sec"] = \
+            sorted(trials)[(len(trials) - 1) // 2]
+    if invalid:
+        return tail          # session likely wedged — stop measuring
 
     # born-digital corpus: vector text + LineCellPdf tables ride the
     # batched chunks (host text, batched layout, no det crops / no TSR
@@ -623,12 +671,10 @@ def digital_tail(bp, n_pages: int = 16) -> float:
         pages = [{"pdf_page": pdf.load_page(i), "pdf_doc": pdf, "page": i}
                  for i in range(n_pages)]
         bp.run(pages)   # settle (rasterize cache cold, layout warm)
-        t0 = time.perf_counter()
-        res = bp.run(pages)
-        dt = time.perf_counter() - t0
+        pps, res = timed_run(bp, pages)
         n_tables = sum(len(r.table_html) for r in res)
         assert n_tables >= n_pages // 2, f"only {n_tables} tables extracted"
-    return round(n_pages / dt, 3)
+    return round(pps, 3)
 
 
 def _check_device_responsive(timeout_s: float = 300.0) -> bool:

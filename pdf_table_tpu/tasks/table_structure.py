@@ -75,8 +75,8 @@ class OcrTableStructureTask(InferTask):
         # full tunnel RTT + host work per sub-batch); False = the round-3
         # host detour (numpy sparse refine on the ~100 KB dc download).
         # Default: PDFTABLE_WIZ_DEVICE_REFINE (1/0) when set; otherwise
-        # resolved at build time to backend != 'axon' — dispatching the
-        # fused refine+gl program on the axon runtime has now WEDGED the
+        # resolved at build time to NOT utils.fault.is_axon_backend() —
+        # dispatching the fused refine+gl program on the axon runtime WEDGED the
         # whole device session twice (rounds 4 and 5: first fault, then
         # every subsequent upload/download INVALID_ARGUMENT until process
         # restart), so the tunneled chip gets the host detour unless
@@ -167,8 +167,13 @@ class OcrTableStructureTask(InferTask):
             import jax
 
             if self.wiz_device_refine is None:
-                # lazy default (see __init__): host detour on axon
-                self.wiz_device_refine = jax.default_backend() != "axon"
+                # lazy default (see __init__): host detour on axon. NOTE:
+                # jax.default_backend() reports 'tpu' for the axon plugin,
+                # so the r4 gate (!= 'axon') never fired and the wedging
+                # program kept dispatching — fingerprint via is_axon_backend
+                from ..utils.fault import is_axon_backend
+
+                self.wiz_device_refine = not is_axon_backend()
 
             from ..models.lore import LoreModel
 

@@ -21,6 +21,27 @@ from __future__ import annotations
 _FAULT_TYPE_NAMES = ("JaxRuntimeError", "XlaRuntimeError")
 
 
+def is_axon_backend() -> bool:
+    """True when the default JAX backend is the tunneled 'axon' runtime.
+
+    ``jax.default_backend()`` is USELESS for this: the axon PJRT plugin
+    reports ``platform == "tpu"`` (verified on the tunnel: default_backend()
+    -> 'tpu', platform_version -> 'PJRT C API\\naxon 0.1.0; ...'). The
+    round-4/5 wiz-refine gate compared against the registration name
+    'axon' and therefore NEVER fired — the session-wedging fused program
+    kept dispatching on the tunnel. Fingerprint the plugin via
+    platform_version instead."""
+    import jax
+
+    try:
+        from jax._src import xla_bridge
+
+        ver = getattr(xla_bridge.get_backend(), "platform_version", "")
+    except Exception:
+        ver = ""
+    return "axon" in ver.lower() or jax.default_backend() == "axon"
+
+
 def is_device_fault(exc: BaseException) -> bool:
     """True when ``exc`` (or anything in its cause/context chain) looks
     like a JAX/XLA runtime failure rather than a Python-level bug."""

@@ -44,6 +44,94 @@ class TestBenchHarness:
         np.testing.assert_array_equal(img, B.make_page(3))
 
 
+class TestMeasurementHonesty:
+    """A wedged device session turns bp.run into a microsecond error-page
+    sweep; the first round-5 bench tail reported 299 'pages/s' of error
+    pages. Every timed section must refuse such measurements."""
+
+    @staticmethod
+    def _results(n, n_err):
+        class R:
+            pass
+
+        out = []
+        for i in range(n):
+            r = R()
+            r.metric = {"error": "JaxRuntimeError: wedged"} if i < n_err \
+                else {}
+            out.append(r)
+        return out
+
+    def test_n_error_pages(self):
+        assert B.n_error_pages(self._results(8, 3)) == 3
+        assert B.n_error_pages(self._results(8, 0)) == 0
+        # outputs without a metric dict don't crash the counter
+        assert B.n_error_pages([object()]) == 0
+
+    def test_timed_run_raises_on_error_pages(self):
+        res = self._results(4, 2)
+
+        class FakeBp:
+            def run(self, pages):
+                return res
+
+        import pytest
+
+        with pytest.raises(RuntimeError, match="error pages"):
+            B.timed_run(FakeBp(), [{}] * 4)
+
+    def test_timed_run_passes_clean(self):
+        res = self._results(4, 0)
+
+        class FakeBp:
+            def run(self, pages):
+                time.sleep(0.01)
+                return res
+
+        pps, got = B.timed_run(FakeBp(), [{}] * 4)
+        assert got is res and 0 < pps < 4 / 0.01
+
+
+class TestAxonGate:
+    def test_is_axon_backend_false_on_cpu(self):
+        from pdf_table_tpu.utils.fault import is_axon_backend
+
+        assert is_axon_backend() is False
+
+    def test_wiz_refine_gate_uses_fingerprint(self, monkeypatch):
+        """jax.default_backend() reports 'tpu' for the axon plugin, so the
+        r4 gate (!= 'axon') never fired and the session-wedging fused
+        refine program kept dispatching on the tunnel. The gate must go
+        through utils.fault.is_axon_backend."""
+        from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+        from pdf_table_tpu.utils import fault
+
+        monkeypatch.setattr(fault, "is_axon_backend", lambda: True)
+        t = OcrTableStructureTask(
+            model="Lore", task_type="wtw",
+            config=_tiny_lore_cfg())
+        assert t.wiz_device_refine is None   # lazy until build
+        t.ensure_built()
+        assert t.wiz_device_refine is False
+
+        monkeypatch.setattr(fault, "is_axon_backend", lambda: False)
+        t2 = OcrTableStructureTask(
+            model="Lore", task_type="wtw",
+            config=_tiny_lore_cfg())
+        t2.ensure_built()
+        assert t2.wiz_device_refine is True
+
+
+def _tiny_lore_cfg():
+    from pdf_table_tpu.models.lore import LoreConfig
+
+    return LoreConfig(backbone="resnet18", resolution=(64, 64),
+                      task_type="wtw", wiz_rev=True, max_objs=4,
+                      max_corners=8, hidden_size=16, tsfm_layers=1,
+                      stacking_layers=1, num_heads=2, d_ff=16,
+                      head_conv=8, vis_thresh=0.0)
+
+
 class TestOrganicDetSetup:
     def test_bar_page_boxes(self):
         import numpy as np
