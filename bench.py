@@ -138,12 +138,17 @@ def ensure_bench_det_weights(bp) -> bool:
                                              save_params)
     from pdf_table_tpu.utils.constants import Constants
 
+    from pdf_table_tpu.engine.params import commit_params
+
     det = bp.system.det_task
     cache = os.path.join(Constants.MODEL_CACHE_DIR, "bench_demo",
                          "det_ppocr_bars")
     det.ensure_built()
     def arm(variables) -> bool:
-        det._params = variables
+        # commit once: numpy params re-upload per call otherwise (the
+        # r5 det forward measured 114 ms/chunk with cached weights vs
+        # ~25 ms device time — all param copy-starts over the tunnel)
+        det._params = commit_params(variables)
         # the floor thresholds existed for RANDOM weights (nothing flows
         # otherwise); a trained det uses reference-like confidence gates
         # so the measured volume is the page's ~30 real bars, not the

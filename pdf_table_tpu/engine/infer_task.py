@@ -95,6 +95,12 @@ class InferTask:
             if self.mesh is not None and self._params is not None:
                 from ..parallel.mesh import replicate_params
                 self._params = replicate_params(self._params, self.mesh)
+            else:
+                # checkpoint-restored params are host numpy; commit them
+                # to device ONCE or every jitted call re-uploads the whole
+                # tree over the tunnel (engine/params.commit_params)
+                from .params import commit_params
+                self._params = commit_params(self._params)
             self._built = True
             logger.info("[%s] model built in %.2fs", self.task_name,
                         time.perf_counter() - t0)

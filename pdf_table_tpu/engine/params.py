@@ -18,6 +18,21 @@ import numpy as np
 from ..utils.logging_utils import logger
 
 
+def commit_params(variables):
+    """Commit a params pytree to the default device ONCE.
+
+    orbax restore (load_params) returns HOST numpy leaves; passing those
+    to a jitted apply re-uploads every leaf on EVERY call — on the
+    tunneled TPU this dominated the det forward (trace: ~90 ms/call of
+    tiny f32 copy-start transfers vs ~24 ms of actual XLA module time),
+    and it silently penalizes exactly the production case (converted
+    checkpoints) while random-init params are already device-resident.
+    One batched device_put here makes every later call upload-free."""
+    if variables is None:
+        return None
+    return jax.device_put(variables)
+
+
 def init_params(module, sample_inputs, seed: int = 0, train: bool = False):
     """Initialize flax module variables (params + batch_stats).
 

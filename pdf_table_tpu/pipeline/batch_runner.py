@@ -291,8 +291,14 @@ class BatchPipeline:
                     return probs_u8
                 from ..ops import batch_component_boxes_u8
 
+                # 4 scan rounds: bit-identical boxes to 8 on real DB maps
+                # (v5e A/B 2026-08-19: it8 20.3 ms, it4 13.5 ms, packed
+                # outputs np.array_equal at it8/it6/it4); text blobs
+                # resolve in 2-3 rounds, the op default stays 8 for
+                # pathological shapes on the standalone/debug path
                 return batch_component_boxes_u8(probs_u8, cc_thr, valid_hw,
-                                                max_components=64)
+                                                max_components=64,
+                                                num_iters=4)
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
