@@ -90,7 +90,8 @@ def component_boxes(labels: jax.Array, scores: jax.Array, max_components: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_components", "thresh_u8"))
+                   static_argnames=("max_components", "thresh_u8",
+                                    "num_iters"))
 def batch_component_boxes_u8(probs_u8: jax.Array, thresh_u8: int,
                              valid_hw: jax.Array,
                              max_components: int = 64,
