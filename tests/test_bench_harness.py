@@ -6,6 +6,7 @@ import sys
 import threading
 import time
 
+import jax
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -173,7 +174,11 @@ class TestOrganicDetSetup:
             system = FakeSystem()
 
         assert bench.ensure_bench_det_weights(FakeBp()) is True
-        assert FakeBp.system.det_task._params is sentinel
+        # loaded params are committed to device once (numpy trees would
+        # re-upload per jitted call over the tunnel — round-5 det fix)
+        committed = FakeBp.system.det_task._params
+        assert isinstance(committed["params"]["w"], jax.Array)
+        assert int(committed["params"]["w"]) == 1
         # trained weights flip the det to reference-like thresholds
         assert FakeBp.system.det_task.model_config.thresh == 0.3
         assert FakeBp.system.det_task.model_config.box_thresh == 0.55
