@@ -140,6 +140,14 @@ class BatchPipeline:
         # with chunk k+1's compute. Device work stays serialized by the
         # device queue either way.
         self.lane_workers = max(1, int(lane_workers))
+        # enqueue order within a chunk: layout program before det+CC.
+        # The TSR lane (the longest) gates on the layout D2H and the
+        # device queue is FIFO — fronting the ~18 ms layout program
+        # hands the critical lane its input one det (~45 ms) earlier.
+        # PDFTABLE_LAYOUT_FIRST=0 restores det-first (A/B knob).
+        import os as _os
+        self.layout_first = _os.environ.get(
+            "PDFTABLE_LAYOUT_FIRST", "1") != "0"
         self.last_stats: Optional[Dict[str, float]] = None
         self._lane_stats: Dict[str, float] = {}
 
@@ -1103,32 +1111,54 @@ class BatchPipeline:
                     canvs.append(dev)
                     det_hw = det_input_size(chunk["bucket"],
                                             det.model_config.limit_side_len)
-                    if self.device_boxes:
-                        # ONE fused det+CC program per chunk (dispatch
-                        # count is a first-order cost on the tunneled rig)
-                        probs_h, prob_hw = self._detect_cc_enqueue(
-                            dev, shp, det_hw, False, chunk["shapes"],
-                            chunk["bucket"])
-                    else:
-                        probs_h = self._detect_enqueue(dev, shp, det_hw,
-                                                       pre_resized=False)
-                        prob_hw = (probs_h.shape[1], probs_h.shape[2])
-                    # start the downlink as soon as the program finishes on
-                    # device — the later np.asarray becomes a local hit
-                    # instead of paying the tunnel latency at wait time
-                    try:
-                        probs_h.copy_to_host_async()
-                    except Exception:
-                        pass
-                    handles.append((probs_h, prob_hw))
-                    lh = (self.system.layout_task.batch_enqueue_pages(dev)
-                          if use_layout else None)
-                    if lh is not None and lh[0] is not None:
+
+                    def enq_layout():
+                        lh = (self.system.layout_task
+                              .batch_enqueue_pages(dev)
+                              if use_layout else None)
+                        if lh is not None and lh[0] is not None:
+                            try:
+                                lh[0].copy_to_host_async()
+                            except Exception:
+                                pass
+                        layout_handles.append(lh)
+
+                    def enq_det():
+                        if self.device_boxes:
+                            # ONE fused det+CC program per chunk (dispatch
+                            # count is a first-order cost on the tunneled
+                            # rig)
+                            probs_h, prob_hw = self._detect_cc_enqueue(
+                                dev, shp, det_hw, False, chunk["shapes"],
+                                chunk["bucket"])
+                        else:
+                            probs_h = self._detect_enqueue(
+                                dev, shp, det_hw, pre_resized=False)
+                            prob_hw = (probs_h.shape[1], probs_h.shape[2])
+                        # start the downlink as soon as the program
+                        # finishes on device — the later np.asarray becomes
+                        # a local hit instead of paying the tunnel latency
+                        # at wait time
                         try:
-                            lh[0].copy_to_host_async()
+                            probs_h.copy_to_host_async()
                         except Exception:
                             pass
-                    layout_handles.append(lh)
+                        handles.append((probs_h, prob_hw))
+
+                    # layout enqueues BEFORE det when layout_first: the TSR
+                    # lane (the pipeline's longest — its layout-block + 2
+                    # TSR RTTs bound steady state) gates on the layout D2H,
+                    # and the device queue is FIFO, so putting the ~18 ms
+                    # layout program ahead of the ~45 ms det+CC hands the
+                    # critical lane its input one det earlier per chunk.
+                    # The det D2H only gates the main staged loop + rec
+                    # lane, which have more slack.
+                    if self.layout_first:
+                        enq_layout()
+                        enq_det()
+                    else:
+                        enq_det()
+                        enq_layout()
                     # the table path needs only layout + canvases — NOT
                     # detection — so chunk k's lane work submits the moment
                     # its enqueue lands, not after the whole serial
@@ -1148,7 +1178,7 @@ class BatchPipeline:
                     layout_futs.append(layout_pool.submit(
                         timed, "layout_lane",
                         self._layout_regions_for_chunk,
-                        chunk["shapes"], lh, digital_info))
+                        chunk["shapes"], layout_handles[ci], digital_info))
                     tsr_futs.append(tsr_pool.submit(timed, "tsr_lane",
                                                     tsr_stage, ci))
                 except Exception as e:

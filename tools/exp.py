@@ -1,0 +1,110 @@
+"""One-process on-chip experiment driver: build + warm the bench pipeline
+ONCE, then run a comma-separated list of experiments, amortizing the
+multi-minute remote compile across all of them.
+
+    python tools/exp.py stages,chunksweep,order
+
+Experiments:
+  stages      — one 48-page run; dump bp.last_stats (wall per stage)
+  chunksweep  — batch_pages in {8, 12, 16} x 48-page run, interleaved 2x
+  order       — layout_first on/off, 16p + 48p interleaved
+  headline    — the bench headline protocol (7x16 pages, median)
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+import bench  # noqa: E402
+
+
+def median(xs):
+    xs = sorted(xs)
+    return xs[(len(xs) - 1) // 2] if len(xs) % 2 else \
+        0.5 * (xs[len(xs) // 2 - 1] + xs[len(xs) // 2])
+
+
+def exp_stages(bp, pages16, pages48):
+    pps, _ = bench.timed_run(bp, pages48)
+    stats = {k: round(v / 48 * 1000, 1)
+             for k, v in (bp.last_stats or {}).items() if k != "n_pages"}
+    return {"pages_per_sec_48p": round(pps, 2), "stages_ms_per_page": stats}
+
+
+def exp_chunksweep(bp, pages16, pages48):
+    out = {}
+    for trial in range(2):
+        for nbp in (8, 12, 16):
+            bp.batch_pages = nbp
+            if trial == 0:
+                bp.run(pages16)   # compile any new padding buckets
+            pps, _ = bench.timed_run(bp, pages48)
+            out.setdefault(str(nbp), []).append(round(pps, 2))
+            print(f"chunksweep batch_pages={nbp} trial={trial}: "
+                  f"{pps:.2f} pages/s", flush=True)
+    bp.batch_pages = 8
+    return {k: {"median": round(median(v), 2), "all": v}
+            for k, v in out.items()}
+
+
+def exp_order(bp, pages16, pages48):
+    res = {}
+    for trial in range(4):
+        for arm, flag in (("det_first", False), ("layout_first", True)):
+            bp.layout_first = flag
+            pps, _ = bench.timed_run(bp, pages16)
+            res.setdefault(arm + "_p16", []).append(round(pps, 2))
+    for trial in range(2):
+        for arm, flag in (("det_first", False), ("layout_first", True)):
+            bp.layout_first = flag
+            pps, _ = bench.timed_run(bp, pages48)
+            res.setdefault(arm + "_p48", []).append(round(pps, 2))
+    bp.layout_first = True
+    return {k: {"median": round(median(v), 2), "all": v}
+            for k, v in res.items()}
+
+
+def exp_headline(bp, pages16, pages48):
+    dts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        r = bp.run(pages16)
+        dts.append(time.perf_counter() - t0)
+        if bench.n_error_pages(r):
+            return {"invalid": "error pages"}
+    return {"pages_per_sec": round(16 / median(dts), 2),
+            "iters_s": [round(t, 3) for t in dts]}
+
+
+EXPS = {"stages": exp_stages, "chunksweep": exp_chunksweep,
+        "order": exp_order, "headline": exp_headline}
+
+
+def main():
+    names = (sys.argv[1] if len(sys.argv) > 1 else "stages").split(",")
+    bp = bench.build_pipeline("wireless", inject_lines=False)
+    if not bench.ensure_bench_det_weights(bp):
+        print("no organic weights — aborting", file=sys.stderr)
+        return 1
+    pages16 = [{"image": bench.make_page(i)} for i in range(16)]
+    pages48 = [{"image": bench.make_page(i % 16)} for i in range(48)]
+    t0 = time.perf_counter()
+    bp.warm()
+    bp.run(pages16)
+    bp.run(pages48)
+    print(f"[exp] warm in {time.perf_counter() - t0:.1f}s", flush=True)
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            out[name] = EXPS[name](bp, pages16, pages48)
+        except Exception as e:
+            out[name] = f"error: {type(e).__name__}: {e}"
+        print(f"[exp] {name} done in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
