@@ -129,11 +129,23 @@ class OcrLayoutTask(InferTask):
             import numpy as np
             return None, [img for img in np.asarray(pages_dev)]
         self.ensure_built()
+        import os
+
         import jax
         import jax.numpy as jnp
 
         from ..models.picodet.processor import device_decode_topk
 
+        # device NMS: a second SMALL program runs the per-class greedy
+        # suppression over the decode program's packed candidates (which
+        # never leave the chip), so only the survivors (B, C, keep_top_k,
+        # 5) download and the host sheds its per-page hard_nms loop
+        # (~30 ms/page on the 1-core rig). Kept separate from the decode
+        # program on purpose: fusing changes the big program's hash and
+        # forces a full backbone recompile per shape, while this split
+        # costs one extra ~0.5 ms dispatch and compiles in seconds.
+        # PDFTABLE_DEVICE_NMS=0 restores host NMS.
+        dev_nms = os.environ.get("PDFTABLE_DEVICE_NMS", "1") != "0"
         key = ("pages_decode", pages_dev.shape)
         fn = self._jitted.get(key)
         if fn is None:
@@ -154,22 +166,55 @@ class OcrLayoutTask(InferTask):
             fn = track_program(f"layout:{key[1]}", jax.jit(run))
             self._jitted[key] = fn
         P, H, W = pages_dev.shape[0], pages_dev.shape[1], pages_dev.shape[2]
-        metas = [{"org_shape": (H, W)} for _ in range(P)]
-        return fn(self._params, pages_dev), metas
+        metas = [{"org_shape": (H, W), "device_nms": dev_nms}
+                 for _ in range(P)]
+        handle = fn(self._params, pages_dev)
+        if dev_nms:
+            nkey = ("pages_nms", tuple(handle.shape))
+            nfn = self._jitted.get(nkey)
+            if nfn is None:
+                from ..models.picodet.processor import device_nms_pack
+                from ..utils.profiling import track_program
+                cfg = self.model_config
+
+                def run_nms(packed):
+                    return device_nms_pack(packed[..., :4],
+                                           packed[..., 4:], cfg)
+
+                nfn = track_program(f"layout_nms:{nkey[1]}",
+                                    jax.jit(run_nms))
+                self._jitted[nkey] = nfn
+            handle = nfn(handle)
+        return handle, metas
 
     def batch_finish(self, handle, metas):
         """Per-page postprocess of a :meth:`batch_enqueue` result ->
         [layout_cells] per page."""
         if self.model_name == "DocXLayout":
             return [self(img)["layout_cells"] for img in metas]
+        import time
+
+        from ..utils.profiling import trace_acc
+
+        t0 = time.perf_counter()
         packed = np.asarray(handle)
-        boxes, scores = packed[..., :4], packed[..., 4:]
+        t1 = time.perf_counter()
+        trace_acc("layout_d2h_wait", t1 - t0)
         out = []
-        for i, meta in enumerate(metas):
-            result = self.post.from_candidates(boxes[i], scores[i],
-                                               meta["org_shape"])
-            result["layout_cells"] = self.post.to_layout_cells(result)
-            out.append(result["layout_cells"])
+        if metas and metas[0].get("device_nms"):
+            for i, meta in enumerate(metas):
+                result = self.post.from_device_nms(packed[i],
+                                                   meta["org_shape"])
+                result["layout_cells"] = self.post.to_layout_cells(result)
+                out.append(result["layout_cells"])
+        else:
+            boxes, scores = packed[..., :4], packed[..., 4:]
+            for i, meta in enumerate(metas):
+                result = self.post.from_candidates(boxes[i], scores[i],
+                                                   meta["org_shape"])
+                result["layout_cells"] = self.post.to_layout_cells(result)
+                out.append(result["layout_cells"])
+        trace_acc("layout_host_nms", time.perf_counter() - t1)
         return out
 
     def batch_infer(self, images):

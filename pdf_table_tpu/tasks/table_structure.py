@@ -543,13 +543,17 @@ class OcrTableStructureTask(InferTask):
             return self.batch_infer(crops)
 
     def _lore_infer_from_pages(self, pages_dev, regions) -> list:
+        import time
+
         import jax
         import jax.numpy as jnp
 
         from ..engine.infer_task import bucket_batch_size
         from ..models.lore.processor import LorePreProcessor
         from ..ops.warp import resample_axis_aligned_crops
+        from ..utils.profiling import trace_acc
 
+        t_prep0 = time.perf_counter()
         self.ensure_built()
         cfg = self.model_config
         inp_h, inp_w = cfg.resolution
@@ -604,6 +608,7 @@ class OcrTableStructureTask(InferTask):
                     pg[int(y1):int(y2), int(x1):int(x2)])
             metas.append(meta)
 
+        trace_acc("tsr_prep_host", time.perf_counter() - t_prep0)
         wiz = getattr(self, "_wiz_parts", None) \
             if getattr(cfg, "wiz_rev", False) else None
 
@@ -641,6 +646,7 @@ class OcrTableStructureTask(InferTask):
         for i, r in enumerate(res_hw):
             by_res.setdefault(r, []).append(i)
         sub_batches = []
+        t_disp0 = time.perf_counter()
         for res, idx_list in sorted(by_res.items()):
             cap = max(1, int(base_cap * full_px / (res[0] * res[1])))
             fused_fn = get_fused_fn(res)
@@ -660,12 +666,15 @@ class OcrTableStructureTask(InferTask):
                                jnp.asarray(px), jnp.asarray(vw),
                                jnp.asarray(vh))
                 sub_batches.append((sub, out))
+        trace_acc("tsr_dispatch", time.perf_counter() - t_disp0)
+
         def fetch_concat(handles):
             """ONE blocking download for a list of (nb_i, ...) device
             arrays (equal trailing dims): every blocking np.asarray pays a
             full tunnel RTT (~30-38 ms measured round 4, regardless of
             size), so per-sub-batch downloads cost RTT x sub-batches while
             one device-side concat costs a ~1.5 ms queued dispatch."""
+            t_f0 = time.perf_counter()
             if len(handles) == 1:
                 out = handles[0]
             else:
@@ -679,9 +688,11 @@ class OcrTableStructureTask(InferTask):
             for h in handles:
                 parts.append(arr[off:off + h.shape[0]])
                 off += h.shape[0]
+            trace_acc("tsr_fetch_block", time.perf_counter() - t_f0)
             return parts
 
         pending = []
+        t_g0 = time.perf_counter()
         if wiz is not None and self.wiz_device_refine:
             # zero-RTT wiz_rev: refine+sort is traced into the
             # gather_logical program, so nothing blocks between
@@ -712,12 +723,15 @@ class OcrTableStructureTask(InferTask):
             for sub, fo in sub_batches:
                 pending.append((sub, self._lore_raw["proc_pack"](
                     self._params, fo)))
+        trace_acc("tsr_refine_dispatch", time.perf_counter() - t_g0)
         results: list = [None] * len(metas)
         packed_parts = fetch_concat([p for _sub, p in pending])
+        t_p0 = time.perf_counter()
         for (sub, _h), packed_np in zip(pending, packed_parts):
             for j, i in enumerate(sub):
                 results[i] = self._postprocess(
                     {"packed": packed_np[j:j + 1]}, metas[i])
+        trace_acc("tsr_postproc", time.perf_counter() - t_p0)
         return results
 
     def batch_infer(self, crops) -> list:

@@ -46,6 +46,32 @@ def stage(name: str, metrics: Optional[Dict[str, float]] = None) -> Iterator[Non
         metrics[name] = metrics.get(name, 0.0) + time.perf_counter() - t0
 
 
+# -- fine-grained lane tracing (env-gated) ------------------------------------
+
+# PDFTABLE_LANE_TRACE=1 turns sub-stage accumulators inside the hot lane
+# functions (layout batch_finish, TSR _lore_infer_from_pages) into real
+# measurements; off, each site costs one env lookup. tools/exp.py's
+# "lanes" experiment drains this to attribute per-chunk wall time.
+import threading
+
+trace_stats: Dict[str, float] = {}
+_trace_lock = threading.Lock()
+
+
+def trace_acc(key: str, dt: float) -> None:
+    if os.environ.get("PDFTABLE_LANE_TRACE", "0") != "1":
+        return
+    with _trace_lock:
+        trace_stats[key] = trace_stats.get(key, 0.0) + dt
+
+
+def drain_trace() -> Dict[str, float]:
+    with _trace_lock:
+        out = dict(trace_stats)
+        trace_stats.clear()
+    return out
+
+
 # -- program registry (MFU / device-ceiling accounting) ----------------------
 
 # name -> TrackedProgram. Populated by track_program() at the hot-path jit

@@ -49,6 +49,47 @@ class TestPicoDet:
         from pdf_table_tpu.entity.enums import HtmlContentType
         assert cells[0].cell_type == HtmlContentType.TABLE
 
+    def test_device_nms_matches_host_nms(self):
+        """device_decode_nms (fused greedy NMS on device) must reproduce
+        the host path (device_decode_topk -> from_candidates) exactly:
+        same survivors, same global ordering, same rescaled boxes."""
+        from pdf_table_tpu.models.picodet import (PicoDetConfig,
+                                                  PicoDetPostProcessor)
+        from pdf_table_tpu.models.picodet.processor import (
+            device_decode_nms, device_decode_topk)
+
+        cfg = PicoDetConfig(task_type="en", img_height=64, img_width=64,
+                            score_threshold=0.3)
+        post = PicoDetPostProcessor(cfg)
+        rng = np.random.default_rng(7)
+        raw = {"scores": [], "boxes": []}
+        B = 2
+        for stride in cfg.strides:
+            hw = (64 // stride) ** 2
+            # dense random candidates: many pass the 0.3 threshold and
+            # the random boxes overlap, so NMS does real suppression
+            raw["scores"].append(jnp.asarray(
+                rng.uniform(0, 1, (B, hw, cfg.num_classes)).astype(
+                    np.float32)))
+            raw["boxes"].append(jnp.asarray(
+                rng.normal(0, 2, (B, hw, 4 * (cfg.reg_max + 1))).astype(
+                    np.float32)))
+        packed_host = np.asarray(device_decode_topk(raw, cfg))
+        packed_dev = np.asarray(device_decode_nms(raw, cfg))
+        for i in range(B):
+            want = post.from_candidates(packed_host[i, :, :4],
+                                        packed_host[i, :, 4:], (64, 64))
+            got = post.from_device_nms(packed_dev[i], (64, 64))
+            assert len(got["bboxs"]) == len(want["bboxs"])
+            assert len(want["bboxs"]) > 3   # the fixture exercises NMS
+            for g, w in zip(got["bboxs"], want["bboxs"]):
+                assert g["label"] == w["label"]
+                assert g["category_id"] == w["category_id"]
+                np.testing.assert_allclose(g["score"], w["score"],
+                                           rtol=1e-5)
+                np.testing.assert_allclose(g["bbox"], w["bbox"],
+                                           rtol=1e-4, atol=1e-4)
+
     def test_layout_task(self):
         from pdf_table_tpu.tasks.layout import OcrLayoutTask
 

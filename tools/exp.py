@@ -31,6 +31,28 @@ def exp_stages(bp, pages16, pages48):
     return {"pages_per_sec_48p": round(pps, 2), "stages_ms_per_page": stats}
 
 
+def exp_lanes(bp, pages16, pages48):
+    """Sub-stage attribution inside the layout + TSR lanes (ms/page over
+    two 48-page runs), via the env-gated trace_acc sites."""
+    import os
+
+    from pdf_table_tpu.utils.profiling import drain_trace
+
+    os.environ["PDFTABLE_LANE_TRACE"] = "1"
+    try:
+        drain_trace()
+        pps = []
+        for _ in range(2):
+            p, _r = bench.timed_run(bp, pages48)
+            pps.append(round(p, 2))
+        tr = drain_trace()
+    finally:
+        os.environ.pop("PDFTABLE_LANE_TRACE", None)
+    return {"pages_per_sec": pps,
+            "trace_ms_per_page": {k: round(v / 96 * 1000, 2)
+                                  for k, v in sorted(tr.items())}}
+
+
 def exp_chunksweep(bp, pages16, pages48):
     out = {}
     for trial in range(2):
@@ -77,7 +99,7 @@ def exp_headline(bp, pages16, pages48):
 
 
 EXPS = {"stages": exp_stages, "chunksweep": exp_chunksweep,
-        "order": exp_order, "headline": exp_headline}
+        "order": exp_order, "headline": exp_headline, "lanes": exp_lanes}
 
 
 def main():
