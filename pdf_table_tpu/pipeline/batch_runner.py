@@ -1070,12 +1070,16 @@ class BatchPipeline:
             # enqueue every chunk's upload + det/layout programs up front
             # (async): chunk k's D2H then overlaps chunk k+1's H2D/compute
             # on the device stream while the host posts/recognizes chunk k
-            def timed(key, fn, *a):
+            from ..utils.profiling import trace_event
+
+            def timed(key, fn, *a, ev=None):
                 t = time.time()
                 try:
                     return fn(*a)
                 finally:
-                    stats[key] += time.time() - t
+                    t1 = time.time()
+                    stats[key] += t1 - t
+                    trace_event(ev or key, t, t1)
 
             rec_pool = cf.ThreadPoolExecutor(max_workers=self.lane_workers)
             layout_pool = cf.ThreadPoolExecutor(
@@ -1107,7 +1111,9 @@ class BatchPipeline:
                     continue
                 try:
                     shp = chunk["images"].shape
+                    t_up = time.time()
                     dev = self._upload_chunk(chunk["images"])
+                    trace_event(f"upload_enqueue:{ci}", t_up, time.time())
                     canvs.append(dev)
                     det_hw = det_input_size(chunk["bucket"],
                                             det.model_config.limit_side_len)
@@ -1178,9 +1184,11 @@ class BatchPipeline:
                     layout_futs.append(layout_pool.submit(
                         timed, "layout_lane",
                         self._layout_regions_for_chunk,
-                        chunk["shapes"], layout_handles[ci], digital_info))
-                    tsr_futs.append(tsr_pool.submit(timed, "tsr_lane",
-                                                    tsr_stage, ci))
+                        chunk["shapes"], layout_handles[ci], digital_info,
+                        ev=f"layout_lane:{ci}"))
+                    tsr_futs.append(tsr_pool.submit(
+                        timed, "tsr_lane", tsr_stage, ci,
+                        ev=f"tsr_lane:{ci}"))
                 except Exception as e:
                     from ..utils.fault import is_device_fault
                     if not is_device_fault(e):
@@ -1212,6 +1220,7 @@ class BatchPipeline:
                     handle, prob_hw = handles[ci]
                     try:
                         arr = np.asarray(handle)[:shp[0]]
+                        trace_event(f"det_wait:{ci}", t0, time.time())
                     except Exception as e:
                         # deferred device fault surfacing at the blocking
                         # download: retry ONCE with a fresh upload +
@@ -1261,7 +1270,7 @@ class BatchPipeline:
                 rec_fut = rec_pool.submit(timed, "rec_lane",
                                           self._recognize_chunk,
                                           canvs[ci], page_imgs, quads,
-                                          use_dev)
+                                          use_dev, ev=f"rec_lane:{ci}")
                 staged.append((chunk, quads, tsr_futs[ci], rec_fut, None,
                                ci))
             for chunk, quads, tsr_fut, fut, chunk_err, ci in staged:
@@ -1276,8 +1285,10 @@ class BatchPipeline:
                         results[i] = _error_output(pages[i].get("page", i),
                                                    chunk_err)
                     continue
+                t_j = time.time()
                 try:
                     layout_cells, table_results = tsr_fut.result()
+                    trace_event(f"tsr_join:{ci}", t_j, time.time())
                 except Exception:
                     # deferred device fault (or poisoned canvas) on the
                     # layout/TSR lane: re-run the chunk serially with a
@@ -1300,8 +1311,10 @@ class BatchPipeline:
                             "dropped for this chunk")
                         layout_cells = [[] for _ in chunk["indices"]]
                         table_results = [[] for _ in chunk["indices"]]
+                t_j = time.time()
                 try:
                     texts, scores = fut.result()
+                    trace_event(f"rec_join:{ci}", t_j, time.time())
                 except Exception as e:
                     logger.exception("chunk recognition failed")
                     texts = [[""] * len(q) for q in quads]
@@ -1343,6 +1356,7 @@ class BatchPipeline:
                         results[i] = _error_output(pages[i].get("page", i),
                                                    e)
                 stats["html"] += time.time() - t0
+                trace_event(f"html:{ci}", t0, time.time())
             rec_pool.shutdown(wait=True)
             layout_pool.shutdown(wait=True)
             tsr_pool.shutdown(wait=True)

@@ -72,6 +72,25 @@ def drain_trace() -> Dict[str, float]:
     return out
 
 
+# (label, t_start, t_end) wall-clock spans, e.g. "tsr_lane:3" = chunk 3's
+# TSR lane. Drives tools/exp.py's "timeline" critical-path view.
+trace_events: list = []
+
+
+def trace_event(label: str, t0: float, t1: float) -> None:
+    if os.environ.get("PDFTABLE_LANE_TRACE", "0") != "1":
+        return
+    with _trace_lock:
+        trace_events.append((label, t0, t1))
+
+
+def drain_events() -> list:
+    with _trace_lock:
+        out = list(trace_events)
+        trace_events.clear()
+    return out
+
+
 # -- program registry (MFU / device-ceiling accounting) ----------------------
 
 # name -> TrackedProgram. Populated by track_program() at the hot-path jit

@@ -53,6 +53,30 @@ def exp_lanes(bp, pages16, pages48):
                                   for k, v in sorted(tr.items())}}
 
 
+def exp_timeline(bp, pages16, pages48):
+    """Per-chunk lane spans for ONE 48-page run, as ms offsets from run
+    start — the critical-path view (who waits on whom)."""
+    import os
+
+    from pdf_table_tpu.utils.profiling import drain_events
+
+    os.environ["PDFTABLE_LANE_TRACE"] = "1"
+    try:
+        drain_events()
+        t0 = time.perf_counter()
+        import time as _t
+        w0 = _t.time()
+        pps, _r = bench.timed_run(bp, pages48)
+        evs = drain_events()
+    finally:
+        os.environ.pop("PDFTABLE_LANE_TRACE", None)
+    del t0
+    rows = [f"{(a - w0) * 1000:7.0f} ->{(b - w0) * 1000:7.0f}  "
+            f"[{(b - a) * 1000:6.0f}ms] {lab}"
+            for lab, a, b in sorted(evs, key=lambda e: e[1])]
+    return {"pages_per_sec": round(pps, 2), "spans": rows}
+
+
 def exp_chunksweep(bp, pages16, pages48):
     out = {}
     for trial in range(2):
@@ -98,8 +122,26 @@ def exp_headline(bp, pages16, pages48):
             "iters_s": [round(t, 3) for t in dts]}
 
 
+def exp_lanesweep(bp, pages16, pages48):
+    """lane_workers sweep: the timeline shows tsr/rec lanes at ~495 ms of
+    mostly-blocking wait per chunk; with 2 workers that caps cadence at
+    ~250 ms/chunk while the device sits ~50% idle."""
+    out = {}
+    for trial in range(3):
+        for lw in (2, 3, 4, 6):
+            bp.lane_workers = lw
+            pps, _ = bench.timed_run(bp, pages48)
+            out.setdefault(str(lw), []).append(round(pps, 2))
+            print(f"lanesweep lw={lw} trial={trial}: {pps:.2f}",
+                  flush=True)
+    bp.lane_workers = 2
+    return {k: {"median": round(median(v), 2), "all": v}
+            for k, v in out.items()}
+
+
 EXPS = {"stages": exp_stages, "chunksweep": exp_chunksweep,
-        "order": exp_order, "headline": exp_headline, "lanes": exp_lanes}
+        "order": exp_order, "headline": exp_headline, "lanes": exp_lanes,
+        "timeline": exp_timeline, "lanesweep": exp_lanesweep}
 
 
 def main():
