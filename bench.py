@@ -52,24 +52,40 @@ def build_pipeline(tsr_task_type: str = "wireless",
     converted-weight-like volume, and (c) a floor-threshold single-class
     picodet emits up to 2 'table' regions/page so LORE TSR + table HTML
     carry real load."""
+    import os as _os
+
     from pdf_table_tpu.pipeline.batch_runner import BatchPipeline
     from pdf_table_tpu.pipeline.system import OcrSystemConfig
     from pdf_table_tpu.tasks.detection import OcrDetectionTask
     from pdf_table_tpu.tasks.layout import OcrLayoutTask
+    from pdf_table_tpu.tasks.recognition import OcrRecognitionTask
     from pdf_table_tpu.tasks.table_structure import OcrTableStructureTask
+
+    # compute dtype for the model forwards. bf16 is the MXU-native
+    # precision and mirrors the reference's fp16 deployment path
+    # (deploy_utils.py:227-264), but the full-pipeline bf16 arm measured
+    # a wash on chip (steady 23.8 vs 23.8-24.2 f32, headline 22.6 vs
+    # 22.8 — /tmp/exp_bf16.log, 2026-08-19): the pipeline is tunnel/RTT
+    # bound, not device-FLOP bound, so f32 stays the default.
+    dt = _os.environ.get("PDFTABLE_BENCH_DTYPE", "float32")
+    kw = {} if dt == "float32" else {"dtype": dt}
 
     cfg = OcrSystemConfig(use_layout=True, use_table=True,
                           use_orientation_cls=False)
     bp = BatchPipeline(cfg, batch_pages=8)
     bp.system._det = OcrDetectionTask(model="PP-OCRv4_det", thresh=0.45,
-                                      box_thresh=0.0, max_candidates=48)
+                                      box_thresh=0.0, max_candidates=48,
+                                      **kw)
     bp.system._layout = OcrLayoutTask(model="picodet", task_type="table",
-                                      score_threshold=0.05, keep_top_k=2)
+                                      score_threshold=0.05, keep_top_k=2,
+                                      **kw)
+    bp.system._rec = OcrRecognitionTask(model=cfg.recognizer_model,
+                                        lang=cfg.lang, **kw)
     # res_buckets: throughput opt-in (product default is the exact
     # reference resolution; see tasks/table_structure.py)
     bp.system._tsr = OcrTableStructureTask(model="Lore",
                                            task_type=tsr_task_type,
-                                           res_buckets="auto")
+                                           res_buckets="auto", **kw)
 
     if inject_lines:
         def add_lines(quads, shapes):

@@ -139,9 +139,55 @@ def exp_lanesweep(bp, pages16, pages48):
             for k, v in out.items()}
 
 
+def exp_rtt(bp, pages16, pages48):
+    """Transport microcosts on the live session: blocking-fetch RTT for a
+    tiny device array (cold vs after copy_to_host_async), one chunk
+    upload, and a tiny dispatch+fetch round trip."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    out = {}
+
+    def med(f, n=7):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append((time.perf_counter() - t0) * 1000)
+        return round(median(ts), 2), [round(t, 1) for t in ts]
+
+    small = jnp.zeros((64,), jnp.float32) + 1.0
+    _ = np.asarray(small)
+    out["fetch_small_cold_ms"] = med(
+        lambda: np.asarray(small * 1.00001))[0]
+
+    def fetch_async():
+        h = small * 1.00001
+        h.copy_to_host_async()
+        time.sleep(0.05)
+        np.asarray(h)
+    out["fetch_small_after_async_ms"] = round(med(fetch_async)[0] - 50, 2)
+
+    imgs = np.stack([bench.make_page(i) for i in range(8)])
+    out["upload_chunk_enqueue_ms"] = med(
+        lambda: bp._upload_chunk(imgs), 5)[0]
+
+    def upload_sync():
+        dev = bp._upload_chunk(imgs)
+        np.asarray(dev[0, :1, :1])
+    out["upload_chunk_sync_ms"] = med(upload_sync, 5)[0]
+
+    big = jnp.zeros((8, 1224, 950), jnp.uint8)
+    _ = np.asarray(big[0, :1, :1])
+    out["fetch_9mb_ms"] = med(lambda: np.asarray(big + 1), 3)[0]
+    return out
+
+
 EXPS = {"stages": exp_stages, "chunksweep": exp_chunksweep,
         "order": exp_order, "headline": exp_headline, "lanes": exp_lanes,
-        "timeline": exp_timeline, "lanesweep": exp_lanesweep}
+        "timeline": exp_timeline, "lanesweep": exp_lanesweep,
+        "rtt": exp_rtt}
 
 
 def main():
