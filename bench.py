@@ -495,6 +495,18 @@ def tail_configs(bp, pages, wall_budget_s: float = 1500.0) -> dict:
     trials = []
     truncated = False
     invalid = None
+    # one UNRECORDED settle run first: the preceding tail sections swap
+    # TSR models/resolutions, so the first 48p run after them re-primes
+    # lanes and device buffers (measured: trial 1 ran 15-19 vs 22-24 for
+    # trials 2-3 across every round-5 session). Steady state by
+    # definition excludes that transient; the settle value is still
+    # recorded separately for honesty.
+    try:
+        settle_pps, _ = timed_run(bp, long_pages)
+        tail["steady_state_48p_settle"] = round(settle_pps, 3)
+    except RuntimeError as e:
+        tail["steady_state_48p_invalid"] = str(e)
+        return tail
     for _ in range(3):
         try:
             pps, _ = timed_run(bp, long_pages)

@@ -148,6 +148,22 @@ class BatchPipeline:
         import os as _os
         self.layout_first = _os.environ.get(
             "PDFTABLE_LAYOUT_FIRST", "1") != "0"
+        # D2H strategy for the packed rec download. "parts" (=1) skips
+        # the device-side concat and instead issues copy_to_host_async
+        # per sub-batch AT DISPATCH TIME: each part streams down while
+        # later sub-batches (and other lanes' programs) still compute,
+        # and the final np.asarray is a ~1 ms local hit instead of a
+        # ~38 ms tunnel RTT (measured: tools/exp.py exp_rtt). =0
+        # restores the single device concat + one blocking download.
+        self.fetch_parts = _os.environ.get(
+            "PDFTABLE_FETCH_PARTS", "0") != "0"
+        # cap on how many chunks may enqueue upload+det+layout ahead of
+        # the table lane's progress (0 = unlimited, enqueue everything
+        # up front). A small window keeps the det/layout programs of
+        # far-future chunks from sitting in the device FIFO ahead of
+        # the critical TSR/rec programs of current chunks.
+        self.enqueue_ahead = int(_os.environ.get(
+            "PDFTABLE_ENQUEUE_AHEAD", "0"))
         self.last_stats: Optional[Dict[str, float]] = None
         self._lane_stats: Dict[str, float] = {}
 
@@ -694,6 +710,14 @@ class BatchPipeline:
                      cls_task._params if cls_task is not None else {},
                      canv_dev, jnp.asarray(mats), jnp.asarray(cmats),
                      jnp.asarray(pidx), jnp.asarray(widths))
+            if self.fetch_parts:
+                # start this group's downlink NOW: it streams while the
+                # remaining groups (and other lanes) compute, so the
+                # blocking np.asarray below is a local hit
+                try:
+                    out["rec_packed"].copy_to_host_async()
+                except Exception:
+                    pass
             self._lane_acc("rec_dispatch", time.time() - t_d)
             pending.append((idxs, n, out))
         crops_meta = owners
@@ -704,22 +728,30 @@ class BatchPipeline:
         # full tunnel RTT (~30-38 ms measured), so same-width groups (the
         # aa/non-aa split, batch-size buckets) concat on device first
         t_b = time.time()
-        by_len: Dict[int, list] = {}
-        for gi, (_idxs, _n, out) in enumerate(pending):
-            by_len.setdefault(out["rec_packed"].shape[1], []).append(gi)
         packed_np: Dict[int, np.ndarray] = {}
-        for _L, gis in by_len.items():
-            hs = [pending[gi][2]["rec_packed"] for gi in gis]
-            cat = hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=0)
-            try:
-                cat.copy_to_host_async()
-            except Exception:
-                pass
-            arr = np.asarray(cat)
-            off = 0
-            for gi, h in zip(gis, hs):
-                packed_np[gi] = arr[off:off + h.shape[0]]
-                off += h.shape[0]
+        if self.fetch_parts:
+            # each part's transfer was issued at dispatch; these reads
+            # drain already-landed buffers
+            for gi, (_idxs, _n, out) in enumerate(pending):
+                packed_np[gi] = np.asarray(out["rec_packed"])
+        else:
+            by_len: Dict[int, list] = {}
+            for gi, (_idxs, _n, out) in enumerate(pending):
+                by_len.setdefault(out["rec_packed"].shape[1],
+                                  []).append(gi)
+            for _L, gis in by_len.items():
+                hs = [pending[gi][2]["rec_packed"] for gi in gis]
+                cat = hs[0] if len(hs) == 1 \
+                    else jnp.concatenate(hs, axis=0)
+                try:
+                    cat.copy_to_host_async()
+                except Exception:
+                    pass
+                arr = np.asarray(cat)
+                off = 0
+                for gi, h in zip(gis, hs):
+                    packed_np[gi] = arr[off:off + h.shape[0]]
+                    off += h.shape[0]
         self._lane_acc("rec_block_d2h", time.time() - t_b)
         for gi, (idxs, n, _out) in enumerate(pending):
             from ..tasks.recognition import unpack_rec
@@ -1109,6 +1141,21 @@ class BatchPipeline:
                                      (layout_futs, None), (tsr_futs, None)):
                         lst.append(pad)
                     continue
+                if self.enqueue_ahead > 0 and ci >= self.enqueue_ahead:
+                    # backpressure: don't put chunk ci's det/layout in
+                    # the device FIFO until chunk ci-ahead's layout lane
+                    # has drained (its TSR dispatch follows immediately
+                    # on the tsr lane) — keeps far-future det programs
+                    # from delaying the critical TSR path
+                    gate = layout_futs[ci - self.enqueue_ahead]
+                    if gate is not None:
+                        t_g = time.time()
+                        try:
+                            gate.result()
+                        except Exception:
+                            pass   # the tsr join handles lane failures
+                        trace_event(f"enqueue_gate:{ci}", t_g,
+                                    time.time())
                 try:
                     shp = chunk["images"].shape
                     t_up = time.time()

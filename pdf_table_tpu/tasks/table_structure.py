@@ -668,13 +668,39 @@ class OcrTableStructureTask(InferTask):
                 sub_batches.append((sub, out))
         trace_acc("tsr_dispatch", time.perf_counter() - t_disp0)
 
+        import os as _os
+        fetch_parts = _os.environ.get("PDFTABLE_FETCH_PARTS", "0") != "0"
+
+        def start_d2h(handle):
+            """Issue the downlink at DISPATCH time (parts mode): the
+            transfer streams while later sub-batches and other lanes'
+            programs still compute, so the blocking read in fetch_concat
+            becomes a ~1 ms local hit (measured: tools/exp.py exp_rtt)."""
+            if fetch_parts:
+                try:
+                    handle.copy_to_host_async()
+                except Exception:
+                    pass
+            return handle
+
         def fetch_concat(handles):
-            """ONE blocking download for a list of (nb_i, ...) device
-            arrays (equal trailing dims): every blocking np.asarray pays a
-            full tunnel RTT (~30-38 ms measured round 4, regardless of
-            size), so per-sub-batch downloads cost RTT x sub-batches while
-            one device-side concat costs a ~1.5 ms queued dispatch."""
+            """Blocking download for a list of (nb_i, ...) device arrays
+            (equal trailing dims). concat mode: ONE device-side concat +
+            one download (every blocking np.asarray pays a full tunnel
+            RTT, ~30-38 ms measured round 4, regardless of size). parts
+            mode: each handle's transfer was issued at dispatch via
+            start_d2h, so per-part reads drain already-landed buffers
+            without the concat's all-parts barrier."""
             t_f0 = time.perf_counter()
+            if fetch_parts:
+                for h in handles:   # no-op if already issued at dispatch
+                    try:
+                        h.copy_to_host_async()
+                    except Exception:
+                        pass
+                parts = [np.asarray(h) for h in handles]
+                trace_acc("tsr_fetch_block", time.perf_counter() - t_f0)
+                return parts
             if len(handles) == 1:
                 out = handles[0]
             else:
@@ -701,9 +727,9 @@ class OcrTableStructureTask(InferTask):
             # the host detour permanently for this task.
             try:
                 for sub, dd in sub_batches:
-                    pending.append((sub, wiz["glrf"](
+                    pending.append((sub, start_d2h(wiz["glrf"](
                         self._params, dd["ax_flat"], dd["cr_map"],
-                        dd["dc_packed"])))
+                        dd["dc_packed"]))))
             except Exception:
                 self._disable_device_refine()
                 pending = []
@@ -718,11 +744,11 @@ class OcrTableStructureTask(InferTask):
                 packed = wiz["gl"](self._params, dd["ax_flat"],
                                    dd["cr_map"], jnp.asarray(dets),
                                    jnp.asarray(inds), jnp.asarray(scores))
-                pending.append((sub, packed))
+                pending.append((sub, start_d2h(packed)))
         elif wiz is None:
             for sub, fo in sub_batches:
-                pending.append((sub, self._lore_raw["proc_pack"](
-                    self._params, fo)))
+                pending.append((sub, start_d2h(self._lore_raw["proc_pack"](
+                    self._params, fo))))
         trace_acc("tsr_refine_dispatch", time.perf_counter() - t_g0)
         results: list = [None] * len(metas)
         packed_parts = fetch_concat([p for _sub, p in pending])

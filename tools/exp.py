@@ -184,7 +184,98 @@ def exp_rtt(bp, pages16, pages48):
     return out
 
 
+def exp_smallchunk(bp, pages16, pages48):
+    """batch_pages sweep focused on the SHORT-corpus (16p headline)
+    regime: at 8 pages/chunk a 16-page corpus is only 2 chunks — the
+    lanes barely overlap; 4-page chunks give 4 pipeline slots at the
+    cost of more dispatches."""
+    out = {}
+    for nbp in (4, 6, 8):
+        bp.batch_pages = nbp
+        bp.run(pages16)   # compile new padding buckets off the clock
+    for trial in range(3):
+        for nbp in (4, 6, 8):
+            bp.batch_pages = nbp
+            t0 = time.perf_counter()
+            r = bp.run(pages16)
+            p16 = 16 / (time.perf_counter() - t0) \
+                if not bench.n_error_pages(r) else 0.0
+            p48, _ = bench.timed_run(bp, pages48)
+            out.setdefault(str(nbp), {"p16": [], "p48": []})
+            out[str(nbp)]["p16"].append(round(p16, 2))
+            out[str(nbp)]["p48"].append(round(p48, 2))
+            print(f"smallchunk bp={nbp} trial={trial}: 16p={p16:.2f} "
+                  f"48p={p48:.2f}", flush=True)
+    bp.batch_pages = 8
+    return {k: {"p16_median": round(median(v["p16"]), 2),
+                "p48_median": round(median(v["p48"]), 2), "all": v}
+            for k, v in out.items()}
+
+
+def exp_profile(bp, pages16, pages48):
+    """jax.profiler capture around ONE steady 48p run + inline plane
+    summary (device busy vs span = the ground truth the wall-clock
+    lane timers can't give on a noisy tunnel)."""
+    import jax
+
+    trace_dir = "/tmp/exp_trace"
+    jax.profiler.start_trace(trace_dir)
+    try:
+        pps, _ = bench.timed_run(bp, pages48)
+    finally:
+        jax.profiler.stop_trace()
+    sys.path.insert(0, "tools")
+    import analyze_trace
+
+    planes = analyze_trace.analyze(trace_dir, top=14)
+    out = {"pages_per_sec": round(pps, 2), "planes": {}}
+    for name, s in planes:
+        top_ops = sorted(s["per_op_s"].items(), key=lambda kv: -kv[1])[:14]
+        out["planes"][name] = {
+            "busy_s": round(s["busy_s"], 3),
+            "span_s": round(s["span_s"], 3),
+            "top_ops_ms": {k: round(v * 1000, 1) for k, v in top_ops}}
+    return out
+
+
+def exp_fetchab(bp, pages16, pages48):
+    """A/B the D2H strategies: per-part copy_to_host_async at dispatch
+    (fetch_parts) vs the round-4 device-concat single download, and the
+    enqueue-ahead window. All arms share one process/compile state:
+    fetch_parts is re-read from env per call in table_structure, and
+    the batch_runner copies live on the bp object."""
+    import os
+
+    arms = [("concat", False, 0), ("parts", True, 0),
+            ("parts_ahead2", True, 2), ("parts_ahead3", True, 3),
+            ("concat_ahead2", False, 2)]
+    out = {}
+    for trial in range(3):
+        for name, parts, ahead in arms:
+            os.environ["PDFTABLE_FETCH_PARTS"] = "1" if parts else "0"
+            bp.fetch_parts = parts
+            bp.enqueue_ahead = ahead
+            p48, _ = bench.timed_run(bp, pages48)
+            t0 = time.perf_counter()
+            r = bp.run(pages16)
+            p16 = 16 / (time.perf_counter() - t0) \
+                if not bench.n_error_pages(r) else 0.0
+            out.setdefault(name, {"p48": [], "p16": []})
+            out[name]["p48"].append(round(p48, 2))
+            out[name]["p16"].append(round(p16, 2))
+            print(f"fetchab {name} trial={trial}: 48p={p48:.2f} "
+                  f"16p={p16:.2f}", flush=True)
+    os.environ.pop("PDFTABLE_FETCH_PARTS", None)
+    bp.fetch_parts = False
+    bp.enqueue_ahead = 0
+    return {k: {"p48_median": round(median(v["p48"]), 2),
+                "p16_median": round(median(v["p16"]), 2),
+                "all": v} for k, v in out.items()}
+
+
 EXPS = {"stages": exp_stages, "chunksweep": exp_chunksweep,
+        "fetchab": exp_fetchab, "smallchunk": exp_smallchunk,
+        "profile": exp_profile,
         "order": exp_order, "headline": exp_headline, "lanes": exp_lanes,
         "timeline": exp_timeline, "lanesweep": exp_lanesweep,
         "rtt": exp_rtt}
