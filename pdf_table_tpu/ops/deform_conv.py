@@ -137,18 +137,23 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
         g = jnp.take_along_axis(xq, base[:, :, None], axis=1)
         if blend_matmul_supported(Np, T * 4 * Cin, Cout, gdt):
             # corner-major flat layouts, no sub-128 trailing dims anywhere:
-            # g2 (Np, T*4C) is the gather output's natural reshape; w4e
-            # repeats each corner weight across its Cin channels; wrep
+            # g2 (Np, T*4C) is the gather output's natural reshape; w4
+            # stays COMPACT (Np, T*4) — the per-channel repeat happens
+            # inside the kernel via a constant 0/1 matmul (the
+            # materialized (Np, T*4*Cin) w4e was a ~680 MB HBM temp at
+            # the hot LORE shape whose repeat/copy chain out-cost the
+            # gather — round-5 device trace, docs/performance.md); wrep
             # replicates each tap's weights over the 4 corners so the
             # corner reduction rides the MXU contraction.
+            from .pallas.deform_blend import expand_matrix
             g2 = g.reshape(B, Ho * Wo, T * 4 * Cin
                            ).reshape(Np, T * 4 * Cin)
-            w4e = jnp.repeat(
-                w4.reshape(Np, T * 4), Cin, axis=-1).astype(gdt)
+            w4s = w4.reshape(Np, T * 4).astype(gdt)
+            exp = expand_matrix(T * 4, Cin, gdt)
             wrep = jnp.broadcast_to(
                 wmat[t0:t1].reshape(T, 1, Cin, Cout),
                 (T, 4, Cin, Cout)).reshape(T * 4 * Cin, Cout).astype(gdt)
-            out = out + blend_matmul(g2, w4e, wrep)
+            out = out + blend_matmul(g2, w4s, exp, wrep)
             continue
         g = g.reshape(B, Ho, Wo, T, 4, Cin)
         # ONE matmul per chunk over the (T*Cin) contraction instead of a

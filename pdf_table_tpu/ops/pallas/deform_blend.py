@@ -11,20 +11,32 @@ Division of labor on TPU (measured on v5e, see docs/performance.md):
   to beat it with;
 * everything AFTER the gather — corner lerp weights × gathered corners,
   the implicit im2col reshape, and the (N, K·4C) x (K·4C, Cout)
-  contraction — fuses HERE into one VMEM-resident kernel. The XLA
-  formulation materializes the blended im2col tensor to HBM between the
-  blend and the matmul in a (…, K, 4, C) layout whose trailing dims pad
-  16/9 x 128/64 = 3.6x on TPU tiles; the fused kernel never writes it.
+  contraction — fuses HERE into one VMEM-resident kernel.
 
-Layout contract (all 128-lane aligned, checked by the wrapper):
+Weight expansion rides the MXU (round 5): the per-corner lerp weights
+w4 (Np, K·4) used to be `jnp.repeat`-ed across the Cin channels on the
+host-XLA side into a (Np, K·4·C) bf16 tensor — at the hot LORE shape
+that is a ~680 MB HBM temp written + read per DCN call, and the round-5
+device trace showed its repeat/copy/reshape chain costing more than the
+gather itself. The kernel now takes the COMPACT w4 plus a constant 0/1
+expansion matrix E = repeat(eye(K·4), C, axis=1) and expands in VMEM
+with one tiny matmul (w4_tile @ E): bit-exact to the repeat (E is 0/1),
+no giant temp, and the kernel's own VMEM need DROPS (the w4e row tile
+is replaced by a (rows, 128) tile + the resident E block).
+
+Layout contract (lane-aligned, checked/padded by the wrapper):
   g2:   (Np, K*4*C)  bf16 — gathered corner rows, corner-major per tap
                             (the natural reshape of the quad-gather).
-  w4e:  (Np, K*4*C)  bf16 — lerp weight x mask, repeated per channel.
+  w4:   (Np, K4P)    bf16 — lerp weight x mask per tap-corner, zero-
+                            padded from K*4 to K4P = 128-multiple.
+  exp:  (K4P, K*4*C) bf16 — constant 0/1 expansion (row j -> channels
+                            j*C..(j+1)*C; padding rows all-zero).
   wrep: (K*4*C, Co)  bf16 — conv weights replicated over the 4 corners.
   out:  (Np, Co)     f32 accumulation.
 
-out = (g2 * w4e) @ wrep, i.e. sum_k sum_corner w4[p,k,q] * X[corner] @ Wk
-— the corner reduction rides the MXU contraction for free.
+out = ((w4 @ exp) * g2) @ wrep, i.e. sum_k sum_corner w4[p,k,q] *
+X[corner] @ Wk — corner reduction and channel expansion both ride the
+MXU contraction for free.
 
 The custom VJP recomputes the product terms with plain XLA einsums (the
 backward is bandwidth-bound either way and keeps training parity with
@@ -41,19 +53,42 @@ import jax.numpy as jnp
 TILE_ROWS = 256
 
 
-def _kernel(g_ref, w_ref, wm_ref, out_ref):
-    gm = g_ref[:] * w_ref[:]
-    out_ref[:] = jnp.dot(gm, wm_ref[:],
+def _kernel(g_ref, w_ref, e_ref, wm_ref, out_ref):
+    # channel expansion: (rows, K4P) @ (K4P, kc) — exact, E is 0/1
+    w4e = jnp.dot(w_ref[:], e_ref[:],
+                  preferred_element_type=jnp.float32).astype(g_ref.dtype)
+    out_ref[:] = jnp.dot(g_ref[:] * w4e, wm_ref[:],
                          preferred_element_type=jnp.float32)
 
 
-def _blend_matmul_fwd_impl(g2: jax.Array, w4e: jax.Array,
+def _pad_k4(w4: jax.Array):
+    k4 = w4.shape[1]
+    k4p = -(-k4 // 128) * 128
+    if k4p != k4:
+        w4 = jnp.pad(w4, ((0, 0), (0, k4p - k4)))
+    return w4, k4p
+
+
+def expand_matrix(k4: int, cin: int, dtype=jnp.bfloat16) -> jax.Array:
+    """Constant 0/1 channel-expansion matrix (K4P, k4*cin): row j is one
+    on columns [j*cin, (j+1)*cin); zero rows pad K4 up to a lane
+    multiple. XLA constant-folds it (k4=36, cin=64 -> 166 KB)."""
+    k4p = -(-k4 // 128) * 128
+    e = jnp.repeat(jnp.eye(k4, dtype=dtype), cin, axis=1)
+    if k4p != k4:
+        e = jnp.pad(e, ((0, k4p - k4), (0, 0)))
+    return e
+
+
+def _blend_matmul_fwd_impl(g2: jax.Array, w4: jax.Array, exp: jax.Array,
                            wrep: jax.Array) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     np_, kc = g2.shape
     co = wrep.shape[1]
+    w4, k4p = _pad_k4(w4)
+    assert exp.shape == (k4p, kc), (exp.shape, k4p, kc)
     grid = (np_ // TILE_ROWS,)
     return pl.pallas_call(
         _kernel,
@@ -63,7 +98,9 @@ def _blend_matmul_fwd_impl(g2: jax.Array, w4e: jax.Array,
             in_specs=[
                 pl.BlockSpec((TILE_ROWS, kc), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_ROWS, kc), lambda i: (i, 0),
+                pl.BlockSpec((TILE_ROWS, k4p), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k4p, kc), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((kc, co), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -71,40 +108,46 @@ def _blend_matmul_fwd_impl(g2: jax.Array, w4e: jax.Array,
             out_specs=pl.BlockSpec((TILE_ROWS, co), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
-    )(g2, w4e, wrep)
+    )(g2, w4, exp, wrep)
 
 
 @jax.custom_vjp
-def blend_matmul(g2: jax.Array, w4e: jax.Array,
+def blend_matmul(g2: jax.Array, w4: jax.Array, exp: jax.Array,
                  wrep: jax.Array) -> jax.Array:
-    """(g2 * w4e) @ wrep with f32 accumulation, fused in VMEM."""
-    return _blend_matmul_fwd_impl(g2, w4e, wrep)
+    """((w4 @ exp) * g2) @ wrep with f32 accumulation, fused in VMEM."""
+    return _blend_matmul_fwd_impl(g2, w4, exp, wrep)
 
 
-def _fwd(g2, w4e, wrep):
-    return blend_matmul(g2, w4e, wrep), (g2, w4e, wrep)
+def _fwd(g2, w4, exp, wrep):
+    return blend_matmul(g2, w4, exp, wrep), (g2, w4, exp, wrep)
 
 
 def _bwd(res, dout):
-    g2, w4e, wrep = res
+    g2, w4, exp, wrep = res
     dout = dout.astype(jnp.float32)
+    w4p, _ = _pad_k4(w4)
+    w4e = jnp.dot(w4p.astype(jnp.float32), exp.astype(jnp.float32))
     dgm = jnp.dot(dout, wrep.astype(jnp.float32).T)      # (Np, K4C)
-    dg2 = (dgm * w4e.astype(jnp.float32)).astype(g2.dtype)
-    dw4e = (dgm * g2.astype(jnp.float32)).astype(w4e.dtype)
-    gm = g2.astype(jnp.float32) * w4e.astype(jnp.float32)
+    dg2 = (dgm * w4e).astype(g2.dtype)
+    dw4e = dgm * g2.astype(jnp.float32)
+    dw4 = jnp.dot(dw4e, exp.astype(jnp.float32).T)[:, :w4.shape[1]] \
+        .astype(w4.dtype)
+    gm = g2.astype(jnp.float32) * w4e
     dwrep = jnp.dot(gm.T, dout).astype(wrep.dtype)
-    return dg2, dw4e, dwrep
+    return dg2, dw4, jnp.zeros_like(exp), dwrep
 
 
 blend_matmul.defvjp(_fwd, _bwd)
 
 
 def _vmem_fits(kc: int, co: int) -> bool:
-    """Conservative VMEM estimate for one grid step: double-buffered
-    (g2, w4e) row tiles + the resident wrep block + the f32 out tile,
-    against a 12 MB budget (v5e has ~16 MB/core; leave headroom for
-    Mosaic temporaries). kc=9216 (Cin=256) measured a hard Mosaic OOM."""
-    need = (2 * (2 * TILE_ROWS * kc * 2)    # g2 + w4e, 2x buffered, bf16
+    """Conservative VMEM estimate for one grid step: double-buffered g2
+    row tiles + the compact (rows, 128) w4 tiles + the resident expand
+    and wrep blocks + the f32 out tile, against a 12 MB budget (v5e has
+    ~16 MB/core; leave headroom for Mosaic temporaries)."""
+    need = (2 * (TILE_ROWS * kc * 2)        # g2, 2x buffered, bf16
+            + 2 * (TILE_ROWS * 128 * 2)     # w4 tile (padded), 2x
+            + 128 * kc * 2                  # expand, resident
             + kc * co * 2                   # wrep, resident
             + 2 * TILE_ROWS * co * 4)       # out tile, f32, 2x buffered
     return need <= 12 * 1024 * 1024
@@ -121,7 +164,10 @@ def blend_matmul_supported(np_: int, kc: int, co: int,
     noise at Cin=128 (kc=4608), and VMEM-OOMs at Cin>=256. Default is
     therefore AUTO = the measured win region (kc <= 2304);
     PDFTABLE_PALLAS_DCN=1 forces it on wherever the tiles fit,
-    PDFTABLE_PALLAS_DCN=0 forces the XLA form everywhere."""
+    PDFTABLE_PALLAS_DCN=0 forces the XLA form everywhere.
+    (The round-5 compact-w4 kernel lowers both the kernel's VMEM need
+    and the XLA-side prep cost; the auto region is re-validated by the
+    bench's dcn_pallas_ab tail every run.)"""
     import os
 
     mode = os.environ.get("PDFTABLE_PALLAS_DCN", "auto")
@@ -136,9 +182,12 @@ def blend_matmul_supported(np_: int, kc: int, co: int,
 
 
 @functools.partial(jax.jit, static_argnames=())
-def blend_matmul_xla(g2: jax.Array, w4e: jax.Array,
+def blend_matmul_xla(g2: jax.Array, w4: jax.Array, exp: jax.Array,
                      wrep: jax.Array) -> jax.Array:
     """Reference semantics of :func:`blend_matmul` in plain XLA (used by
     the CPU tests and as the structural fallback)."""
+    w4p, _ = _pad_k4(w4)
+    w4e = jnp.dot(w4p.astype(jnp.float32),
+                  exp.astype(jnp.float32)).astype(g2.dtype)
     gm = (g2.astype(jnp.float32) * w4e.astype(jnp.float32)).astype(g2.dtype)
     return jnp.dot(gm, wrep, preferred_element_type=jnp.float32)

@@ -101,13 +101,17 @@ program_registry: Dict[str, "TrackedProgram"] = {}
 
 class TrackedProgram:
     """Thin wrapper over a jitted callable: counts calls and keeps the
-    first call's arg ShapeDtypeStructs (always) and, when
-    PDFTABLE_TRACK_PROGRAMS=1, the first call's REAL args — so a bench
-    probe can re-execute the exact program for device-only timing.
-    Holding real args pins device memory; production leaves the env
-    unset and pays only an attribute check per call."""
+    LARGEST call's arg ShapeDtypeStructs (always) and, when
+    PDFTABLE_TRACK_PROGRAMS=1, that call's REAL args — so a bench probe
+    can re-execute the exact program for device-only timing. "Largest"
+    = max total elements across array args: one registry name covers
+    every batch-bucket instantiation, and the FIRST call is typically a
+    tiny warm-up batch — probing it understated the production cost 14x
+    for the TSR trunk (round-5 device trace: 15 vs 214 ms/call at
+    nb=16). Holding real args pins device memory; production leaves the
+    env unset and pays only a size check per call."""
 
-    __slots__ = ("name", "fn", "calls", "arg_specs", "args")
+    __slots__ = ("name", "fn", "calls", "arg_specs", "args", "_size")
 
     def __init__(self, name: str, fn):
         self.name = name
@@ -115,18 +119,32 @@ class TrackedProgram:
         self.calls = 0
         self.arg_specs = None
         self.args = None
+        self._size = -1
+
+    @staticmethod
+    def _total_elems(args) -> int:
+        import jax
+
+        return sum(
+            int(x.size) if hasattr(x, "size") and hasattr(x, "shape")
+            else 0 for x in jax.tree.leaves(args))
 
     def __call__(self, *args):
         self.calls += 1
-        if self.arg_specs is None:
+        track = os.environ.get("PDFTABLE_TRACK_PROGRAMS", "0") == "1"
+        # the per-call size walk only runs under the bench env; plain
+        # production keeps the first call's specs and pays one branch
+        if self.arg_specs is None or \
+                (track and self._total_elems(args) > self._size):
             import jax
 
+            if track:
+                self._size = self._total_elems(args)
+                self.args = args
             self.arg_specs = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()),
                                                getattr(x, "dtype", None))
                 if hasattr(x, "shape") else x, args)
-            if os.environ.get("PDFTABLE_TRACK_PROGRAMS", "0") == "1":
-                self.args = args
         return self.fn(*args)
 
     def lower(self, *args, **kw):

@@ -13,15 +13,42 @@ def _mk(np_=512, k=9, c=64, co=64, seed=0):
     rng = np.random.default_rng(seed)
     kc = k * 4 * c
     g2 = jnp.asarray(rng.standard_normal((np_, kc)), jnp.bfloat16)
-    w4e = jnp.asarray(rng.random((np_, kc)), jnp.bfloat16)
+    w4 = jnp.asarray(rng.random((np_, k * 4)), jnp.bfloat16)
+    exp = db.expand_matrix(k * 4, c)
     wrep = jnp.asarray(rng.standard_normal((kc, co)) * 0.1, jnp.bfloat16)
-    return g2, w4e, wrep
+    return g2, w4, exp, wrep
+
+
+def _repeat_ref(g2, w4, c, wrep):
+    """Round-4 semantics: explicit jnp.repeat of w4 across channels."""
+    w4e = jnp.repeat(w4, c, axis=-1).astype(g2.dtype)
+    gm = (g2.astype(jnp.float32) * w4e.astype(jnp.float32)
+          ).astype(g2.dtype)
+    return jnp.dot(gm, wrep, preferred_element_type=jnp.float32)
 
 
 class TestDeformBlend:
+    def test_expand_matrix_equals_repeat(self):
+        # the in-kernel 0/1 matmul expansion must be BIT-exact vs repeat
+        k4, c = 36, 64
+        rng = np.random.default_rng(7)
+        w4 = jnp.asarray(rng.random((16, k4)), jnp.bfloat16)
+        e = db.expand_matrix(k4, c)
+        w4p, _ = db._pad_k4(w4)
+        got = np.asarray(jnp.dot(w4p.astype(jnp.float32),
+                                 e.astype(jnp.float32)))
+        want = np.asarray(jnp.repeat(w4, c, axis=-1), np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_xla_twin_matches_repeat_form(self):
+        g2, w4, exp, wrep = _mk()
+        got = np.asarray(db.blend_matmul_xla(g2, w4, exp, wrep))
+        want = np.asarray(_repeat_ref(g2, w4, 64, wrep))
+        np.testing.assert_array_equal(got, want)
+
     def test_interpret_matches_xla(self, monkeypatch):
-        g2, w4e, wrep = _mk()
-        want = np.asarray(db.blend_matmul_xla(g2, w4e, wrep))
+        g2, w4, exp, wrep = _mk()
+        want = np.asarray(db.blend_matmul_xla(g2, w4, exp, wrep))
 
         import jax.experimental.pallas as pl
 
@@ -32,25 +59,26 @@ class TestDeformBlend:
             return orig(*a, **kw)
 
         monkeypatch.setattr(pl, "pallas_call", interp)
-        got = np.asarray(db._blend_matmul_fwd_impl(g2, w4e, wrep))
+        got = np.asarray(db._blend_matmul_fwd_impl(g2, w4, exp, wrep))
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
     def test_vjp_matches_xla_grads(self):
         # the custom VJP must equal autodiff of the unfused XLA form
-        g2, w4e, wrep = _mk(np_=256, k=2, c=64, co=32)
+        g2, w4, exp, wrep = _mk(np_=256, k=2, c=64, co=32)
         g2f = g2.astype(jnp.float32)
-        w4f = w4e.astype(jnp.float32)
+        w4f = w4.astype(jnp.float32)
         wrf = wrep.astype(jnp.float32)
 
         def loss_xla(g, w, wm):
             return jnp.sum(db.blend_matmul_xla(
-                g.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                g.astype(jnp.bfloat16), w.astype(jnp.bfloat16), exp,
                 wm.astype(jnp.bfloat16)) ** 2)
 
         want = jax.grad(loss_xla, argnums=(0, 1, 2))(g2f, w4f, wrf)
         got = db._bwd(
-            (g2, w4e, wrep),
-            2.0 * db.blend_matmul_xla(g2, w4e, wrep))
+            (g2, w4, exp, wrep),
+            2.0 * db.blend_matmul_xla(g2, w4, exp, wrep))
+        got = (got[0], got[1], got[3])
         for a, b in zip(got, want):
             a = np.asarray(a, np.float32)
             b = np.asarray(b, np.float32)
@@ -71,17 +99,17 @@ class TestDeformBlend:
             return orig(*a, **kw)
 
         monkeypatch.setattr(pl, "pallas_call", interp)
-        g2, w4e, wrep = _mk(np_=256, k=2, c=64, co=32, seed=1)
+        g2, w4, exp, wrep = _mk(np_=256, k=2, c=64, co=32, seed=1)
 
         def loss(g, w, wm):
-            return jnp.sum(db.blend_matmul(g, w, wm) ** 2)
+            return jnp.sum(db.blend_matmul(g, w, exp, wm) ** 2)
 
-        got = jax.grad(loss, argnums=(0, 1, 2))(g2, w4e, wrep)
+        got = jax.grad(loss, argnums=(0, 1, 2))(g2, w4, wrep)
 
         def loss_ref(g, w, wm):
-            return jnp.sum(db.blend_matmul_xla(g, w, wm) ** 2)
+            return jnp.sum(db.blend_matmul_xla(g, w, exp, wm) ** 2)
 
-        want = jax.grad(loss_ref, argnums=(0, 1, 2))(g2, w4e, wrep)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(g2, w4, wrep)
         for a, b in zip(got, want):
             a = np.asarray(a, np.float32)
             b = np.asarray(b, np.float32)

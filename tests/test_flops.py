@@ -73,13 +73,16 @@ class TestFlops:
         # the fused DCN back half: kernel dot x grid steps
         from pdf_table_tpu.ops.pallas import deform_blend as db
 
-        np_, kc, co = 512, 1152, 64
+        np_, kc, co, k4 = 512, 1152, 64, 36
         g = jax.ShapeDtypeStruct((np_, kc), jnp.bfloat16)
-        w = jax.ShapeDtypeStruct((np_, kc), jnp.bfloat16)
+        w = jax.ShapeDtypeStruct((np_, 128), jnp.bfloat16)  # padded k4
+        e = jax.ShapeDtypeStruct((128, kc), jnp.bfloat16)
         wm = jax.ShapeDtypeStruct((kc, co), jnp.bfloat16)
-        got = fn_flops(db._blend_matmul_fwd_impl, g, w, wm)
-        want = 2 * np_ * kc * co   # grid tiles sum back to the full dot
+        got = fn_flops(db._blend_matmul_fwd_impl, g, w, e, wm)
+        # grid tiles sum back to the full dot + the in-kernel expansion
+        want = 2 * np_ * kc * co + 2 * np_ * 128 * kc
         assert got == want
+        del k4
 
     def test_tracked_program_flops(self):
         from pdf_table_tpu.utils.profiling import TrackedProgram
