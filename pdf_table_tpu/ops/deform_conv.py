@@ -112,6 +112,52 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array,
     # row to halve row count — was A/B'd on v5e 2026-08-18 and LOST at the
     # hot shape: 147 vs 121 ms at 8x256^2x64. The gather there is
     # byte-bound, not row-rate-bound; the variant was deleted.)
+
+    # tap-major fast path (round 5): gather rows ordered (batch, tap,
+    # pixel) feed the Pallas tap kernel AS-IS — no (Np*K, 4C) ->
+    # (Np, K*4C) retile at the custom-call boundary (a ~680 MB relayout
+    # per stride-4 LORE call in the round-5 device trace), and the
+    # per-tap grid keeps VMEM small enough to cover EVERY LORE DCN
+    # level (the flat-kc kernel below is stride-4 only).
+    from .pallas.deform_blend import (blend_matmul_tap,
+                                      blend_tap_supported,
+                                      expand4_matrix)
+    hw = Ho * Wo
+    tile = blend_tap_supported(B, hw, K, 4 * Cin, Cout, gdt) \
+        if bytes_per_tap * K <= 1.5e9 else 0
+    if tile:
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        wy = sy - y0
+        wx = sx - x0
+        yi = y0.astype(jnp.int32)
+        xi = x0.astype(jnp.int32)
+        in_y0 = (yi >= 0) & (yi < H)
+        in_y1 = (yi + 1 >= 0) & (yi + 1 < H)
+        in_x0 = (xi >= 0) & (xi < W)
+        in_x1 = (xi + 1 >= 0) & (xi + 1 < W)
+        w4 = jnp.stack(
+            [(1 - wy) * (1 - wx) * (in_y0 & in_x0),
+             (1 - wy) * wx * (in_y0 & in_x1),
+             wy * (1 - wx) * (in_y1 & in_x0),
+             wy * wx * (in_y1 & in_x1)], axis=-1)      # (B, Ho, Wo, K, 4)
+        w4 = w4 * mask32[..., None]
+        base = (yi % H) * W + (xi % W)                 # (B, Ho, Wo, K)
+        base_tm = base.reshape(B, hw, K).transpose(0, 2, 1) \
+            .reshape(B, K * hw)
+        w4_tm = w4.reshape(B, hw, K, 4).transpose(0, 2, 1, 3) \
+            .reshape(B * K * hw, 4).astype(gdt)
+        g = jnp.take_along_axis(xq, base_tm[:, :, None], axis=1) \
+            .reshape(B * K * hw, 4 * Cin)
+        wt = jnp.broadcast_to(
+            wmat.reshape(K, 1, Cin, Cout),
+            (K, 4, Cin, Cout)).reshape(K, 4 * Cin, Cout).astype(gdt)
+        out = blend_matmul_tap(g, w4_tm, expand4_matrix(Cin, gdt), wt,
+                               B, hw, tile).reshape(B, Ho, Wo, Cout)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out
+
     out = jnp.zeros((B * Ho * Wo, Cout), jnp.float32)
     for t0 in range(0, K, tap_chunk):
         t1 = min(t0 + tap_chunk, K)

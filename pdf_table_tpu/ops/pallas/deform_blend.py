@@ -140,6 +140,167 @@ def _bwd(res, dout):
 blend_matmul.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# tap-major kernel (round 5): grid (B, row-tiles, K) with the tap as the
+# INNER accumulation dimension. The gather emits rows ordered
+# (batch, tap, pixel), which the kernel consumes AS-IS — the flat-kc
+# kernel above forces XLA to physically retile the (Np*K, 4C) gather
+# output into (Np, K*4C) at the custom-call boundary (~680 MB per
+# stride-4 LORE DCN call, visible as 'reshape' time in the round-5
+# device trace). Per grid step: out_tile += ((w4_tile @ E4) * g_tile)
+# @ W[tap]; the (tile, 4C) x (4C, Co) dot keeps a >=128-deep MXU
+# contraction, and per-step VMEM is ~4 MB even at Cin=256 — so the tap
+# kernel covers ALL LORE DCN levels, not just stride 4.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_tap(g_ref, w_ref, e_ref, wm_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(2)
+    w4e = jnp.dot(w_ref[:], e_ref[:],
+                  preferred_element_type=jnp.float32).astype(g_ref.dtype)
+    part = jnp.dot(g_ref[:] * w4e, wm_ref[:],
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[:] = part
+
+    @pl.when(t != 0)
+    def _acc():
+        out_ref[:] = out_ref[:] + part
+
+
+def row_tile(hw: int, cap: int = 512) -> int:
+    """Largest multiple-of-8 divisor of hw, capped (VMEM tile height).
+    Returns 0 when hw has no multiple-of-8 divisor <= cap."""
+    best = 0
+    for t in range(8, min(hw, cap) + 1, 8):
+        if hw % t == 0:
+            best = t
+    return best
+
+
+def expand4_matrix(cin: int, dtype=jnp.bfloat16) -> jax.Array:
+    """(4, 4*cin) corner expansion: row q is one on [q*cin, (q+1)*cin)."""
+    return jnp.repeat(jnp.eye(4, dtype=dtype), cin, axis=1)
+
+
+def _blend_tap_fwd_impl(g: jax.Array, w4: jax.Array, e4: jax.Array,
+                        wt: jax.Array, b: int, hw: int,
+                        tile: int) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k, c4, co = wt.shape
+    nblk = hw // tile
+    assert g.shape == (b * k * hw, c4), (g.shape, b, k, hw, c4)
+    assert w4.shape == (b * k * hw, 4)
+    assert e4.shape == (4, c4)
+    grid = (b, nblk, k)
+    return pl.pallas_call(
+        _kernel_tap,
+        out_shape=jax.ShapeDtypeStruct((b * hw, co), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, c4),
+                             lambda bi, i, t, _n=nblk, _k=k:
+                             ((bi * _k + t) * _n + i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 4),
+                             lambda bi, i, t, _n=nblk, _k=k:
+                             ((bi * _k + t) * _n + i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, c4), lambda bi, i, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, c4, co), lambda bi, i, t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, co),
+                                   lambda bi, i, t, _n=nblk:
+                                   (bi * _n + i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(g, w4, e4, wt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blend_matmul_tap(g: jax.Array, w4: jax.Array, e4: jax.Array,
+                     wt: jax.Array, b: int, hw: int,
+                     tile: int) -> jax.Array:
+    """Tap-major fused blend+matmul: rows of ``g``/``w4`` ordered
+    (batch, tap, pixel); out[(bi,p), :] = sum_t ((w4 @ e4) * g)[(bi,t,p)]
+    @ wt[t]. f32 accumulation in VMEM across the inner tap grid dim."""
+    return _blend_tap_fwd_impl(g, w4, e4, wt, b, hw, tile)
+
+
+def _tap_fwd(g, w4, e4, wt, b, hw, tile):
+    return blend_matmul_tap(g, w4, e4, wt, b, hw, tile), (g, w4, e4, wt)
+
+
+def _tap_bwd(b, hw, tile, res, dout):
+    g, w4, e4, wt = res
+    k, c4, co = wt.shape
+    dout3 = dout.astype(jnp.float32).reshape(b, hw, co)
+    w4e = jnp.dot(w4.astype(jnp.float32),
+                  e4.astype(jnp.float32))              # (bkhw, c4)
+    g3 = g.astype(jnp.float32).reshape(b, k, hw, c4)
+    # dgm[(b,t,p), c] = dout[(b,p), o] wt[t, c, o]
+    dgm = jnp.einsum("bpo,tco->btpc", dout3,
+                     wt.astype(jnp.float32)).reshape(b * k * hw, c4)
+    dg = (dgm * w4e).astype(g.dtype)
+    dw4 = jnp.dot(dgm * g.astype(jnp.float32),
+                  e4.astype(jnp.float32).T).astype(w4.dtype)
+    gm = g3 * w4e.reshape(b, k, hw, c4)
+    dwt = jnp.einsum("btpc,bpo->tco", gm, dout3).astype(wt.dtype)
+    return dg, dw4, jnp.zeros_like(e4), dwt
+
+
+blend_matmul_tap.defvjp(_tap_fwd, _tap_bwd)
+
+
+def blend_tap_xla(g, w4, e4, wt, b, hw, tile):
+    """Reference semantics of :func:`blend_matmul_tap` in plain XLA."""
+    k, c4, co = wt.shape
+    w4e = jnp.dot(w4.astype(jnp.float32),
+                  e4.astype(jnp.float32)).astype(g.dtype)
+    gm = (g.astype(jnp.float32) * w4e.astype(jnp.float32)
+          ).reshape(b, k, hw, c4)
+    return jnp.einsum("btpc,tco->bpo", gm, wt.astype(jnp.float32)
+                      ).reshape(b * hw, co)
+
+
+def _tap_vmem_fits(tile: int, c4: int, co: int) -> bool:
+    need = (2 * (tile * c4 * 2)        # g tile, 2x buffered, bf16
+            + 2 * (tile * 128 * 2)     # w4 tile (lane-padded)
+            + 8 * c4 * 2               # e4 (sublane-padded)
+            + 2 * (c4 * co * 2)        # wt[t], 2x buffered
+            + tile * co * 4)           # out tile, f32, resident
+    return need <= 12 * 1024 * 1024
+
+
+def blend_tap_supported(b: int, hw: int, k: int, c4: int, co: int,
+                        dtype) -> int:
+    """Row-tile size when the tap-major kernel applies, else 0.
+    PDFTABLE_PALLAS_DCN=0 disables all fused kernels;
+    PDFTABLE_PALLAS_DCN_TAP=0 disables just this one (A/B)."""
+    import os
+
+    if os.environ.get("PDFTABLE_PALLAS_DCN", "auto") == "0":
+        return 0
+    if os.environ.get("PDFTABLE_PALLAS_DCN_TAP", "1") == "0":
+        return 0
+    if dtype != jnp.bfloat16 or c4 % 128 != 0 \
+            or jax.default_backend() != "tpu":
+        return 0
+    tile = row_tile(hw)
+    if tile < 128 or not _tap_vmem_fits(tile, c4, co):
+        return 0
+    return tile
+
+
 def _vmem_fits(kc: int, co: int) -> bool:
     """Conservative VMEM estimate for one grid step: double-buffered g2
     row tiles + the compact (rows, 128) w4 tiles + the resident expand

@@ -151,3 +151,104 @@ class TestDeformBlend:
         # TPU-only gate: on the CPU test backend it must refuse
         assert not db.blend_matmul_supported(512, 2304, 64, jnp.bfloat16) \
             or jax.default_backend() == "tpu"
+
+
+def _mk_tap(b=2, hw=512, k=9, c=32, co=64, seed=0):
+    rng = np.random.default_rng(seed)
+    c4 = 4 * c
+    g = jnp.asarray(rng.standard_normal((b * k * hw, c4)), jnp.bfloat16)
+    w4 = jnp.asarray(rng.random((b * k * hw, 4)), jnp.bfloat16)
+    e4 = db.expand4_matrix(c)
+    wt = jnp.asarray(rng.standard_normal((k, c4, co)) * 0.1,
+                     jnp.bfloat16)
+    return g, w4, e4, wt
+
+
+class TestBlendTap:
+    def test_row_tile(self):
+        assert db.row_tile(9216) == 512
+        assert db.row_tile(2304) == 384
+        assert db.row_tile(576) == 288
+        assert db.row_tile(7) == 0
+
+    def test_interpret_matches_xla(self, monkeypatch):
+        b, hw, k, c, co = 2, 512, 9, 32, 64
+        g, w4, e4, wt = _mk_tap(b, hw, k, c, co)
+        want = np.asarray(db.blend_tap_xla(g, w4, e4, wt, b, hw, 256))
+
+        import jax.experimental.pallas as pl
+
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pl, "pallas_call", interp)
+        got = np.asarray(db._blend_tap_fwd_impl(g, w4, e4, wt, b, hw, 256))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_tap_xla_matches_flat_kernel_semantics(self):
+        # tap-major reference == the flat-kc reference on re-ordered rows
+        b, hw, k, c, co = 1, 256, 2, 32, 16
+        g, w4, e4, wt = _mk_tap(b, hw, k, c, co, seed=3)
+        got = np.asarray(db.blend_tap_xla(g, w4, e4, wt, b, hw, 256))
+        # flat form: rows (p, t*4C); build from tap-major (t, p, 4C)
+        c4 = 4 * c
+        g_f = np.asarray(g, np.float32).reshape(k, hw, c4) \
+            .transpose(1, 0, 2).reshape(hw, k * c4)
+        w4e = np.asarray(jnp.dot(w4.astype(jnp.float32),
+                                 e4.astype(jnp.float32))) \
+            .reshape(k, hw, c4).transpose(1, 0, 2).reshape(hw, k * c4)
+        wrep = np.asarray(wt, np.float32).reshape(k * c4, co)
+        want = (np.float32(g_f) * w4e) @ wrep
+        np.testing.assert_allclose(got, want, rtol=2e-2,
+                                   atol=2e-2 * np.abs(want).max())
+
+    def test_vjp_matches_xla_grads(self):
+        b, hw, k, c, co = 1, 256, 2, 32, 16
+        g, w4, e4, wt = _mk_tap(b, hw, k, c, co, seed=1)
+
+        def loss_xla(gg, ww, wm):
+            return jnp.sum(db.blend_tap_xla(gg, ww, e4, wm,
+                                            b, hw, 256) ** 2)
+
+        want = jax.grad(loss_xla, argnums=(0, 1, 2))(
+            g.astype(jnp.float32), w4.astype(jnp.float32),
+            wt.astype(jnp.float32))
+        dout = 2.0 * db.blend_tap_xla(g, w4, e4, wt, b, hw, 256)
+        got = db._tap_bwd(b, hw, 256, (g, w4, e4, wt), dout)
+        got = (got[0], got[1], got[3])
+        for a, bb in zip(got, want):
+            a = np.asarray(a, np.float32)
+            bb = np.asarray(bb, np.float32)
+            np.testing.assert_allclose(
+                a, bb, rtol=5e-2, atol=2e-2 * float(np.abs(bb).max() + 1e-6))
+
+    def test_integration_packing_matches_unfused(self, monkeypatch):
+        """Route deform_conv2d through the tap branch with the XLA twin
+        on CPU: validates the tap-major packing (base/w4 transposes,
+        corner-broadcast weights) independently of TPU hardware."""
+        import pdf_table_tpu.ops.deform_conv as dc
+        from pdf_table_tpu.ops.pallas import deform_blend as dbm
+
+        rng = np.random.default_rng(5)
+        B, H, W, C, Co = 2, 16, 16, 32, 16   # hw=256, 4C=128 (%128)
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+        off = jnp.asarray(rng.standard_normal((B, H, W, 18)) * 1.5,
+                          jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, 9)), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((3, 3, C, Co)) * 0.1,
+                          jnp.float32)
+        want = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
+
+        monkeypatch.setattr(dbm, "blend_tap_supported",
+                            lambda *a, **k: 256)
+        monkeypatch.setattr(dbm, "blend_matmul_tap",
+                            lambda *a: db.blend_tap_xla(*a))
+        dc.deform_conv2d.clear_cache()
+        got = np.asarray(dc.deform_conv2d(x, off, mask, wgt))
+        dc.deform_conv2d.clear_cache()
+        scale = float(np.abs(want).max()) + 1e-6
+        assert float(np.abs(got - want).max()) / scale < 2e-2
+        assert got.shape == want.shape
