@@ -12,9 +12,14 @@ whose output is meaningful without converted checkpoints:
     paragraph merge, multi-page merge; reference ocr_system_task
     pdf_text_extract + table paths)
   - read_pdf lattice/stream/pdf        (classical camelot-lineage flavors)
-  - raster wired grid -> LineCell      (cv2 morphology cell extraction)
+  - raster wired grid -> LineCell      (cv2 morphology cell extraction;
+    straight, deskewed, and quarter-turned variants)
   - structure tokens -> TableMaster matcher HTML (token path incl.
     eb-token rewrites and thead bolding)
+  - structure tokens -> SLANet TableMatch HTML (non-master walk)
+  - synthetic LORE head output -> snap_to_grid -> cell HTML
+  - table HTML -> xlsx worksheet XML
+  - result-compare diff report (per-cell buckets + opcode dump)
 
 Model-path cases (LORE/SLANet/...) are exercised structurally in the
 main suite; their HTML is only meaningful with converted weights, so
@@ -223,6 +228,69 @@ def make_scanned_grid(angle_deg: float = 0.0) -> np.ndarray:
     return img
 
 
+SLANET_TOKEN_CASE = {
+    # structure tokens as the SLANet decoder emits them (TableLabelDecode
+    # convention): colspan split over three tokens, matched through
+    # TableMatch's IoU + corner-distance assignment (non-master walk)
+    "tokens": ["<tr>", "<td", ' colspan="2"', ">", "</td>", "<td></td>",
+               "</tr>", "<tr>", "<td></td>", "<td></td>", "<td></td>",
+               "</tr>"],
+    "pred_bboxes": [[0, 0, 200, 20], [200, 0, 300, 20],
+                    [0, 20, 100, 40], [100, 20, 200, 40],
+                    [200, 20, 300, 40]],
+    "dt_boxes": [[5, 2, 180, 18], [205, 2, 290, 18],
+                 [5, 22, 90, 38], [105, 22, 190, 38],
+                 [205, 22, 290, 38]],
+    "texts": ["merged head", "h3", "a", "b", "c"],
+}
+
+
+def make_lore_raw():
+    """Synthetic LORE head output: a 3x3 grid (one colspan=2 header cell)
+    with deterministic +-1 feature-map-px jitter on every cell edge, so
+    LorePostProcessor's snap_to_grid must cluster the edges back onto
+    shared boundary lines before the HTML grid is consistent."""
+    xs = [10.0, 40.0, 70.0, 100.0]          # fmap col boundaries
+    ys = [20.0, 35.0, 50.0, 65.0]           # fmap row boundaries
+    cells = []                               # (r1, r2, c1, c2)
+    cells.append((0, 0, 0, 0))
+    cells.append((0, 0, 1, 2))               # colspan=2 header
+    for r in (1, 2):
+        for c in range(3):
+            cells.append((r, r, c, c))
+    K = 16
+    dets = np.zeros((1, K, 8), np.float32)
+    scores = np.zeros((1, K), np.float32)
+    valid = np.zeros((1, K), bool)
+    logi = np.zeros((1, K, 4), np.float32)
+    jit = [0.6, -0.8, 0.4, -0.5, 0.9, -0.3, 0.7, -0.9]   # fmap px
+    for i, (r1, r2, c1, c2) in enumerate(cells):
+        x1 = xs[c1] + jit[i % 8] * 0.9
+        x2 = xs[c2 + 1] + jit[(i + 3) % 8] * 0.9
+        y1 = ys[r1] + jit[(i + 5) % 8] * 0.9
+        y2 = ys[r2 + 1] + jit[(i + 1) % 8] * 0.9
+        dets[0, i] = [x1, y1, x2, y1, x2, y2, x1, y2]
+        scores[0, i] = 0.9 - 0.01 * i
+        valid[0, i] = True
+        logi[0, i] = [r1 + 0.1, r2 - 0.05, c1 + 0.2, c2 + 0.05]
+    raw = {"dets": dets, "scores": scores, "valid": valid,
+           "stacked_logi": logi}
+    meta = {"out_w": 192, "org_shape": (600, 800), "s": 768.0,
+            "c": (400.0, 300.0)}
+    return raw, meta
+
+
+COMPARE_CASE = (
+    # prediction: one garbled text cell + one span mismatch vs label
+    '<table><tr><td colspan="2">head</td></tr>'
+    "<tr><td>alpha</td><td>beta</td></tr>"
+    "<tr><td>gamma</td><td>delta</td></tr></table>",
+    '<table><tr><td colspan="2">head</td></tr>'
+    "<tr><td>alpha</td><td>betta</td></tr>"
+    '<tr><td rowspan="1">gamma</td><td>delta</td></tr></table>',
+)
+
+
 TOKEN_CASE = {
     # structure tokens as the TableMaster decoder emits them
     # (master_convertor convention), exercising span merge, eb rewrite
@@ -296,6 +364,73 @@ def run_token_case() -> str:
     return deal_bb("<table>" + html + "</table>")
 
 
+def run_slanet_token_case() -> str:
+    """SLANet token path: TableMatch (non-master walk; reference
+    matcher.py:58) over synthetic structure tokens + OCR boxes."""
+    from pdf_table_tpu.tasks.table_matcher import TableMatch
+
+    c = SLANET_TOKEN_CASE
+    return TableMatch()(c["tokens"], c["pred_bboxes"], c["dt_boxes"],
+                        c["texts"])
+
+
+def run_lore_snap_case() -> str:
+    """LORE decode->snap_to_grid->cell HTML on synthetic head output
+    (reference post_process_bbox_and_logits grid-snap path,
+    ocr_table_structure_task.py:393-485)."""
+    from pdf_table_tpu.entity.ocr_cell import OcrCell
+    from pdf_table_tpu.models.lore.config import LoreConfig
+    from pdf_table_tpu.models.lore.processor import LorePostProcessor
+    from pdf_table_tpu.tasks.table_to_html import OcrTableToHtmlTask
+
+    raw, meta = make_lore_raw()
+    r = LorePostProcessor(LoreConfig())(raw, meta)
+    assert r["cells"], "LORE post produced no cells"
+    texts = []
+    for cell in sorted(r["cells"],
+                       key=lambda c: (c["logic"][0], c["logic"][2])):
+        x1, y1, x2, y2 = cell["bbox"]
+        texts.append(OcrCell.from_bbox(
+            (x1 + 4, y1 + 6, min(x1 + 40, x2 - 4), y2 - 6),
+            text=f"r{cell['logic'][0]}c{cell['logic'][2]}", score=0.95))
+    r["offset"] = (0, 0)
+    return OcrTableToHtmlTask()(r, texts)
+
+
+def run_xlsx_case(td: str) -> str:
+    """HTML table (with spans) -> xlsx -> extracted sheet XML (the
+    deterministic core of the tablepyxl-equivalent writer; zip metadata
+    carries timestamps so the golden pins the worksheet part, not the
+    container bytes)."""
+    import zipfile
+
+    from pdf_table_tpu.utils.xlsx_writer import html_table_to_xlsx
+
+    html = ('<table><tr><td colspan="2">head</td><td>h3</td></tr>'
+            '<tr><td>a</td><td rowspan="2">tall</td><td>c</td></tr>'
+            "<tr><td>d</td><td>f</td></tr></table>")
+    path = os.path.join(td, "golden.xlsx")
+    html_table_to_xlsx(html, path)
+    with zipfile.ZipFile(path) as z:
+        return z.read("xl/worksheets/sheet1.xml").decode("utf-8")
+
+
+def run_compare_case() -> str:
+    """Result-compare diff report over a garbled-text + span-mismatch pair
+    (reference TableResultCompare, table_result_compare.py:28)."""
+    import json
+
+    from pdf_table_tpu.tasks.result_compare import check_pred_table_html
+
+    flag, metric = check_pred_table_html(*COMPARE_CASE)
+    return json.dumps(
+        {"flag": flag, "check_type": metric["check_type"],
+         "cell_text_diffs": metric["cell_text_diffs"],
+         "cell_structure_diffs": metric["cell_structure_diffs"],
+         "report": metric["diff_report_html"]},
+        indent=1, sort_keys=True, ensure_ascii=False) + "\n"
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -315,17 +450,27 @@ FLAVOR_CASES = {
     "lattice_ruled": (build_flavor_ruled, "lattice"),
     "stream_unruled": (build_flavor_unruled, "stream"),
     "pdf_ruled": (build_flavor_ruled, "pdf"),
+    "pdf_spans": (build_digital_spans, "pdf"),   # span inference, pdf flavor
 }
 
 SCANNED_CASES = {
     "scanned_wired": 0.0,
     "scanned_deskew": 1.6,     # small-angle skew -> preprocess deskew
+    "scanned_rot90": 90.0,     # quarter-turn page -> transposed grid
+}
+
+SPECIAL_CASES = {
+    "token_master": lambda td: run_token_case(),
+    "token_slanet": lambda td: run_slanet_token_case(),
+    "lore_snap": lambda td: run_lore_snap_case(),
+    "xlsx_sheet": run_xlsx_case,
+    "compare_report": lambda td: run_compare_case(),
 }
 
 
 def all_case_names() -> List[str]:
     return (list(DIGITAL_CASES) + list(FLAVOR_CASES) + list(SCANNED_CASES)
-            + ["token_master"])
+            + list(SPECIAL_CASES))
 
 
 def run_case(name: str, td: str) -> str:
@@ -338,14 +483,17 @@ def run_case(name: str, td: str) -> str:
         return run_flavor_case(build(td), flavor)
     if name in SCANNED_CASES:
         return run_scanned_case(make_scanned_grid(SCANNED_CASES[name]))
-    if name == "token_master":
-        return run_token_case()
+    if name in SPECIAL_CASES:
+        return SPECIAL_CASES[name](td)
     raise KeyError(name)
 
 
+_EXTS = {"lattice_ruled": ".csv", "stream_unruled": ".csv",
+         "xlsx_sheet": ".xml", "compare_report": ".json"}
+
+
 def expected_path(name: str) -> str:
-    ext = ".csv" if name in ("lattice_ruled", "stream_unruled") else ".html"
-    return os.path.join(EXPECTED_DIR, name + ext)
+    return os.path.join(EXPECTED_DIR, name + _EXTS.get(name, ".html"))
 
 
 def load_expected(name: str) -> str:
